@@ -1,0 +1,58 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries (REGISTRY entries tagged "bench") at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan + execute + materialize counts via a
+cheap ``count()`` action on the result — no driver-side collect of payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from postgres_etl_pipeline_spark.queries import REGISTRY
+    from postgres_etl_pipeline_spark.session import build_session
+
+    spark = build_session(app_name="bench")
+
+    bench_queries = {
+        name: spec for name, spec in REGISTRY.items() if "bench" in spec.tags
+    }
+
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once (excluded from timings).
+    next(iter(bench_queries.values())).fn(spark, sf_dir).count()
+
+    total = 0.0
+    for name, spec in bench_queries.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,759 @@
+"""Query catalog — the driver contract surface.
+
+One entry per operator from SURVEY §2 (+ the 100 TB extension operators).
+Each :class:`QuerySpec` bundles:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation,
+- ``oracle`` — equivalent SQL DuckDB runs on the same parquet (None for
+  genuinely non-SQL-expressible ops → driver does a rows-only check),
+- ``survey`` — the SURVEY §2 row(s) this query proves.
+
+Cross-engine determinism conventions (driver hash-compares values):
+- money/double sums:  CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+  (decimal accumulation is exact and order-independent; one final cast);
+- integer-ish sums:   CAST(SUM(...) AS BIGINT)  (DuckDB SUM(int) returns
+  HUGEINT which pandas mangles — always cast the final aggregate);
+- ratios:             computed as one double division of exact parts;
+- window orderings:   total orders only (explicit tie-break columns);
+- event timestamps:   testdata ``events.ts`` is nanosecond parquet which
+  Spark truncates to microseconds — always bucket/truncate (second or
+  coarser) before comparing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.relational import (
+    day_bucket,
+    dedupe_last_write_wins,
+    dsum,
+    money,
+    safe_div,
+    star_join,
+    topk_per_group,
+    typed_projection,
+)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, survey: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, survey=survey, tags=tags)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ``events`` table, whose ``ts`` is TIMESTAMP(NANOS) parquet.
+
+    Spark 4 rejects nanosecond parquet timestamps (PARQUET_TYPE_ILLEGAL)
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set; we read nanos as
+    LongType and convert with exact integer division (epoch-nanos ≈ 1.7e18
+    overflows double's 53-bit mantissa, so never route this through a float).
+    Truncation toward zero == floor for post-epoch data, matching DuckDB's
+    ns→µs cast.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# ---------------------------------------------------------------------------
+# A1 — flagship: daily sales mart (mart_daily_sales.sql:6-15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_sales_mart",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+           l_returnflag,
+           count(*) AS txns,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS units,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    survey="§2.5 A1 (mart_daily_sales.sql:6-15): GROUP BY date_trunc day + key",
+    tags=("core", "bench"),
+)
+def daily_sales_mart(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.date_format(day_bucket("l_shipdate"), "yyyy-MM-dd").alias("day"),
+        "l_returnflag",
+    ).agg(
+        F.count(F.lit(1)).alias("txns"),
+        dsum("l_quantity", "units"),
+        dsum("l_extendedprice", "gross"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — star join (init.sql:33-44 declared capability), scaled up to 5 tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "star_join_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS line_count,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    survey="§2.4 J1 (init.sql:33-44): star join, dims broadcast",
+    tags=("core", "bench"),
+)
+def star_join_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — typed projection (stg_transactions.sql:22-42)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "typed_projection",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+           CAST(o_custkey AS INTEGER) AS cust_id,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderstatus AS status
+    FROM orders
+    """,
+    survey="§2.3 P1 (stg_transactions.sql:22-42): cast every source column",
+    tags=("core",),
+)
+def q_typed_projection(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return typed_projection(
+        o.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_totalprice").alias("total"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderstatus").alias("status"),
+        ),
+        {"order_id": "string", "cust_id": "int", "total": "double"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — date_trunc (mart_daily_sales.sql:8) at month grain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "month_bucket_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           count(*) AS orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    survey="§2.3 P2 (mart_daily_sales.sql:8): date_trunc('day',ts)::date, month grain",
+    tags=("core",),
+)
+def month_bucket_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(F.count(F.lit(1)).alias("orders"), dsum("o_totalprice", "total"))
+
+
+# ---------------------------------------------------------------------------
+# P3 — guarded division (stg_transactions.sql:30-32 logic_bug scenario)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "safe_division_ratio",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0)
+             AS price_per_unit
+    FROM lineitem
+    GROUP BY 1
+    """,
+    survey="§2.3 P3 (stg_transactions.sql:30-32): nullif-guarded division",
+    tags=("core",),
+)
+def safe_division_ratio(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice", "p"), dsum("l_quantity", "q")
+    )
+    return agg.select(
+        "l_returnflag", safe_div(F.col("p"), F.col("q")).alias("price_per_unit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — derived measure revenue = qty * price (init.sql:39)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "derived_revenue",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS BIGINT) * CAST(l_extendedprice AS DECIMAL(18,2))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+    survey="§2.3 P4 (init.sql:39): revenue_cents = quantity * unit_price",
+    tags=("core",),
+)
+def q_derived_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("long") * money("l_extendedprice"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/A2 — predicate filter + scalar count (grocery_reconcile_dag.py:24-27)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_count",
+    """
+    SELECT count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="§2.5 A2 (grocery_reconcile_dag.py:24-27): filtered scalar count",
+    tags=("core",),
+)
+def filtered_count(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total"))
+
+
+# ---------------------------------------------------------------------------
+# P8 — JSON extract (pg.py:43 JSONB; grocery_validate_dag.py:54)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+    survey="§2.3 P8 (pg.py:43, init.sql:28): JSON scalar extract from JSONB-ish column",
+    tags=("core",),
+)
+def json_extract_events(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+
+
+# ---------------------------------------------------------------------------
+# P9 — string id synthesis (notify_ardoa.py:48)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_id_synthesis",
+    """
+    SELECT concat_ws(':', 'ord', o_orderkey, o_orderstatus, o_orderpriority)
+               AS event_id,
+           o_orderkey
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    survey="§2.3 P9 (notify_ardoa.py:48): f-string id synthesis via concat_ws",
+    tags=("core",),
+)
+def string_id_synthesis(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.concat_ws(
+            ":", F.lit("ord"), "o_orderkey", "o_orderstatus", "o_orderpriority"
+        ).alias("event_id"),
+        "o_orderkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5/J3 — keyed upsert as batch dedupe, last-write-wins (pg.py:33-60)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_last_write_wins",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+      FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+    survey="§2.2 K5 / §2.4 J3 (pg.py:33-60): ON CONFLICT last-write-wins dedupe",
+    tags=("core",),
+)
+def upsert_last_write_wins(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    # Testdata has duplicate (l_orderkey, l_linenumber) pairs (upsert-shaped
+    # dirty data) — the ordering must be total over the output columns.
+    kept = dedupe_last_write_wins(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        keys=["l_orderkey"],
+        order_by=[F.col("l_linenumber").desc(), F.col("l_quantity").desc()],
+    )
+    return kept.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4 — not_null column audit (dbt schema.yml:4-21)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "not_null_audit",
+    """
+    SELECT count(*) AS total_rows,
+           count(*) - count(c_custkey) AS null_custkey,
+           count(*) - count(c_name) AS null_name,
+           count(*) - count(c_acctbal) AS null_acctbal,
+           count(*) - count(c_mktsegment) AS null_mktsegment
+    FROM customer
+    """,
+    survey="§2.6 V4 (dbt schema.yml:4-21): not_null tests on every mart column",
+    tags=("core",),
+)
+def not_null_audit(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    return c.agg(
+        n.alias("total_rows"),
+        (n - F.count("c_custkey")).alias("null_custkey"),
+        (n - F.count("c_name")).alias("null_name"),
+        (n - F.count("c_acctbal")).alias("null_acctbal"),
+        (n - F.count("c_mktsegment")).alias("null_mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V5/A3 — non-empty-relation gate (assert_non_empty_mart.sql:2-5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nonempty_gate",
+    """
+    SELECT (SELECT count(*) FROM (SELECT 1 FROM lineitem LIMIT 1)) > 0
+        AS non_empty
+    """,
+    survey="§2.5 A3 / §2.6 V5 (assert_non_empty_mart.sql): NOT EXISTS emptiness probe",
+    tags=("core",),
+)
+def nonempty_gate(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.limit(1).agg((F.count(F.lit(1)) > 0).alias("non_empty"))
+
+
+# ---------------------------------------------------------------------------
+# V6 — canary row-count threshold (grocery_reconcile_dag.py:24-34)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canary_threshold",
+    """
+    SELECT o_custkey AS run_key, count(*) AS n_rows,
+           count(*) >= 10 AS canary_ok
+    FROM orders
+    GROUP BY 1
+    HAVING count(*) >= 10
+    """,
+    survey="§2.6 V6 (grocery_reconcile_dag.py:24-34): canary count >= threshold",
+    tags=("core",),
+)
+def canary_threshold(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("run_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= 10)
+        .withColumn("canary_ok", F.col("n_rows") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variants beyond the reference (SURVEY §2.4 note): semi / anti
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_mktsegment, count(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    survey="§2.4 note: left-semi join (EXISTS)",
+    tags=("core",),
+)
+def semi_join_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT n.n_name AS nation, count(*) AS inactive_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    survey="§2.4 note: left-anti join (NOT EXISTS)",
+    tags=("core",),
+)
+def anti_join_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: top-k per group (SURVEY §2.5 note — beyond-reference op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total, rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    WHERE rank <= 5
+    """,
+    survey="§2.5 note: window top-k per group (WindowGroupLimit pushdown)",
+    tags=("core", "bench"),
+)
+def topk_orders_per_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        group=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (SURVEY §2.5 note: grouping sets beyond reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_sales",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey="§2.5 note: rollup/grouping sets",
+    tags=("core",),
+)
+def rollup_sales(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.5 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "except_custkeys",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1995-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+    survey="§2.5 note: EXCEPT set op",
+    tags=("core",),
+)
+def except_custkeys(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    y94 = o.filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_custkey")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    return y94.exceptAll(y95.distinct()).distinct()
+
+
+@register(
+    "intersect_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    survey="§2.5 note: INTERSECT set op",
+    tags=("core",),
+)
+def intersect_custkeys(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation (SURVEY §2.5 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_suppliers_per_flag",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY 1
+    """,
+    survey="§2.5 note: distinct aggregation (expand + two-phase agg)",
+    tags=("core",),
+)
+def distinct_suppliers_per_flag(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered window: running monthly total (SURVEY §2.5 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_monthly_revenue",
+    """
+    SELECT month,
+           CAST(monthly AS DOUBLE) AS monthly,
+           CAST(SUM(monthly) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cumulative
+    FROM (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly
+      FROM orders GROUP BY 1
+    )
+    """,
+    survey="§2.5 note: ordered running-total window",
+    tags=("core",),
+)
+def running_monthly_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(F.sum(money("o_totalprice")).alias("monthly"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.col("monthly").cast("double").alias("monthly"),
+        F.sum("monthly").over(w).cast("double").alias("cumulative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped batch: hourly windowed events agg (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="§2.8: tumbling-window aggregation (batch twin of the streaming mart)",
+    tags=("core", "bench"),
+)
+def events_hourly(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization via gap analysis (SURVEY §2.8 extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_users",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_s FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts_s,
+             CAST(epoch(ts_s) AS BIGINT)
+               - CAST(epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s))
+                      AS BIGINT) AS gap_s
+      FROM e
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
+    FROM gaps
+    GROUP BY 1
+    """,
+    survey="§2.8 extension: session windows via gap analysis (30-min timeout)",
+    tags=("core", "bench"),
+)
+def sessionize_users(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("second", "ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    gaps = ev.withColumn(
+        "gap_s",
+        F.unix_timestamp("ts_s") - F.unix_timestamp(F.lag("ts_s").over(w)),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.lit(1)
+            + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))
+        ).cast("long").alias("n_sessions"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
