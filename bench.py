@@ -18,8 +18,10 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from postgres_etl_pipeline_spark.queries import REGISTRY
+    from postgres_etl_pipeline_spark.queries import REGISTRY, queries as _load_all
     from postgres_etl_pipeline_spark.session import build_session
+
+    _load_all()  # pull the extension catalog into REGISTRY
 
     spark = build_session(app_name="bench")
 

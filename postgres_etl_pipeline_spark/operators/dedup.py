@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7 Phase 5).
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+1. exact           — md5 fingerprint group-by. One shuffle on the hash.
+2. ngram Jaccard   — exact set similarity over 3-gram shingles via an
+                     inverted-index self-join. Quadratic in the worst case;
+                     fine when the shingle index prunes candidates well.
+3. MinHash + LSH   — signatures + banding: candidates meet only if a band
+                     collides. Near-linear; THE scale path for near-dedup.
+4. SimHash         — 64-bit fingerprints; hamming-adjacent buckets.
+
+Everything is built-in DataFrame ops (explode / groupBy / join) — hashing
+uses md5 so results are engine-portable (Spark's ``hash()`` / ``xxhash64``
+are not reproducible in other systems).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize_ws, tokens
+
+# Fixed affine-permutation constants for MinHash (deterministic across runs
+# and engines; same role as the seeded rng in the reference's datagen,
+# mock_pos_api/app.py:15-17).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+# a_i < 2^31 so a*h < 2^63 with h < 2^32 — no int64 overflow under ANSI mode.
+_A = [
+    1122334455, 2046822519, 1166489917, 668265263, 374761393,
+    994160413, 570797501, 1618033988, 1234567891, 823682425,
+    1931833831, 1423945275, 1442695041, 1664525013, 715449907,
+    1788075352,
+]
+_B = [
+    1013904223, 1779033703, 3144134277, 1013904242, 2773480762,
+    1359893119, 2600822924, 528734635, 1541459225, 1654467373,
+    1111111111, 2222222223, 3333333335, 444444447, 555555559,
+    666666671,
+]
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-fingerprint group-by. Returns one row per distinct
+    fingerprint with the keeper (min doc_id) and copy count.
+
+    Scale: one shuffle keyed by a uniformly-distributed hash — no skew by
+    construction. 100 TB note: group on the fingerprint only (never the full
+    text) so shuffle rows stay ~48 bytes.
+    """
+    return (
+        df.select("doc_id", fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (built-in transform over the
+    token array — stays in codegen, no UDF)."""
+    toks = tokens(text_col)
+    if n != 3:
+        raise NotImplementedError("current catalog uses 3-gram shingles")
+    # positions 0..size-3 (0-based transform index)
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded DISTINCT shingle rows (the inverted-index input)."""
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(shingles(text_col))).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    plan: explode distinct shingles → self-join on shingle (doc_a < doc_b)
+    → count intersections → join per-doc set sizes → Jaccard ≥ threshold.
+
+    Scale: the shuffle is keyed by shingle; frequent shingles explode the
+    candidate count (classic skew). At 100 TB: drop top-percentile document
+    frequency shingles (stop-shingles) before the join, or switch to
+    :func:`minhash_lsh_candidates`. Jaccard itself is exact integer
+    arithmetic + one double division — engine-portable.
+    """
+    sh = doc_shingles(df, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_hash32(col: Column) -> Column:
+    """Portable 32-bit hash of a shingle: first 8 hex chars of md5 → long.
+    (conv returns a string; 8 hex chars ≤ 2^32 so the long never overflows —
+    and a*h+b below stays < 2^63.)"""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of (a_i*h + b_i) mod p.
+
+    One explode + one groupBy(doc) with ``min`` aggregates — the shuffle
+    carries num_hashes longs per (doc, shingle), combined map-side to one row
+    per doc. At 100 TB this is the linear-cost sketch that replaces the
+    quadratic join.
+    """
+    sh = doc_shingles(df, text_col).withColumn("h", _shingle_hash32("shingle"))
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs (doc_a < doc_b).
+
+    Signature split into ``bands`` bands of r = num_hashes/bands rows; docs
+    collide if ANY band matches exactly. Probability a pair with Jaccard s
+    collides: 1 - (1 - s^r)^b — with (16, 8) → r=2, steep around s≈0.3.
+
+    Scale: band buckets are the join key — shuffle is linear in docs, never
+    quadratic. Dedup of pair duplicates across bands happens via distinct.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh_{b * r + j}") for j in range(r)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_key"
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs = LSH candidates verified with EXACT Jaccard.
+
+    The verify step restores precision lost to banding; recall < 1 only for
+    pairs whose every band differs (rare above the S-curve knee). Candidate
+    verification joins back to the shingle sets — at scale, candidates are a
+    tiny fraction of the cross product, so this is cheap.
+    """
+    cands = minhash_lsh_candidates(df, num_hashes, bands, text_col)
+    sh = doc_shingles(df, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _token_hash60(col: Column) -> Column:
+    """Portable 60-bit token hash (15 hex chars of md5 → positive long)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash document fingerprints (60-bit, md5-portable).
+
+    Per doc: for each bit j, sum ±1 over tokens (by token's hash bit j);
+    fingerprint bit j = 1 iff the sum > 0. Implemented as explode(tokens) ×
+    explode(bit positions) → two hash-aggregations. Near-dup docs differ in
+    few bits (hamming distance).
+
+    Scale: rows = docs × tokens × bits — at 100 TB use fewer bits per pass
+    or pack the per-token contribution into an array and aggregate
+    element-wise; the shuffle is still linear in input tokens.
+    """
+    tok = df.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    ).withColumn("h", _token_hash60("token"))
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("h"),
+    ).withColumn(
+        # pyspark's shiftright/shiftleft only take int shift amounts —
+        # column shifts must go through SQL expressions.
+        "contrib",
+        F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    per_bit = bit.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )

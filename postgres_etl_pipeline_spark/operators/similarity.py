@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (SURVEY §7 Phase 5).
+
+Two tiers:
+- brute-force cosine top-k — the exactness baseline; O(Q × N) but fully
+  distributed (broadcast the query side, scan the corpus side once).
+- random-hyperplane LSH buckets — the scale path: candidates only within
+  matching sign-buckets, then exact re-rank inside buckets.
+
+All vector math is built-in (``aggregate``/``zip_with`` over double arrays,
+JVM-side) — no UDFs. Embeddings are float32 on disk; we cast to double
+FIRST so dot products are exact-in-double (24-bit mantissa products) and
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic hyperplanes for sign-LSH, generated once from a fixed seed
+# (numpy default_rng(7), 8 planes × 64 dims) and frozen as literals so Spark
+# and any oracle share them. Values rounded to 6 dp — plenty for sign tests.
+import numpy as _np
+
+_rng = _np.random.default_rng(7)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in row] for row in _rng.standard_normal((8, 64))
+]
+
+
+def as_double_vec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic double summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself).
+
+    Scale: ``queries`` is broadcast (it is the small side by contract), the
+    corpus streams through once — no shuffle of the corpus; the only shuffle
+    is the per-query top-k (WindowGroupLimit pushes the k-filter map-side).
+    Ranking uses the score ROUNDED to 4 dp with the neighbor id as
+    tie-break, making the ordering total and engine-portable (raw double
+    cosines differ across engines in the last ulp).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-LSH bucket id: bit b = 1 iff dot(vec, plane_b) > 0.
+
+    With P planes this partitions the space into 2^P buckets; cosine-close
+    vectors land in the same bucket with probability (1 - θ/π)^P.
+    """
+    planes = planes or HYPERPLANES
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucket_counts(
+    df: DataFrame, vec_col: str = "embedding", planes: list[list[float]] | None = None
+) -> DataFrame:
+    """Bucket histogram — the partition layout an ANN index would use."""
+    return (
+        df.select(hyperplane_bucket(as_double_vec(vec_col), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def lsh_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: candidates from shared LSH bucket, verified
+    with exact cosine ≥ threshold.
+
+    Scale: the self-join is keyed by bucket (2^P keys) — at 100 TB add more
+    planes (smaller buckets) and/or multiple independent plane sets (OR of
+    buckets) to trade recall vs candidate count. Verification is exact, so
+    precision is always 1.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        as_double_vec(vec_col).alias("vec"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

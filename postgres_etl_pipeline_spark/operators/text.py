@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY §7 Phase 5; north-star extensions beyond the reference).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Every op is a narrow map over the
+documents table, so it scales linearly with input splits: no shuffle until
+an explicit aggregation.
+
+Cross-engine canon: tokenization = collapse whitespace → trim → split on a
+single space. Identical semantics in Spark and DuckDB (regex classes like
+``\\s`` agree between Java regex and DuckDB's RE2 for this usage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+# Heuristic quality is secondary; determinism and scale are the point.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\-]"
+
+
+def normalize_ws(col: str | Column) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (normalized first, so no empty tokens)."""
+    return F.split(normalize_ws(col), " ")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 of the lowercased, whitespace-normalized
+    text. The canonical exact-dedup key (md5 agrees with DuckDB's)."""
+    return F.md5(F.lower(normalize_ws(col)))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (array intersection
+    size, duplicates counted — JVM-side ``filter`` + ``size``)."""
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*words))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID via stopword-overlap scoring.
+
+    Adds ``pred_lang``: the language with the most stopword hits; ties break
+    in the fixed order en > es > fr > de; zero hits ⇒ 'und'. Deterministic
+    and cheap (one pass, no shuffle); at 100 TB this runs as a scan-time map.
+    """
+    toks = tokens(text_col)
+    hit_cols = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    e, s, fr, de = hit_cols["en"], hit_cols["es"], hit_cols["fr"], hit_cols["de"]
+    pred = (
+        F.when((e >= s) & (e >= fr) & (e >= de) & (e > 0), F.lit("en"))
+        .when((s >= fr) & (s >= de) & (s > 0), F.lit("es"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn("pred_lang", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token count, mean token length, punctuation
+    ratio, digit ratio, and a composite [0,1] quality score.
+
+    All row-level double arithmetic (deterministic regardless of
+    partitioning). The score formula is a simple interpretable heuristic:
+    long-enough docs with low punctuation/digit noise score high.
+    """
+    txt = normalize_ws(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(txt).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    punct = (
+        n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, "")).cast("double")
+    )
+    digits = n_chars - F.length(F.regexp_replace(txt, r"[0-9]", "")).cast("double")
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
+    punct_ratio = punct / n_chars
+    digit_ratio = digits / n_chars
+    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    score = length_score * (1 - punct_ratio) * (1 - digit_ratio)
+    return df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 4).alias("quality"),
+    )

@@ -63,6 +63,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a small single-file input across all cores.
+
+    The testdata tables are one parquet file each → one input split → one
+    task, which serializes CPU-heavy expression work (md5, regexp, vector
+    math) onto a single core. At 100 TB inputs arrive pre-split and this is
+    a no-op decision; locally the one tiny round-robin shuffle unlocks full
+    parallelism. Only used in front of expression-heavy operators — plain
+    scan→filter→agg queries stay un-shuffled (Catalyst's partial agg already
+    parallelizes the cheap part adequately).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the ``events`` table, whose ``ts`` is TIMESTAMP(NANOS) parquet.
 
@@ -749,11 +766,19 @@ def sessionize_users(spark, sf_dir):
     )
 
 
+def _load_extensions() -> None:
+    """Extension catalog registers itself into REGISTRY on import (kept in a
+    separate module; imported lazily here to avoid a circular import)."""
+    from . import queries_ext  # noqa: F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
     }

@@ -5,9 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from postgres_etl_pipeline_spark.queries import REGISTRY
+from postgres_etl_pipeline_spark.queries import REGISTRY, queries as _load_all
 
 from .oracle_harness import compare
+
+_load_all()  # pull the extension catalog into REGISTRY before parametrize
 
 ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle]
 ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if not s.oracle]
