@@ -1,0 +1,189 @@
+"""Validation / data-quality combinators — the reference's core competency
+(SURVEY §2.6 V1–V8), re-expressed as DataFrame assertions.
+
+Design: each check returns a :class:`CheckResult` (never raises mid-plan);
+``enforce`` raises :class:`DataContractError` aggregating the first 5
+violations sorted by path — the same error surface as the reference's JSON
+Schema validation (``grocery_validate_dag.py:56-60``).
+
+Scale: every check compiles to one Spark aggregation (count of violators)
+— violations are counted distributed and only the first N sample rows are
+collected for the report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_REPORTED = 5  # grocery_validate_dag.py:58 reports the first 5 errors
+
+
+class DataContractError(ValueError):
+    """Contract violation — mirrors the reference's DataContractError
+    (``grocery_validate_dag.py:44-62``)."""
+
+
+@dataclass
+class CheckResult:
+    name: str
+    ok: bool
+    violations: int = 0
+    samples: list[str] = field(default_factory=list)
+
+    def message(self) -> str:
+        head = f"{self.name}: {'ok' if self.ok else f'{self.violations} violation(s)'}"
+        return head + ("" if self.ok else f"; first: {self.samples[:MAX_REPORTED]}")
+
+
+def enforce(*results: CheckResult) -> None:
+    """Raise if any check failed, reporting ≤5 path-sorted errors (V1)."""
+    failed = [r for r in results if not r.ok]
+    if failed:
+        msgs = sorted(m for r in failed for m in (r.samples or [r.name]))[:MAX_REPORTED]
+        raise DataContractError(
+            f"{sum(r.violations for r in failed)} contract violation(s): {msgs}"
+        )
+
+
+# --- V1: required-field / typed contract over a payload DataFrame ---------
+
+
+def required_fields(df: DataFrame, fields_: list[str], name: str = "required") -> CheckResult:
+    """V1 — required fields non-null (``grocery_validate_dag.py:26``:
+    event_time, txn_id, store_id, sku, quantity, tender_type)."""
+    missing_schema = [f for f in fields_ if f not in df.columns]
+    if missing_schema:
+        return CheckResult(
+            name, False, len(missing_schema),
+            [f"$.{f}: missing from schema" for f in sorted(missing_schema)],
+        )
+    cond = None
+    for f_ in fields_:
+        c = F.col(f_).isNull()
+        cond = c if cond is None else (cond | c)
+    viol = df.filter(cond)
+    agg = viol.select(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f_).isNull().cast("long")).alias(f_) for f_ in fields_],
+    ).collect()[0]
+    n = agg["n"]
+    samples = [f"$.{f_}: {agg[f_]} null(s)" for f_ in sorted(fields_) if agg[f_]]
+    return CheckResult(name, n == 0, n, samples)
+
+
+# --- V2: corrupt-record detection (PERMISSIVE reads) -----------------------
+
+
+def no_corrupt_records(
+    df: DataFrame, corrupt_col: str = "_corrupt_record", name: str = "well_formed"
+) -> CheckResult:
+    """V2 — malformed-JSON detection: PERMISSIVE reads park unparseable
+    input in ``_corrupt_record`` (``grocery_validate_dag.py:52-54``;
+    injected by ``app.py:75-79`` / torn writes ``io_utils.py:76-89``)."""
+    if corrupt_col not in df.columns:
+        return CheckResult(name, True)
+    # Spark disallows queries whose pruned schema is ONLY the corrupt-record
+    # column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep one data column in the
+    # projection so the scan stays legal without caching the whole input.
+    anchor = next((c for c in df.columns if c != corrupt_col), None)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    if anchor is not None:
+        bad = bad.select(corrupt_col, anchor)
+    rows = bad.take(MAX_REPORTED + 1)
+    samples = [r[0][:80] for r in rows[:MAX_REPORTED]]
+    if len(rows) <= MAX_REPORTED:
+        n = len(rows)
+    else:
+        agg_cols = [F.sum(F.col(corrupt_col).isNotNull().cast("long")).alias("n")]
+        if anchor is not None:
+            agg_cols.append(F.count(anchor).alias("_anchor"))
+        n = df.select(*agg_cols).collect()[0]["n"]
+    return CheckResult(name, n == 0, n, [f"$: unparseable: {s!r}" for s in samples])
+
+
+# --- V3: versioned-contract check ------------------------------------------
+
+
+def schema_version_is(
+    df: DataFrame, version: int, col: str = "schema_version", name: str = "schema_version"
+) -> CheckResult:
+    """V3 — ``schema_version != 1 → error``
+    (``validation_schema_drift_dag.py:62-69``)."""
+    if col not in df.columns:
+        return CheckResult(name, False, 1, [f"$.{col}: missing from schema"])
+    n = df.filter((F.col(col).isNull()) | (F.col(col) != version)).count()
+    return CheckResult(name, n == 0, n, [f"$.{col}: expected {version}"] if n else [])
+
+
+# --- V4: not_null column tests ----------------------------------------------
+
+
+def not_null(df: DataFrame, cols: list[str], name: str = "not_null") -> CheckResult:
+    """V4 — dbt ``not_null`` on every mart column (``schema.yml:4-21``).
+    One aggregation for all columns (single pass, partial-agg combined)."""
+    agg = df.select(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    ).collect()[0]
+    samples = [f"$.{c}: {agg[c]} null(s)" for c in sorted(cols) if agg[c]]
+    total = sum(agg[c] for c in cols)
+    return CheckResult(name, total == 0, total, samples)
+
+
+# --- V5: non-empty relation --------------------------------------------------
+
+
+def non_empty(df: DataFrame, name: str = "non_empty") -> CheckResult:
+    """V5 — fail if the relation is empty
+    (``dbt_retail/tests/assert_non_empty_mart.sql:1-5``). ``isEmpty`` only
+    materializes one partition — O(1), not a full count."""
+    empty = df.isEmpty()
+    return CheckResult(name, not empty, int(empty), ["$: relation is empty"] if empty else [])
+
+
+# --- V6: canary row-count threshold ------------------------------------------
+
+
+def canary_min_rows(
+    df: DataFrame, min_rows: int = 10, name: str = "canary"
+) -> CheckResult:
+    """V6 — ``count < 10 → canary_failed: too_few_rows``
+    (``grocery_reconcile_dag.py:24-34``)."""
+    n = df.count()
+    ok = n >= min_rows
+    return CheckResult(
+        name, ok, 0 if ok else 1,
+        [] if ok else [f"$: too_few_rows n={n} min={min_rows}"],
+    )
+
+
+# --- V7/V8: artifact preconditions & payload shape ---------------------------
+
+
+def artifacts_exist(paths: list[str], name: str = "artifacts") -> CheckResult:
+    """V7 — upstream-artifact existence with full missing-list diagnostics
+    (``grocery_load_dag.py:34-62`` lists every missing path, not just the
+    first)."""
+    import os
+
+    missing = sorted(p for p in paths if not os.path.exists(p))
+    return CheckResult(
+        name, not missing, len(missing), [f"{p}: missing artifact" for p in missing]
+    )
+
+
+def payload_shape(
+    df: DataFrame, list_col: str, name: str = "payload_shape"
+) -> CheckResult:
+    """V8 — payload must carry a list under the expected key
+    (``grocery_load_dag.py:69-73`` — the reference's intentional contract
+    bug reads 'transactions' where enrich wrote 'enriched'; this check is
+    what surfaces that class of bug as a typed error)."""
+    if list_col not in df.columns:
+        return CheckResult(
+            name, False, 1, [f"$.{list_col}: missing from payload schema"]
+        )
+    n = df.filter(F.col(list_col).isNull()).count()
+    return CheckResult(name, n == 0, n, [f"$.{list_col}: null list"] if n else [])

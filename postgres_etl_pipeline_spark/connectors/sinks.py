@@ -1,0 +1,129 @@
+"""Sinks (SURVEY §2.2).
+
+K1 atomic artifact write, K3/K4 NDJSON/JSON stage writes, K5 keyed upsert
+(the one genuinely custom sink — SURVEY §4.2), K8/K9 view/table
+materialization.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    """K1 — write-to-tmp + fsync + rename, all-or-nothing
+    (``grocery_lib/io_utils.py:66-73``). For driver-side artifacts (raw
+    payload files, reconcile reports); distributed writes get atomicity from
+    Spark's output-commit protocol instead."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def torn_write_text(path: str, text: str) -> None:
+    """K2 — deliberately torn write (fault injector twin of
+    ``io_utils.py:76-89``): first half only, no rename. Test harness only —
+    produces the artifact the PERMISSIVE reader must quarantine."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text[: max(1, len(text) // 2)])
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3 — NDJSON staging write (``grocery_validate_dag.py:65-79``).
+    Spark's JSON sink is NDJSON natively; the commit protocol renames the
+    task files atomically (K1 for free)."""
+    df.write.mode(mode).json(path)
+
+
+def write_table(
+    df: DataFrame, name: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """K9 — dbt 'table' materialization: CTAS a managed parquet table
+    (``dbt_project.yml:23-25``). Partitioning is the 100 TB lever: daily
+    marts partitioned by day prune to one partition per day-scoped query."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(name)
+
+
+def create_view(df: DataFrame, name: str) -> None:
+    """K8 — dbt 'view' materialization (``dbt_project.yml:17-22``):
+    recomputed per query, zero storage."""
+    df.createOrReplaceTempView(name)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """K5 — keyed upsert: ``INSERT … ON CONFLICT (keys) DO UPDATE`` semantics
+    onto a parquet-backed table (``grocery_lib/pg.py:33-60``).
+
+    Batch algorithm: union(target, incoming) → row_number over (keys,
+    order_by) → keep rn=1 → rewrite. Incoming rows order AFTER existing ones
+    at equal ordering columns, preserving the reference's sequential
+    last-write-wins (``pg.py:56-59``; SURVEY §2.9 caution 5).
+
+    Scale: full rewrite is O(table) — correct-but-naive for parquet. The
+    scale path is a transactional table format (Delta/Iceberg MERGE INTO,
+    which shuffles only matched files) or the JDBC staging merge below. The
+    row-at-a-time loop of the reference is the one pattern we never copy.
+    """
+    src_rank = F.lit(1)
+    inc = incoming.withColumn("__src", src_rank)
+    try:
+        current = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
+        merged = current.unionByName(inc)
+    except Exception:  # first write — no target yet
+        merged = inc
+    w = Window.partitionBy(*keys).orderBy(*(list(order_by) + [F.col("__src").desc()]))
+    deduped = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # Materialize before overwriting the path we read from.
+    out = deduped.cache()
+    out.count()
+    out.write.mode("overwrite").parquet(target_path)
+    out.unpersist()
+    return spark.read.parquet(target_path)
+
+
+def upsert_sql(table: str, cols: list[str], keys: list[str]) -> str:
+    """K5 (JDBC flavor) — the single batched ``INSERT … ON CONFLICT … DO
+    UPDATE`` statement a ``foreachBatch`` sink ships after staging a batch
+    (replaces ``pg.py:44-52``'s per-row loop with one set-based merge).
+
+    Usage at scale: ``df.foreachBatch`` → write batch to a staging table via
+    JDBC (``batchsize`` tuned), then execute this statement on one
+    connection — idempotent under retries because the key match makes
+    re-application a no-op update.
+    """
+    collist = ", ".join(cols)
+    placeholders = ", ".join(f":{c}" for c in cols)
+    conflict = ", ".join(keys)
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c not in keys)
+    return (
+        f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    )

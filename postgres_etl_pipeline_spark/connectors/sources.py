@@ -1,0 +1,90 @@
+"""Sources (SURVEY §2.1).
+
+S2 whole-doc JSON, S3 NDJSON, S4 JDBC table reads — schema-on-read with
+explicit StructTypes only (contracts are never inferred, SURVEY §1.3), with
+PERMISSIVE + ``_corrupt_record`` as the malformed-input quarantine path the
+reference's README promised but never built (SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if "_corrupt_record" in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+
+
+def read_json_doc(
+    spark: SparkSession, path: str, schema: T.StructType, strict: bool = False
+) -> DataFrame:
+    """S2 — one JSON document (object with nested array), the raw-payload
+    artifact shape (``grocery_lib/io_utils.py:92-100``).
+
+    PERMISSIVE by default: corrupt input lands in ``_corrupt_record`` for
+    the V2 check / quarantine instead of failing the read (the reference
+    raises on ``json.loads``, ``grocery_validate_dag.py:52-54``; strict=True
+    reproduces that with FAILFAST).
+    """
+    reader = (
+        spark.read.schema(schema if strict else _with_corrupt(schema))
+        .option("multiLine", True)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    return reader.json(path)
+
+
+def read_ndjson(
+    spark: SparkSession, path: str, schema: T.StructType, strict: bool = False
+) -> DataFrame:
+    """S3 — line-delimited JSON (Spark's native JSON source;
+    ``grocery_enrich_dag.py:40-45`` loops lines — here each line is a task-
+    parallel record and the 100 TB case is just more splits)."""
+    reader = (
+        spark.read.schema(schema if strict else _with_corrupt(schema))
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    return reader.json(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S4 — JDBC table read (``grocery_lib/pg.py:26-30`` fetch_all).
+
+    Scale notes: a bare JDBC read is ONE connection / ONE partition — at any
+    real size pass ``partition_column`` + bounds so Spark issues
+    ``num_partitions`` range-sliced queries in parallel. Predicate pushdown
+    is on by default (filters reach the remote WHERE clause).
+
+    Requires the vendor JDBC driver jar on the classpath; this container
+    ships none, so tests exercise the option-plumbing only.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,199 @@
+"""Grocery pipeline (SURVEY §3.1): the reference's 5-DAG chain as composed
+DataFrame stages in one Spark app.
+
+ingest → validate → stage → enrich → load (keyed upsert) → reconcile,
+then the declared-but-never-coded star join + daily mart (J1 + A1) with
+quality gates (V4/V5/V6). Each stage is a pure function; file artifacts are
+written only where persistence is the point (raw payload, staged NDJSON,
+upserted staging table) — lineage replaces the rest of the reference's
+file-IR (``io_utils.py:38-57``).
+
+Scenario dispatch (O6) reproduces SURVEY §5.1's fault matrix; every failure
+surfaces as a typed ``DataContractError`` / ``TemporalError`` instead of a
+stack trace in an Airflow log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import checks as C
+from .. import datagen as G
+from ..connectors import sinks, sources
+from ..operators.relational import (
+    daily_sales_mart,
+    dedupe_last_write_wins,
+    derived_revenue,
+    star_join,
+)
+from ..schemas import PAYLOAD_SCHEMA_PERMISSIVE
+
+REQUIRED_TXN_FIELDS = [
+    "event_time", "txn_id", "store_id", "sku", "quantity", "tender_type",
+]  # grocery_validate_dag.py:26
+CANARY_MIN_ROWS = 10  # grocery_reconcile_dag.py:31
+
+
+@dataclass
+class RunPaths:
+    """Per-run artifact tree (``io_utils.py:38-57``)."""
+
+    base: str
+    run_id: str
+
+    @property
+    def root(self) -> str:
+        return os.path.join(self.base, "grocery_runs", self.run_id)
+
+    @property
+    def raw(self) -> str:
+        return os.path.join(self.root, "raw", "transactions.json")
+
+    @property
+    def staged(self) -> str:
+        return os.path.join(self.root, "staged", "transactions.ndjson")
+
+    @property
+    def table(self) -> str:
+        return os.path.join(self.base, "tables", "stg_transactions")
+
+    @property
+    def reconcile(self) -> str:
+        return os.path.join(self.root, "out", "reconcile.json")
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    scenario: str
+    staged_rows: int = 0
+    loaded_rows: int = 0
+    mart: DataFrame | None = None
+    checks: list[C.CheckResult] = field(default_factory=list)
+
+
+def ingest(paths: RunPaths, scenario: str, n: int = 40) -> None:
+    """Stage 1 (``grocery_ingest_dag.py:36-67``): fetch payload, write the
+    raw artifact — atomically, or deliberately torn under partial_write."""
+    raw = G.transactions_raw_text(paths.run_id, scenario, n)
+    if scenario == "partial_write":
+        # the generator already truncated the text; the torn write models
+        # the *file-level* race (io_utils.py:76-89) — same observable shape
+        sinks.atomic_write_text(paths.raw, raw)
+    else:
+        sinks.atomic_write_text(paths.raw, raw)
+
+
+def validate_and_stage(
+    spark: SparkSession, paths: RunPaths, scenario: str
+) -> DataFrame:
+    """Stage 2 (``grocery_validate_dag.py:44-79``): schema-on-read with
+    corrupt quarantine (V2), contract checks (V1), explode to staged NDJSON
+    (K3/P5)."""
+    C.enforce(C.artifacts_exist([paths.raw]))
+    payload = sources.read_json_doc(spark, paths.raw, PAYLOAD_SCHEMA_PERMISSIVE)
+    C.enforce(
+        C.no_corrupt_records(payload),
+        C.payload_shape(payload, "transactions"),
+    )
+    txns = payload.select(
+        F.col("run_id"), F.explode("transactions").alias("t")
+    ).select("run_id", "t.*")
+    # Drift tolerance (P6): coalesce the renamed column back, then detect.
+    txns = txns.withColumn(
+        "unit_price_cents", F.coalesce("unit_price_cents", "unit_price")
+    ).drop("unit_price")
+    C.enforce(
+        C.required_fields(txns, REQUIRED_TXN_FIELDS),
+        C.not_null(txns, ["unit_price_cents"], name="drift_resolved"),
+    )
+    sinks.write_ndjson(txns, paths.staged)
+    return txns
+
+
+def enrich(txns: DataFrame, scenario: str) -> DataFrame:
+    """Stage 3 (``grocery_enrich_dag.py:16-54``): identity map + provenance
+    envelope — the reference adds no fields; we add typed ones instead of a
+    JSON wrapper (run metadata as columns)."""
+    return txns.withColumn("scenario", F.lit(scenario)).withColumn(
+        "event_time", F.to_timestamp("event_time")
+    ).withColumn("inserted_at", F.current_timestamp())
+
+
+def load(spark: SparkSession, enriched: DataFrame, paths: RunPaths) -> DataFrame:
+    """Stage 4 (``grocery_load_dag.py:64-76`` + ``pg.py:33-60``): keyed
+    upsert on (run_id, txn_id), intra-batch last-write-wins."""
+    deduped = dedupe_last_write_wins(
+        enriched,
+        keys=["run_id", "txn_id"],
+        order_by=[F.col("event_time").desc(), F.col("inserted_at").desc()],
+    )
+    return sinks.upsert_parquet(
+        spark,
+        deduped,
+        paths.table,
+        keys=["run_id", "txn_id"],
+        order_by=[F.col("event_time").desc()],
+    )
+
+
+def reconcile(spark: SparkSession, paths: RunPaths) -> int:
+    """Stage 5 (``grocery_reconcile_dag.py:16-35``): canary count for this
+    run (A2 + V6), then the reconcile artifact."""
+    stg = spark.read.parquet(paths.table).filter(F.col("run_id") == paths.run_id)
+    n = stg.count()
+    C.enforce(C.canary_min_rows(stg, CANARY_MIN_ROWS))
+    sinks.atomic_write_text(
+        paths.reconcile,
+        json.dumps({"run_id": paths.run_id, "ok": True, "stg_rows": n}),
+    )
+    return n
+
+
+def build_mart(spark: SparkSession, paths: RunPaths) -> DataFrame:
+    """The declared capability (J1 + A1): staged txns ⋈ broadcast dims →
+    fct_sales with revenue_cents → daily mart, gated by V4/V5."""
+    stg = spark.read.parquet(paths.table)
+    fct = star_join(
+        stg,
+        {"store_id": G.dim_store(spark), "sku": G.dim_product(spark)},
+    ).withColumn("revenue_cents", derived_revenue())
+    mart = daily_sales_mart(
+        fct,
+        ts_col="event_time",
+        amount_col="revenue_cents",
+        qty_col="quantity",
+        group_extra=["store_id", "region"],
+    )
+    C.enforce(
+        C.non_empty(mart),
+        C.not_null(mart, ["day", "store_id", "txns", "units", "gross_amount_cents"]),
+    )
+    return mart
+
+
+def run(
+    spark: SparkSession,
+    base_dir: str,
+    run_id: str,
+    scenario: str = "ok",
+    n: int = 40,
+) -> RunResult:
+    """End-to-end run (§3.1). Raises typed errors under failure scenarios —
+    callers (and the scenario test matrix) assert on the error type."""
+    paths = RunPaths(base_dir, run_id)
+    result = RunResult(run_id=run_id, scenario=scenario)
+    ingest(paths, scenario, n)
+    txns = validate_and_stage(spark, paths, scenario)
+    result.staged_rows = txns.count()
+    enriched = enrich(txns, scenario)
+    loaded = load(spark, enriched, paths)
+    result.loaded_rows = loaded.count()
+    reconcile(spark, paths)
+    result.mart = build_mart(spark, paths)
+    return result

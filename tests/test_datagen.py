@@ -1,0 +1,88 @@
+"""Seeded generator parity with the reference's distributions
+(mock_pos_api/app.py:20-36) and determinism (failure.py:11-27)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from postgres_etl_pipeline_spark import datagen as G
+
+
+def test_deterministic_per_run_and_scenario():
+    a = G.transactions_payload("run-1", "ok", 40)
+    b = G.transactions_payload("run-1", "ok", 40)
+    c = G.transactions_payload("run-2", "ok", 40)
+    assert a == b
+    assert a != c
+
+
+def test_field_domains():
+    p = G.transactions_payload("run-7", "ok", 200)
+    assert p["ok"] is True and p["run_id"] == "run-7"
+    for t in p["transactions"]:
+        assert t["sku"] in G.SKUS
+        assert 1 <= t["quantity"] <= 5
+        assert t["unit_price_cents"] in G.PRICES_CENTS
+        assert t["tender_type"] in G.TENDERS
+        assert t["store_id"] in G.STORES
+    # customer_id present ~60% (app.py:35)
+    frac = sum(t["customer_id"] is not None for t in p["transactions"]) / 200
+    assert 0.45 < frac < 0.75
+
+
+def test_n_bounds():
+    with pytest.raises(ValueError):
+        G.transactions_payload("r", "ok", 0)
+    with pytest.raises(ValueError):
+        G.transactions_payload("r", "ok", 201)
+
+
+def test_schema_drift_renames_first_txn():
+    p = G.transactions_payload("run-3", "schema_drift", 5)
+    assert "unit_price" in p["transactions"][0]
+    assert "unit_price_cents" not in p["transactions"][0]
+    assert all("unit_price_cents" in t for t in p["transactions"][1:])
+
+
+def test_malformed_json_truncated():
+    raw = G.transactions_raw_text("run-4", "malformed_json", 10)
+    with pytest.raises(json.JSONDecodeError):
+        json.loads(raw)
+
+
+def test_temporal_error_deterministic():
+    # 70% of run_ids fail; a given run_id always behaves the same way
+    outcomes = {}
+    for i in range(30):
+        rid = f"run-{i}"
+        try:
+            G.transactions_payload(rid, "temporal_error", 5)
+            outcomes[rid] = "ok"
+        except G.TemporalError:
+            outcomes[rid] = "fail"
+    fail_rate = sum(v == "fail" for v in outcomes.values()) / len(outcomes)
+    assert 0.4 < fail_rate < 0.95
+    for rid, expected in list(outcomes.items())[:5]:
+        try:
+            G.transactions_payload(rid, "temporal_error", 5)
+            again = "ok"
+        except G.TemporalError:
+            again = "fail"
+        assert again == expected
+
+
+def test_distributed_generator_domains(spark):
+    df = G.transactions_df_distributed(spark, "run-9", 1000)
+    rows = df.collect()
+    assert len(rows) == 1000
+    skus = {r.sku for r in rows}
+    assert skus <= set(G.SKUS) and len(skus) == 5
+    assert {r.store_id for r in rows} <= set(G.STORES)
+    assert all(1 <= r.quantity <= 5 for r in rows)
+    frac = sum(r.customer_id is not None for r in rows) / 1000
+    assert 0.5 < frac < 0.7
+    # reproducible
+    again = G.transactions_df_distributed(spark, "run-9", 1000).collect()
+    assert sorted(rows) == sorted(again)
