@@ -767,9 +767,10 @@ def sessionize_users(spark, sf_dir):
 
 
 def _load_extensions() -> None:
-    """Extension catalog registers itself into REGISTRY on import (kept in a
-    separate module; imported lazily here to avoid a circular import)."""
+    """Extension catalogs register themselves into REGISTRY on import (kept
+    in separate modules; imported lazily here to avoid circular imports)."""
     from . import queries_ext  # noqa: F401
+    from . import queries_stream  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

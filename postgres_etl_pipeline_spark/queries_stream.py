@@ -1,0 +1,158 @@
+"""Streaming query catalog (SURVEY §2.8 / §7 Phase 4).
+
+Each entry runs a real Structured Streaming query — file-source stream →
+stateful transformation → ``trigger(availableNow=True)`` → memory sink —
+and returns the converged result as a batch DataFrame, which the driver
+checks against a batch DuckDB oracle. This is the strongest correctness
+claim available for streaming: the drained stream must equal the batch
+answer.
+
+Batch-count assumptions: the driver testdata is one parquet file per table,
+so availableNow runs exactly one micro-batch. complete-mode entries are
+correct for ANY batch count; update-mode entries (session windows,
+applyInPandasWithState) rely on single-batch convergence here, and their
+multi-batch update semantics are covered in tests/test_streaming.py with
+maxFilesPerTrigger-controlled replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .queries import register
+from .streaming import jobs, runner, sources
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_tumbling_hourly",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_FMT}') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="§2.8: tumbling window agg over a drained stream == batch answer",
+    tags=("streaming",),
+)
+def stream_tumbling_hourly(spark, sf_dir):
+    ev = sources.stream_events(spark, sf_dir)
+    out = jobs.tumbling_counts(ev, window="1 hour", delay="30 minutes")
+    return runner.run_to_memory(out, "stream_tumbling_hourly", "complete")
+
+
+@register(
+    "stream_sliding_hourly",
+    f"""
+    WITH cand AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - o.i * INTERVAL '30 minutes' AS ws,
+             ts
+      FROM events CROSS JOIN (VALUES (0), (1)) AS o(i)
+    )
+    SELECT strftime(ws, '{_FMT}') AS win_start,
+           strftime(ws + INTERVAL '1 hour', '{_FMT}') AS win_end,
+           count(*) AS n_events
+    FROM cand
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+    survey="§2.8 extension: sliding windows (1h window / 30m slide)",
+    tags=("streaming",),
+)
+def stream_sliding_hourly(spark, sf_dir):
+    ev = sources.stream_events(spark, sf_dir)
+    out = jobs.sliding_counts(ev, window="1 hour", slide="30 minutes")
+    return runner.run_to_memory(out, "stream_sliding_hourly", "complete")
+
+
+@register(
+    "stream_session_windows",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_FMT}') AS session_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    survey="§2.8 extension: session_window (30-min gap) vs gaps-and-islands",
+    tags=("streaming",),
+)
+def stream_session_windows(spark, sf_dir):
+    # session_window closes at last_ts + gap (half-open), so a gap of
+    # exactly 30 minutes starts a new session — hence >= in the oracle.
+    ev = sources.stream_events(spark, sf_dir)
+    out = jobs.session_window_agg(ev, gap="30 minutes")
+    return runner.run_to_memory(out, "stream_session_windows", "complete")
+
+
+_LINEITEM_KEYS_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), True),
+        T.StructField("l_linenumber", T.IntegerType(), True),
+    ]
+)
+
+
+@register(
+    "stream_dedup_lineitem",
+    """
+    SELECT count(*) AS distinct_keys
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+    """,
+    survey="§2.8: dropDuplicates on the upsert PK over a stream (K5/J3 twin;"
+    " sf0.01 plants duplicate keys on purpose)",
+    tags=("streaming",),
+)
+def stream_dedup_lineitem(spark, sf_dir):
+    # schema projection prunes the parquet scan to the two key columns
+    li = sources.stream_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", _LINEITEM_KEYS_SCHEMA
+    )
+    deduped = li.dropDuplicates(["l_orderkey", "l_linenumber"])
+    # append-mode memory sink emits each first-seen key once; counting is a
+    # batch op on the drained table (avoids chained stateful operators)
+    out = runner.run_to_memory(deduped, "stream_dedup_lineitem", "append")
+    return out.agg(F.count(F.lit(1)).alias("distinct_keys"))
+
+
+@register(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    survey="§2.9/§2.8: custom stateful op (applyInPandasWithState) — running"
+    " per-user totals; drained state == batch groupBy",
+    tags=("streaming",),
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    ev = sources.stream_events(spark, sf_dir)
+    out = jobs.stateful_user_totals(ev.select("user_id", "value"))
+    res = runner.run_to_memory(out, "stream_stateful_user_totals", "update")
+    # update mode re-emits a group on every batch it changes in; keep the
+    # final (= max-count) emission per user so any batch count converges
+    return res.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s")
+    ).select("user_id", "s.n_events", "s.total_value")

@@ -1,0 +1,189 @@
+"""Streaming transformations (SURVEY §2.8 mapping table).
+
+Each job is a pure stream-DataFrame → stream-DataFrame function; the runner
+decides trigger/sink. State sizing at 100 TB:
+
+- watermarks bound state: every stateful op here takes an explicit delay;
+  state per key is evicted once the watermark passes, so state size is
+  O(active keys × windows inside the watermark horizon), not O(history).
+- keys are chosen to shuffle-partition evenly (user_id, (run_id, txn_id));
+  a skewed key (one hot user) would need salting before the stateful op —
+  same playbook as batch skew joins.
+- applyInPandasWithState keeps per-group state in the executor state store
+  (RocksDB on a real cluster: ``spark.sql.streaming.stateStore.providerClass``),
+  Arrow-batched per trigger — the slow path, used only where no built-in
+  stateful operator expresses the semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_time",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once: ``dropDuplicates`` on the upsert PK
+    within the watermark horizon (SURVEY §2.8: reference retries
+    ``grocery_ingest_dag.py:71`` + PK upsert ``pg.py:44-52``).
+
+    The watermark bounds dedup state; duplicates arriving later than
+    ``delay`` are the sink's problem (idempotent merge, connectors.sinks).
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window event counts (streaming twin of batch events_hourly)."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal accumulator: exact + order-independent (oracle parity)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts — each event lands in window/slide overlapping
+    windows (no reference counterpart; extension per SURVEY §2.8)."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap.
+
+    ``session_window`` end = last event ts + gap; a session closes (and its
+    state evicts) once the watermark passes that end.
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def daily_mart_stream(
+    txns: DataFrame, ts_col: str = "event_time", delay: str = "1 hour"
+) -> DataFrame:
+    """Continuously-maintained daily sales mart — streaming twin of A1
+    (reference ``mart_daily_sales.sql:6-15``), update mode."""
+    return (
+        txns.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, "1 day").alias("w"), F.col("store_id"))
+        .agg(
+            F.count(F.lit(1)).alias("txns"),
+            F.sum("quantity").cast("long").alias("units"),
+            F.sum(F.col("quantity").cast("long") * F.col("unit_price_cents"))
+            .alias("gross_amount_cents"),
+        )
+        .select(
+            F.to_date("w.start").cast("string").alias("day"),
+            "store_id",
+            "txns",
+            "units",
+            "gross_amount_cents",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _user_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    # inputs are 2-dp measures: re-round so the running float total stays
+    # exactly representable (oracle computes it in DECIMAL)
+    total = round(total, 2)
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value total
+    via ``applyInPandasWithState`` (SURVEY §7: the escape hatch for
+    semantics no built-in stateful op expresses; here the semantics *are*
+    expressible as a windowless agg, which is exactly what makes the op
+    oracle-checkable — each trigger emits the updated running totals).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

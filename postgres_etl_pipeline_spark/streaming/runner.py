@@ -1,0 +1,53 @@
+"""Streaming runners: drain a bounded stream and return a batch DataFrame.
+
+``trigger(availableNow=True)`` processes everything the source currently
+has (in rate-limited micro-batches if maxFilesPerTrigger is set) and then
+stops — the exact semantics of the reference's run-sized batch DAG chain
+(SURVEY §2.8), and restart-safe via the checkpoint. The memory sink keeps
+results queryable as a table, which is how streaming queries plug into the
+driver's DuckDB-oracle harness.
+
+At 100 TB the same jobs run with ``trigger(processingTime=...)`` writing to
+parquet/Delta via foreachBatch (connectors.sinks.merge_upsert for the
+idempotent keyed-upsert path); only the sink/trigger choice changes, never
+the transformation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the result table as a batch DataFrame.
+
+    complete mode replays full results each trigger, so the final table is
+    the converged result regardless of micro-batch count; append/update
+    callers own the batch-count semantics (see tests).
+    """
+    qname = name or f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(qname)

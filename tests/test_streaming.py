@@ -1,0 +1,200 @@
+"""Structured Streaming semantics (SURVEY §2.8): multi-batch replays with
+``maxFilesPerTrigger=1`` — watermark late-drop, dedup-within-watermark,
+update-mode accumulation — complementing the drained-stream-vs-DuckDB
+parity in test_queries_vs_duckdb.py (which is single-batch)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_etl_pipeline_spark.streaming import (
+    daily_mart_stream,
+    dedup_within_watermark,
+    run_to_memory,
+    stateful_user_totals,
+    stream_ndjson_txns,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _write_ndjson(path: str, rows: list[dict], mtime_offset_s: int = 0) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    t = time.time() + mtime_offset_s
+    os.utime(path, (t, t))
+
+
+def _txn(run_id, txn_id, ts, qty=1, price=199, store="s-1"):
+    return {
+        "run_id": run_id,
+        "event_time": ts,
+        "txn_id": txn_id,
+        "store_id": store,
+        "sku": "SKU-1",
+        "quantity": qty,
+        "unit_price_cents": price,
+        "tender_type": "cash",
+        "customer_id": None,
+    }
+
+
+def _events_stream(spark, d, max_files=1):
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files))
+        .json(str(d))
+    )
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    # at-least-once delivery: run-1's txn t-2 is redelivered in the second
+    # micro-batch (reference retry + PK upsert, SURVEY §2.8)
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [_txn("r1", "t-1", "2024-01-01T10:00:00Z"), _txn("r1", "t-2", "2024-01-01T10:05:00Z")],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [_txn("r1", "t-2", "2024-01-01T10:05:00Z"), _txn("r1", "t-3", "2024-01-01T10:10:00Z")],
+    )
+    stream = stream_ndjson_txns(spark, str(tmp_path), max_files_per_trigger=1)
+    deduped = dedup_within_watermark(
+        stream, ["run_id", "txn_id"], "event_time", "10 minutes"
+    )
+    out = run_to_memory(deduped, "t_dedup_wm", "append")
+    assert out.count() == 3
+    assert {r.txn_id for r in out.select("txn_id").collect()} == {"t-1", "t-2", "t-3"}
+
+
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    # batch A: 09:05, 09:30, 10:45. batch B: 10:50 → watermark 10:35 is in
+    # effect, so at B's end the (09:00,10:00] window is EVICTED and emitted
+    # with n=2. batch C: LATE 09:50 — its window is already gone from
+    # state, so the row is dropped (never re-emitted). A late row is only
+    # dropped once its window left the state store: while the window is
+    # still live, Spark merges late rows in — which is why B, not A, must
+    # advance the watermark here.
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [
+            {"ts": "2024-01-01T09:05:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T09:30:00Z", "user_id": 2, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T10:45:00Z", "user_id": 3, "event_type": "view", "value": 1.0},
+        ],
+        mtime_offset_s=-120,
+    )
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [{"ts": "2024-01-01T10:50:00Z", "user_id": 4, "event_type": "view", "value": 1.0}],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(tmp_path / "c.ndjson"),
+        [{"ts": "2024-01-01T09:50:00Z", "user_id": 5, "event_type": "view", "value": 9.0}],
+    )
+    out = run_to_memory(
+        tumbling_counts(_events_stream(spark, tmp_path), "1 hour", delay="10 minutes"),
+        "t_late_drop",
+        "append",
+    )
+    rows = {r.win_start: (r.n_events, r.total_value) for r in out.collect()}
+    assert rows == {"2024-01-01 09:00:00": (2, 2.0)}
+
+
+def test_tumbling_complete_mode_counts_everything(spark, tmp_path):
+    # complete mode never drops state: same input as the append test, but
+    # every window (including the late event's) is in the final table —
+    # the documented late-data policy trade-off (SURVEY §2.8)
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [
+            {"ts": "2024-01-01T09:05:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T10:45:00Z", "user_id": 3, "event_type": "view", "value": 1.0},
+        ],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [{"ts": "2024-01-01T09:50:00Z", "user_id": 5, "event_type": "view", "value": 9.0}],
+    )
+    out = run_to_memory(
+        tumbling_counts(_events_stream(spark, tmp_path), "1 hour", delay="10 minutes"),
+        "t_complete_all",
+        "complete",
+    )
+    rows = {r.win_start: r.n_events for r in out.collect()}
+    # NOTE: state for a window already past the watermark is evicted, so the
+    # late 09:50 row opens a FRESH (09:00,10:00] entry — counted, but not
+    # merged with the evicted one. Document-by-test.
+    assert rows["2024-01-01 10:00:00"] == 1
+    assert "2024-01-01 09:00:00" in rows
+
+
+def test_daily_mart_stream_matches_batch(spark, tmp_path):
+    runs = [
+        [_txn("r1", f"t-{i}", f"2024-01-0{1 + i % 2}T10:00:00Z", qty=i + 1) for i in range(4)],
+        [_txn("r2", f"u-{i}", "2024-01-02T12:00:00Z", qty=2, store="s-2") for i in range(3)],
+    ]
+    _write_ndjson(str(tmp_path / "a.ndjson"), runs[0], mtime_offset_s=-60)
+    _write_ndjson(str(tmp_path / "b.ndjson"), runs[1])
+    stream = stream_ndjson_txns(spark, str(tmp_path), max_files_per_trigger=1)
+    out = run_to_memory(daily_mart_stream(stream, "event_time"), "t_mart", "complete")
+    batch = (
+        spark.read.schema(stream.schema).json(str(tmp_path))
+        .groupBy(F.to_date(F.date_trunc("day", "event_time")).cast("string").alias("day"), "store_id")
+        .agg(
+            F.count(F.lit(1)).alias("txns"),
+            F.sum("quantity").cast("long").alias("units"),
+            F.sum(F.col("quantity").cast("long") * F.col("unit_price_cents")).alias(
+                "gross_amount_cents"
+            ),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [
+            {"ts": "2024-01-01T09:00:00Z", "user_id": 1, "event_type": "view", "value": 2.5},
+            {"ts": "2024-01-01T09:01:00Z", "user_id": 1, "event_type": "view", "value": 1.5},
+            {"ts": "2024-01-01T09:02:00Z", "user_id": 2, "event_type": "view", "value": 1.0},
+        ],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [{"ts": "2024-01-01T09:10:00Z", "user_id": 1, "event_type": "view", "value": 6.0}],
+    )
+    ev = _events_stream(spark, tmp_path).select("user_id", "value")
+    res = run_to_memory(stateful_user_totals(ev), "t_stateful", "update")
+    # update mode emitted user 1 twice (n=2 then n=3); the running total is
+    # the max-n emission per user
+    emissions = [tuple(r) for r in res.filter("user_id = 1").collect()]
+    assert (1, 2, 4.0) in emissions and (1, 3, 10.0) in emissions
+    final = {
+        (r.user_id): (r.n_events, r.total_value)
+        for r in res.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    }
+    assert final == {1: (3, 10.0), 2: (1, 1.0)}
