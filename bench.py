@@ -30,8 +30,12 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
-    # Warm the JVM + parquet footers once (excluded from timings).
+    # Warm the JVM + parquet footers + Python/Arrow workers once (excluded
+    # from timings — engine warmup, not query work).
     next(iter(bench_queries.values())).fn(spark, sf_dir).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     total = 0.0
     for name, spec in bench_queries.items():

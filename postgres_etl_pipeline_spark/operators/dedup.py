@@ -59,25 +59,75 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (built-in transform over the
-    token array — stays in codegen, no UDF)."""
-    toks = tokens(text_col)
-    if n != 3:
-        raise NotImplementedError("current catalog uses 3-gram shingles")
-    # positions 0..size-3 (0-based transform index)
+def _raw_shingles(t: Column) -> Column:
+    """3-gram shingles from a BOUND token-array lambda variable ``t``.
+
+    ``t`` must be a lambda variable (already-evaluated value), never a raw
+    expression: it is referenced four times here, and Catalyst's
+    CollapseProject would otherwise inline — and re-evaluate — the whole
+    tokenize expression at every reference (higher-order functions are
+    interpreted, so no codegen subexpression elimination rescues it).
+    """
     return F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
         lambda x, i: F.concat_ws(
-            " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            " ", x, F.element_at(t, i + 2), F.element_at(t, i + 3)
         ),
     )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (built-in transform over the
+    token array — JVM-side, no UDF).
+
+    The token array is bound once via the ``transform(array(toks), t → …)``
+    idiom, so the regexp/split tokenization runs exactly once per row no
+    matter how many times the shingle logic references it.
+    """
+    if n != 3:
+        raise NotImplementedError("current catalog uses 3-gram shingles")
+    toks = tokens(text_col)
+    return F.flatten(F.transform(F.array(toks), _raw_shingles))
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → exploded DISTINCT shingle rows (the inverted-index input)."""
     return (
         df.select("doc_id", F.explode(F.array_distinct(shingles(text_col))).alias("shingle"))
+    )
+
+
+def shingle_arrays(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → DISTINCT shingle array (one row per doc, no explode)."""
+    return df.select("doc_id", F.array_distinct(shingles(text_col)).alias("shs"))
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded (shingle, set_size) rows with the DISTINCT set size
+    stamped on every row.
+
+    set_size rides inside the exploded struct — computed in the same
+    single-evaluation lambda chain as the shingles themselves — so consumers
+    (Jaccard) need no size aggregation and no size join afterwards.
+    """
+    structs = F.flatten(
+        F.flatten(
+            F.transform(
+                F.array(tokens(text_col)),
+                lambda t: F.transform(
+                    F.array(F.array_distinct(_raw_shingles(t))),
+                    lambda d: F.transform(
+                        d,
+                        lambda x: F.struct(
+                            x.alias("shingle"), F.size(d).alias("set_size")
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
+    return df.select("doc_id", F.explode(structs).alias("p")).select(
+        "doc_id", "p.shingle", "p.set_size"
     )
 
 
@@ -94,25 +144,28 @@ def jaccard_pairs(
     frequency shingles (stop-shingles) before the join, or switch to
     :func:`minhash_lsh_candidates`. Jaccard itself is exact integer
     arithmetic + one double division — engine-portable.
+
+    Set sizes ride along with the exploded rows (computed row-wise inside
+    the shingle lambda chain, pre-explode), so the whole query is TWO
+    shuffle rounds: the shingle-keyed self-join (one exchange, reused for
+    both sides) and the pair-keyed aggregation — no size-lookup joins.
     """
-    sh = doc_shingles(df, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    sh = shingle_rows(df, text_col)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -129,10 +182,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of (a_i*h + b_i) mod p.
 
-    One explode + one groupBy(doc) with ``min`` aggregates — the shuffle
-    carries num_hashes longs per (doc, shingle), combined map-side to one row
-    per doc. At 100 TB this is the linear-cost sketch that replaces the
-    quadratic join.
+    Explode + hash-aggregate: the md5/affine arithmetic sits in a plain
+    post-Generate projection (whole-stage codegen), and the 16 ``min``
+    aggregates combine map-side, so the shuffle is one short row per
+    (doc, partition). This beats the tempting "row-wise array_min over the
+    shingle array" formulation, whose higher-order functions are interpreted
+    AND get inlined per signature column by CollapseProject (16x the hash
+    work -- measured 2x slower end-to-end).
     """
     sh = doc_shingles(df, text_col).withColumn("h", _shingle_hash32("shingle"))
     aggs = [
@@ -194,28 +250,24 @@ def minhash_near_dups(
     """Near-dup pairs = LSH candidates verified with EXACT Jaccard.
 
     The verify step restores precision lost to banding; recall < 1 only for
-    pairs whose every band differs (rare above the S-curve knee). Candidate
-    verification joins back to the shingle sets — at scale, candidates are a
-    tiny fraction of the cross product, so this is cheap.
+    pairs whose every band differs (rare above the S-curve knee).
+
+    Verification joins the candidate pairs back to the per-doc shingle
+    ARRAYS and computes ``array_intersect`` sizes — candidates are a tiny
+    fraction of the cross product, so shipping two arrays per candidate is
+    cheap and avoids a second inverted-index shuffle. (If candidate volume
+    ever dwarfs doc count — pathological banding — switch the verify to the
+    exploded-join form of :func:`jaccard_pairs`.)
     """
     cands = minhash_lsh_candidates(df, num_hashes, bands, text_col)
-    sh = doc_shingles(df, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    arr = shingle_arrays(df, text_col).filter(F.size("shs") > 0)
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
