@@ -171,3 +171,105 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: dict[str, str],
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``on`` keys (LEFT semantics:
+    unmatched left rows keep NULLs).
+
+    Spark has no native as-of join; the scalable formulation is union +
+    ordered window, NOT a range join: tag right rows 0 / left rows 1, union,
+    then ``last(value, ignoreNulls)`` over (keys ORDER BY ts, tag ROWS
+    UNBOUNDED PRECEDING). One shuffle keyed by ``on`` — never the quadratic
+    per-key cross product an inequality join would plan, and no per-key
+    state blowup (the window is running-last, O(1) per row).
+
+    ``right_vals`` maps right column → output alias. Ties on ``right_ts``
+    resolve to the same carried value only if the value is functionally
+    determined by the ts (sort is not total otherwise) — pass the ts itself
+    or dedupe the right side first for strict determinism.
+    """
+    tag = F.lit(0)
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        tag.alias("__tag"),
+        *[F.col(src).alias(dst) for src, dst in right_vals.items()],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+    )
+    for dst in right_vals.values():
+        l = l.withColumn(dst, F.lit(None).cast(dict(r.dtypes)[dst]))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(dst, ignorenulls=True).over(w).alias(f"__f_{dst}")
+            for dst in right_vals.values()
+        ],
+    )
+    out = filled.filter(F.col("__tag") == 1)
+    for dst in right_vals.values():
+        out = out.drop(dst).withColumnRenamed(f"__f_{dst}", dst)
+    return out.drop("__ts", "__tag")
+
+
+def range_self_join_pairs(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window_s: int,
+    id_col: str,
+) -> DataFrame:
+    """Pairs of rows with the same ``key`` whose timestamps lie within
+    ``window_s`` seconds (id_a < id_b, each pair exactly once).
+
+    Scale: a naive ``|a.ts - b.ts| <= w`` condition gives Spark no equi-key
+    → nested-loop per key. This bucketizes time into ``window_s``-wide
+    epochs and equi-joins on (key, bucket) with the LEFT side exploded to
+    the three adjacent buckets; the band filter then trims. Shuffle stays
+    linear in rows × 3; each qualifying pair is found exactly once (the
+    right row's bucket is fixed, and it appears once in the left's exploded
+    neighborhood).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    win_us = int(window_s) * 1_000_000
+    bucket = F.floor(us / F.lit(win_us)).cast("long")
+    a = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_a"),
+        us.alias("us_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    b = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_b"),
+        us.alias("us_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        a.join(b, ["k", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= F.lit(win_us))
+        )
+        .select(F.col("k").alias(key), "id_a", "id_b", "us_a", "us_b")
+    )

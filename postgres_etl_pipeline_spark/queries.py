@@ -769,6 +769,7 @@ def sessionize_users(spark, sf_dir):
 def _load_extensions() -> None:
     """Extension catalogs register themselves into REGISTRY on import (kept
     in separate modules; imported lazily here to avoid circular imports)."""
+    from . import queries_adv  # noqa: F401
     from . import queries_ext  # noqa: F401
     from . import queries_stream  # noqa: F401
 

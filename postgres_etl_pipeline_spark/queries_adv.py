@@ -1,0 +1,275 @@
+"""Advanced relational catalog: operators beyond the reference's surface
+that a complete engine must offer (SURVEY §2.4/§2.5 notes on what the
+reference lacks — "we still get them free from Spark" — made concrete and
+oracle-checked): as-of join, banded range join, cube/grouping sets, pivot,
+scalar subquery, interpolated percentiles, lag/lead gaps, ntile.
+
+Oracle conventions follow queries.py: alias every computed column
+identically on both sides, decimal-cast double sums, never emit raw
+timestamps (strftime both sides), keep window orderings total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators.relational import asof_join, dsum, range_self_join_pairs
+from .queries import read_events, register, t
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "asof_click_attribution",
+    f"""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '{_FMT}') AS click_ts,
+           strftime(v.ts, '{_FMT}') AS view_ts
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    survey="§2.4 gap: as-of join (click→latest prior view attribution);"
+    " union+ordered-window formulation, one shuffle",
+    tags=("adv", "join"),
+)
+def asof_click_attribution(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts")
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals={"ts": "view_ts_raw"},
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("view_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+@register(
+    "range_pairs_5min",
+    """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    GROUP BY 1
+    """,
+    survey="§2.4 gap: range join (events within 5 min, same user) via"
+    " time-bucket equi-join — linear shuffle, no per-key nested loop",
+    tags=("adv", "join"),
+)
+def range_pairs_5min(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    pairs = range_self_join_pairs(
+        ev, key="user_id", ts_col="ts", window_s=300, id_col="event_id"
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "cube_returnflag_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey="§2.5 gap: grouping sets / cube (partial-agg reuse across sets)",
+    tags=("adv", "agg"),
+)
+def cube_returnflag_status(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "pivot_priority_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+             AS not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY 1
+    """,
+    survey="§2.5 gap: pivot (explicit value list — single-pass, no second"
+    " distinct-scan job)",
+    tags=("adv", "agg"),
+)
+def pivot_priority_by_year(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = piv
+    for src, dst in zip(_PRIORITIES, _PIV_ALIASES):
+        renamed = renamed.withColumnRenamed(src, dst)
+    # pivot leaves combinations with no rows as NULL; FILTER counts give 0
+    return renamed.select(
+        "yr", *[F.coalesce(F.col(d), F.lit(0)).alias(d) for d in _PIV_ALIASES]
+    )
+
+
+@register(
+    "orders_above_global_avg",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY 1
+    """,
+    survey="§2.5 gap: scalar subquery (global avg broadcast back into the"
+    " filter — two passes, no driver round-trip)",
+    tags=("adv", "agg"),
+)
+def orders_above_global_avg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "price_percentiles_by_brand",
+    """
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.5), 4) AS p50,
+           round(quantile_cont(p_retailprice, 0.9), 4) AS p90
+    FROM part
+    GROUP BY 1
+    """,
+    survey="§2.5 gap: exact interpolated percentiles (sort-based; at scale"
+    " prefer approx_percentile sketches — rows-only twin below)",
+    tags=("adv", "agg"),
+)
+def price_percentiles_by_brand(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("p_retailprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "approx_percentiles_by_brand",
+    None,  # sketch-based: engine-specific numerics, rows-only check
+    survey="§2.5: approx_percentile — the 100 TB percentile path (KLL-style"
+    " sketch, one pass, mergeable partials; no global sort)",
+    tags=("adv", "agg"),
+)
+def approx_percentiles_by_brand(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.approx_percentile("p_retailprice", F.lit(0.5)).alias("p50_approx"),
+        F.approx_count_distinct("p_partkey").alias("nparts_approx"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(count(prev) AS BIGINT) AS n_gaps,
+           CAST(SUM(CAST((epoch_us(o_orderdate) - epoch_us(prev)) / 1000000
+                         AS BIGINT)) AS BIGINT) AS total_gap_s
+    FROM g
+    GROUP BY 1
+    """,
+    survey="§2.5 gap: lag/lead over a total per-key ordering (order"
+    " inter-arrival gaps)",
+    tags=("adv", "window"),
+)
+def customer_order_gaps(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev"),
+    )
+    # parquet dates are TIMESTAMP_NTZ; cast → TIMESTAMP is identity under
+    # the UTC session zone and is what unix_micros requires
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_s = ((us("o_orderdate") - us("prev")) / F.lit(1_000_000)).cast("long")
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("prev").alias("n_gaps"),
+        F.sum(gap_s).cast("long").alias("total_gap_s"),
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    """
+    WITH q AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT quartile,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM q
+    GROUP BY 1
+    """,
+    survey="§2.5 gap: ntile ranking (total ordering incl. key tie-break;"
+    " single-partition window — at scale use approx quantile cutpoints"
+    " + a join instead)",
+    tags=("adv", "window"),
+)
+def customer_balance_quartiles(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    q = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
