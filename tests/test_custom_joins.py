@@ -1,0 +1,144 @@
+"""Custom join operators (asof_join, range_self_join_pairs) vs naive
+reference implementations on seeded random data, plus boundary semantics
+the DuckDB-oracle queries can't isolate (exact-tie timestamps, exact
+window-boundary gaps, empty sides)."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_etl_pipeline_spark.operators.relational import (
+    asof_join,
+    range_self_join_pairs,
+)
+
+T0 = datetime(2024, 1, 1)
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+
+def _random_events(seed: int, n: int = 200, users: int = 8):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                rng.randrange(users),
+                T0 + timedelta(seconds=rng.randrange(0, 36000)),
+                rng.choice(["click", "view"]),
+            )
+        )
+    return rows
+
+
+def _naive_asof(rows):
+    """For each click: max view ts <= click ts for the same user."""
+    out = {}
+    for cid, cu, cts, ck in rows:
+        if ck != "click":
+            continue
+        best = None
+        for _, vu, vts, vk in rows:
+            if vk == "view" and vu == cu and vts <= cts:
+                if best is None or vts > best:
+                    best = vts
+        out[cid] = best
+    return out
+
+
+def _naive_range_pairs(rows, window_s):
+    pairs = set()
+    for a in rows:
+        for b in rows:
+            if (
+                a[1] == b[1]
+                and a[0] < b[0]
+                and abs((a[2] - b[2]).total_seconds()) <= window_s
+            ):
+                pairs.add((a[0], b[0]))
+    return pairs
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    for seed in (7, 42, 1234):
+        rows = _random_events(seed)
+        df = spark.createDataFrame(rows, EV_SCHEMA)
+        clicks = df.filter(F.col("kind") == "click").drop("kind")
+        views = df.filter(F.col("kind") == "view").drop("kind")
+        got = {
+            r.event_id: r.view_ts
+            for r in asof_join(
+                clicks,
+                views,
+                on=["user_id"],
+                left_ts="ts",
+                right_ts="ts",
+                right_vals={"ts": "view_ts"},
+            ).collect()
+        }
+        want = _naive_asof(rows)
+        assert got == want, f"seed={seed}"
+
+
+def test_asof_join_tie_and_no_match(spark):
+    rows = [
+        (1, 1, T0, "view"),
+        (2, 1, T0, "click"),                       # tie: view at SAME ts matches
+        (3, 2, T0, "click"),                       # user 2 has no views → NULL
+        (4, 1, T0 + timedelta(seconds=5), "click"),  # later click reuses view
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r.event_id: r.view_ts
+        for r in asof_join(
+            df.filter(F.col("kind") == "click").drop("kind"),
+            df.filter(F.col("kind") == "view").drop("kind"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_vals={"ts": "view_ts"},
+        ).collect()
+    }
+    assert got == {2: T0, 3: None, 4: T0}
+
+
+def test_range_pairs_match_naive_on_random_data(spark):
+    for seed in (7, 99):
+        rows = _random_events(seed, n=120, users=5)
+        df = spark.createDataFrame(rows, EV_SCHEMA)
+        got = {
+            (r.id_a, r.id_b)
+            for r in range_self_join_pairs(
+                df, key="user_id", ts_col="ts", window_s=600, id_col="event_id"
+            ).collect()
+        }
+        assert got == _naive_range_pairs(rows, 600), f"seed={seed}"
+
+
+def test_range_pairs_exact_boundary_included_and_excluded(spark):
+    rows = [
+        (1, 1, T0, "e"),
+        (2, 1, T0 + timedelta(seconds=300), "e"),          # exactly 300s → in
+        (3, 1, T0 + timedelta(seconds=300, microseconds=1), "e"),  # 300.000001 vs id1 → out
+        (4, 2, T0 + timedelta(seconds=100), "e"),          # other user → out
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        (r.id_a, r.id_b)
+        for r in range_self_join_pairs(
+            df, key="user_id", ts_col="ts", window_s=300, id_col="event_id"
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 3)}
