@@ -34,7 +34,7 @@ _FMT = "%Y-%m-%d %H:%M:%S"
     """,
     survey="§2.4 gap: as-of join (click→latest prior view attribution);"
     " union+ordered-window formulation, one shuffle",
-    tags=("adv", "join"),
+    tags=("adv", "join", "bench"),
 )
 def asof_click_attribution(spark, sf_dir):
     ev = read_events(spark, sf_dir)
@@ -90,7 +90,7 @@ def range_pairs_5min(spark, sf_dir):
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     survey="§2.5 gap: grouping sets / cube (partial-agg reuse across sets)",
-    tags=("adv", "agg"),
+    tags=("adv", "agg", "bench"),
 )
 def cube_returnflag_status(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -273,3 +273,60 @@ def customer_balance_quartiles(spark, sf_dir):
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_qty,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    survey="§2.5: TPC-H Q1-shaped pricing summary (multi-measure hash-agg;"
+    " avg derived from exact decimal sums so it is partition-invariant)",
+    tags=("adv", "agg", "bench"),
+)
+def pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sq = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    sp = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    sd = F.sum(F.col("l_discount").cast("decimal(18,4)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        n.alias("n"),
+        sq.cast("double").alias("sum_qty"),
+        sp.cast("double").alias("sum_price"),
+        F.round(sq.cast("double") / n, 4).alias("avg_qty"),
+        F.round(sd.cast("double") / n, 4).alias("avg_disc"),
+    )
+
+
+@register(
+    "union_active_parties",
+    """
+    SELECT party, count(*) AS n FROM (
+      SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS party FROM orders
+      UNION ALL
+      SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS party FROM lineitem
+    ) GROUP BY 1
+    """,
+    survey="§2.5 gap: set operation — UNION ALL of two differently-shaped"
+    " relations normalized to one schema (unionByName)",
+    tags=("adv", "setop"),
+)
+def union_active_parties(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("party")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias("party")
+    )
+    return o.unionByName(li).groupBy("party").agg(F.count(F.lit(1)).alias("n"))
