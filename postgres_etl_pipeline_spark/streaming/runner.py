@@ -51,3 +51,50 @@ def run_to_memory(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(qname)
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a bounded stream into a keyed-upsert parquet target via
+    ``foreachBatch`` — the production shape of the reference's load stage
+    (K5): at-least-once delivery upstream + an idempotent keyed merge per
+    micro-batch = effectively-once rows (SURVEY §2.8).
+
+    Retried or re-delivered batches re-apply as no-op updates (the merge is
+    keyed), which is exactly why the sink tolerates `availableNow` restarts
+    from an older checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    from ..connectors.sinks import upsert_parquet
+
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_upsert_")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # last-write-wins: order_by columns rank DESCENDING (newest first;
+        # upsert_parquet keeps rank 1, incoming beating existing on ties)
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys,
+            [F.col(c).desc() for c in order_by],
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()

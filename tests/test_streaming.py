@@ -198,3 +198,41 @@ def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == {1: (3, 10.0), 2: (1, 1.0)}
+
+
+def test_foreach_batch_upsert_effectively_once(spark, tmp_path):
+    # K5 production shape: file-source stream → foreachBatch keyed upsert.
+    # Batch 2 redelivers t-2 with a LATER inserted_at and a different qty —
+    # last-write-wins must keep the redelivered version, once.
+    from postgres_etl_pipeline_spark.streaming.runner import run_upsert_sink
+
+    a = [_txn("r1", "t-1", "2024-01-01T10:00:00Z", qty=1),
+         _txn("r1", "t-2", "2024-01-01T10:05:00Z", qty=2)]
+    b = [dict(_txn("r1", "t-2", "2024-01-01T10:05:00Z", qty=9)),
+         _txn("r1", "t-3", "2024-01-01T10:10:00Z", qty=3)]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ndjson(str(src / "a.ndjson"), a, mtime_offset_s=-60)
+    _write_ndjson(str(src / "b.ndjson"), b)
+    target = str(tmp_path / "stg_table")
+
+    stream = stream_ndjson_txns(spark, str(src), max_files_per_trigger=1)
+    stream = stream.withColumn("inserted_at", F.current_timestamp())
+    run_upsert_sink(
+        stream, target, keys=["run_id", "txn_id"], order_by=["inserted_at"],
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    got = {r.txn_id: r.quantity for r in spark.read.parquet(target).collect()}
+    assert got == {"t-1": 1, "t-2": 9, "t-3": 3}
+
+    # replay the whole stream from a FRESH checkpoint (simulates a restart
+    # that lost its progress): keyed merge makes it a no-op, not duplicates
+    stream2 = stream_ndjson_txns(spark, str(src), max_files_per_trigger=1)
+    stream2 = stream2.withColumn("inserted_at", F.current_timestamp())
+    run_upsert_sink(
+        stream2, target, keys=["run_id", "txn_id"], order_by=["inserted_at"],
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    again = spark.read.parquet(target)
+    assert again.count() == 3
+    assert {r.txn_id: r.quantity for r in again.collect()} == {"t-1": 1, "t-2": 9, "t-3": 3}
