@@ -312,3 +312,63 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup tier 4 complete: SimHash near-dup pairs within a hamming
+    radius, via band-bucketed candidates + exact bit_count verify.
+
+    The fingerprint is split into ``bands`` contiguous bit-bands; candidates
+    share at least one exact band. By pigeonhole, any pair with hamming
+    distance ≤ bands-1 (here ≤ 3) MUST agree on some band — recall is 1.0
+    by construction, not empirically. Verification is exact
+    ``bit_count(xor)``.
+
+    Scale: same shape as MinHash-LSH — band-keyed self-join, linear shuffle;
+    the verify compares two longs per candidate (cheapest of all tiers).
+    """
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    width = bits // bands
+    sig = simhash(df, text_col, bits)
+    stacked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hd = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.select(
+        "doc_a", "doc_b", hd.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

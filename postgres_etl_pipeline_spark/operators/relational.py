@@ -273,3 +273,40 @@ def range_self_join_pairs(
         )
         .select(F.col("k").alias(key), "id_a", "id_b", "us_a", "us_b")
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys.
+
+    A hot key concentrates its rows in one reducer; salting splits each key
+    into ``salt_buckets`` sub-groups (phase 1, shuffle keyed by
+    (key, salt)), then merges the partials (phase 2 — at most
+    ``salt_buckets`` rows per key, trivially balanced).
+
+    ``aggs`` maps output column → (function, input column) for the
+    decomposable aggregates this supports: sum / count / min / max.
+    (avg must be derived as sum/count by the caller; non-decomposable
+    aggregates can't be salted.) Spark's AQE skew handling covers JOINS,
+    not aggregations — partial aggregation usually absorbs agg skew, but
+    when a high-cardinality accumulator (e.g. collect-like or distinct
+    pre-agg) defeats map-side combine, this is the explicit fix.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for out, (fn, _col) in aggs.items():
+        if fn not in first_fn:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[first_fn[fn](c).alias(out) for out, (fn, c) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge_fn[fn](out).alias(out) for out, (fn, _c) in aggs.items()]
+    )

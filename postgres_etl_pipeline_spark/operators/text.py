@@ -107,3 +107,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(digit_ratio, 4).alias("digit_ratio"),
         F.round(score, 4).alias("quality"),
     )
+
+
+def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-doc term count; idf = ln(N / df) with df = docs containing the
+    term; ties broken by token so the ordering is total. Three shuffles:
+    (doc, token) counts, token document-frequency, and the per-doc top-k
+    window — all keyed well at scale (token df join is a broadcast when the
+    vocabulary fits, which a deduped corpus vocabulary usually does).
+    """
+    tok = df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )

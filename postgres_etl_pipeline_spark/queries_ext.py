@@ -375,3 +375,88 @@ def multimodal_feature_extract(spark, sf_dir):
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 2), 6).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 4 complete: SimHash hamming near-dups (guaranteed-recall bands)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, 60)) AS j)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits
+      GROUP BY 1
+    )
+"""
+
+
+@register(
+    "simhash_near_dups",
+    _SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    survey="§7 Phase 5: SimHash hamming≤3 near-dups — 4-band bucketing has"
+    " recall 1.0 by pigeonhole (oracle = exhaustive pair scan)",
+    tags=("ext", "dedup"),
+)
+def simhash_near_dups(spark, sf_dir):
+    return D.simhash_near_dups(spread(t(spark, sf_dir, "documents")), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    docfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * ln(CAST((SELECT count(DISTINCT doc_id)
+                                    FROM documents) AS DOUBLE) / docfreq.df),
+                   4) AS tfidf
+      FROM tf JOIN docfreq USING (token)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    survey="§7 Phase 5: TF-IDF top-3 terms per doc (tf × ln(N/df), total"
+    " ordering via token tie-break)",
+    tags=("ext", "text"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    return X.tf_idf_top_terms(spread(t(spark, sf_dir, "documents")), k=3)

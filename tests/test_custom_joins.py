@@ -142,3 +142,26 @@ def test_range_pairs_exact_boundary_included_and_excluded(spark):
         ).collect()
     }
     assert got == {(1, 2), (2, 3)}
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    # heavy skew: 90% of rows share one key
+    rng = random.Random(5)
+    rows = [(("hot" if rng.random() < 0.9 else f"k{rng.randrange(20)}"), rng.randrange(1000))
+            for _ in range(5000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    from postgres_etl_pipeline_spark.operators.relational import salted_agg
+
+    got = {
+        r.k: (r.n, r.total, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "v"), "total": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.total, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
