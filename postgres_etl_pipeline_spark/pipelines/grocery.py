@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,10 +78,35 @@ class RunResult:
     checks: list[C.CheckResult] = field(default_factory=list)
 
 
-def ingest(paths: RunPaths, scenario: str, n: int = 40) -> None:
-    """Stage 1 (``grocery_ingest_dag.py:36-67``): fetch payload, write the
-    raw artifact — atomically, or deliberately torn under partial_write."""
-    raw = G.transactions_raw_text(paths.run_id, scenario, n)
+def with_retries(fn, retries: int = 2, delay_s: float = 0.0):
+    """O4 — fixed-backoff retry around a source fetch (reference default:
+    2 retries × 10 s on ingest, ``grocery_ingest_dag.py:70-75``; delay is
+    parameterized so tests run at 0).
+
+    Note the reference's flaky source is seeded per (run_id, scenario)
+    (``mock_pos_api/app.py:15-17``), so a deterministic failure reproduces
+    identically on every attempt — retries guard real transient faults, not
+    the injected ones. Same semantics here.
+    """
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            return fn()
+        except G.TemporalError as e:  # retryable class only
+            last = e
+            if delay_s:
+                time.sleep(delay_s)
+    raise last
+
+
+def ingest(paths: RunPaths, scenario: str, n: int = 40, retries: int = 2) -> None:
+    """Stage 1 (``grocery_ingest_dag.py:36-67``): fetch payload (with O4
+    retries), write the raw artifact — atomically, or deliberately torn
+    under partial_write."""
+    raw = with_retries(
+        lambda: G.transactions_raw_text(paths.run_id, scenario, n),
+        retries=retries,
+    )
     if scenario == "partial_write":
         # the generator already truncated the text; the torn write models
         # the *file-level* race (io_utils.py:76-89) — same observable shape
