@@ -157,8 +157,14 @@ def jaccard_pairs(
     b = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
     )
+    # SHUFFLE_HASH: the exploded index is big on BOTH sides — Catalyst's
+    # size estimate under-counts post-Generate rows and would broadcast one
+    # side (OOM at scale, and double-computes the explode; the shuffle join
+    # hash-partitions both sides identically so the exchange is computed
+    # once and reused)
     pairs = (
-        a.join(b, "shingle")
+        a.hint("SHUFFLE_HASH")
+        .join(b.hint("SHUFFLE_HASH"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -233,8 +239,15 @@ def minhash_lsh_candidates(
         ),
     )
     a, b = stacked.alias("a"), stacked.alias("b")
+    # SHUFFLE_HASH for the same reason as jaccard_pairs: both sides are the
+    # full banded relation — shuffle once, reuse the exchange
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("SHUFFLE_HASH")
+        .join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -355,8 +368,9 @@ def simhash_near_dups(
     )
     a, b = stacked.alias("a"), stacked.alias("b")
     cands = (
-        a.join(
-            b,
+        a.hint("SHUFFLE_HASH")
+        .join(
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
