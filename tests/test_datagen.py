@@ -86,3 +86,61 @@ def test_distributed_generator_domains(spark):
     # reproducible
     again = G.transactions_df_distributed(spark, "run-9", 1000).collect()
     assert sorted(rows) == sorted(again)
+
+
+# --- custom PySpark DataSource (S1 scale path) ------------------------------
+
+
+def _registered(spark):
+    from postgres_etl_pipeline_spark.connectors.grocery_source import (
+        GroceryTxnDataSource,
+    )
+
+    spark.dataSource.register(GroceryTxnDataSource)
+    return spark
+
+
+def test_datasource_partition_invariant_and_deterministic(spark):
+    _registered(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("grocery_txns")
+            .option("run_id", "r-ds")
+            .option("n", "500")
+            .option("partitions", str(parts))
+            .load()
+        )
+
+    one = sorted(map(tuple, load(1).collect()))
+    four = sorted(map(tuple, load(4).collect()))
+    again = sorted(map(tuple, load(4).collect()))
+    assert one == four == again
+    assert len(one) == 500
+
+
+def test_datasource_schema_and_distributions(spark):
+    from postgres_etl_pipeline_spark.datagen import PRICES_CENTS, SKUS, TENDERS
+
+    _registered(spark)
+    df = (
+        spark.read.format("grocery_txns")
+        .option("run_id", "r-dist")
+        .option("n", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    rows = df.collect()
+    assert df.columns == [
+        "run_id", "event_time", "txn_id", "store_id", "sku",
+        "quantity", "unit_price_cents", "tender_type", "customer_id",
+    ]
+    assert {r.sku for r in rows} <= set(SKUS)
+    assert {r.unit_price_cents for r in rows} <= set(PRICES_CENTS)
+    assert {r.tender_type for r in rows} <= set(TENDERS)
+    assert all(1 <= r.quantity <= 5 for r in rows)
+    # ~60% customer_id presence (app.py:35)
+    frac = sum(r.customer_id is not None for r in rows) / len(rows)
+    assert 0.5 < frac < 0.7
+    # txn_ids unique across the run
+    assert len({r.txn_id for r in rows}) == len(rows)
