@@ -39,11 +39,15 @@ def main() -> None:
 
     total = 0.0
     for name, spec in bench_queries.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        # best-of-2: min over repetitions estimates steady-state cost,
+        # insulating the metric from co-tenant machine-load spikes
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -330,3 +330,66 @@ def union_active_parties(spark, sf_dir):
         F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias("party")
     )
     return o.unionByName(li).groupBy("party").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "moving_avg_monthly_revenue",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT mon, rev,
+           round(avg(rev) OVER (ORDER BY mon
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS rev_ma3
+    FROM m
+    """,
+    survey="§2.5 gap: window frame clause (3-month trailing average over a"
+    " pre-aggregated series — frame runs over months, not raw rows)",
+    tags=("adv", "window"),
+)
+def moving_avg_monthly_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon")
+    ).agg(dsum("o_totalprice", "rev"))
+    w = Window.orderBy("mon").rowsBetween(-2, Window.currentRow)
+    return m.select("mon", "rev", F.round(F.avg("rev").over(w), 4).alias("rev_ma3"))
+
+
+# --- full-pipeline entries (rows-only: inputs come from the seeded datagen,
+# not the sf_dir tables, so no DuckDB oracle is expressible) -----------------
+
+
+@register(
+    "grocery_pipeline_mart",
+    None,
+    survey="§3.1 end-to-end: generate → validate → stage → star join → mart"
+    " (driver-visible smoke of the whole grocery chain)",
+    tags=("pipeline",),
+)
+def grocery_pipeline_mart(spark, sf_dir):
+    import tempfile
+
+    from .pipelines import grocery
+
+    base = tempfile.mkdtemp(prefix="grocery_q_")
+    res = grocery.run(spark, base, "run-catalog", "ok")
+    return res.mart
+
+
+@register(
+    "retail_pipeline_mart",
+    None,
+    survey="§3.2 end-to-end: seed → typed staging → daily mart → quality"
+    " gates (dbt-chain twin)",
+    tags=("pipeline",),
+)
+def retail_pipeline_mart(spark, sf_dir):
+    from .pipelines import retail
+
+    res = retail.run(spark, "ok")
+    return res.mart.withColumn("day", F.col("day").cast("string"))
