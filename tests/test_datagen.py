@@ -144,3 +144,45 @@ def test_datasource_schema_and_distributions(spark):
     assert 0.5 < frac < 0.7
     # txn_ids unique across the run
     assert len({r.txn_id for r in rows}) == len(rows)
+
+
+def test_datasource_stream_runs_deterministic(spark, tmp_path):
+    import time as _time
+
+    _registered(spark)
+    q = (
+        spark.readStream.format("grocery_txns")
+        .option("run_prefix", "sr")
+        .option("n", "25")
+        .option("max_runs", "3")
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_ds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("t_ds_stream").count() >= 75:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("t_ds_stream").collect()
+    by_run = {}
+    for r in rows:
+        by_run.setdefault(r.run_id, set()).add(tuple(r))
+    assert set(by_run) == {"sr-0", "sr-1", "sr-2"}
+    assert all(len(v) == 25 for v in by_run.values())
+    # stream batch content == batch-source content for the same run_id
+    batch = (
+        spark.read.format("grocery_txns")
+        .option("run_id", "sr-1")
+        .option("n", "25")
+        .option("partitions", "3")
+        .load()
+    )
+    assert by_run["sr-1"] == {tuple(r) for r in batch.collect()}
