@@ -124,8 +124,13 @@ def schema_version_is(
 def not_null(df: DataFrame, cols: list[str], name: str = "not_null") -> CheckResult:
     """V4 — dbt ``not_null`` on every mart column (``schema.yml:4-21``).
     One aggregation for all columns (single pass, partial-agg combined)."""
+    # coalesce: SUM over an EMPTY relation is NULL, and zero rows means
+    # zero violations (dbt's not_null passes vacuously on empty models too)
     agg = df.select(
-        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+        *[
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
+            for c in cols
+        ]
     ).collect()[0]
     samples = [f"$.{c}: {agg[c]} null(s)" for c in sorted(cols) if agg[c]]
     total = sum(agg[c] for c in cols)
@@ -187,3 +192,20 @@ def payload_shape(
         )
     n = df.filter(F.col(list_col).isNull()).count()
     return CheckResult(name, n == 0, n, [f"$.{list_col}: null list"] if n else [])
+
+
+def quarantine_split(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """The quarantine workflow the reference's README promises but never
+    implements (SURVEY §0): split a PERMISSIVE read into (good, bad).
+
+    ``good`` drops the corrupt column and continues down the pipeline;
+    ``bad`` carries the original unparseable text for the quarantine sink.
+    Both sides are lazy filters over one scan — no extra pass.
+    """
+    if corrupt_col not in df.columns:
+        return df, df.limit(0)
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad

@@ -67,6 +67,10 @@ class RunPaths:
     def reconcile(self) -> str:
         return os.path.join(self.root, "out", "reconcile.json")
 
+    @property
+    def quarantine(self) -> str:
+        return os.path.join(self.root, "quarantine", "corrupt.ndjson")
+
 
 @dataclass
 class RunResult:
@@ -116,17 +120,30 @@ def ingest(paths: RunPaths, scenario: str, n: int = 40, retries: int = 2) -> Non
 
 
 def validate_and_stage(
-    spark: SparkSession, paths: RunPaths, scenario: str
+    spark: SparkSession, paths: RunPaths, scenario: str, quarantine: bool = False
 ) -> DataFrame:
     """Stage 2 (``grocery_validate_dag.py:44-79``): schema-on-read with
     corrupt quarantine (V2), contract checks (V1), explode to staged NDJSON
-    (K3/P5)."""
+    (K3/P5).
+
+    quarantine=False reproduces the reference (fail the run on corrupt
+    input); quarantine=True implements the workflow its README promised but
+    never built (SURVEY §0): corrupt records are preserved to
+    ``paths.quarantine`` and the run continues with the parseable rows —
+    downstream gates (canary V6) still decide pass/fail.
+    """
     C.enforce(C.artifacts_exist([paths.raw]))
     payload = sources.read_json_doc(spark, paths.raw, PAYLOAD_SCHEMA_PERMISSIVE)
-    C.enforce(
-        C.no_corrupt_records(payload),
-        C.payload_shape(payload, "transactions"),
-    )
+    if quarantine:
+        payload, bad = C.quarantine_split(payload)
+        # keep a data column in the projection: Spark rejects scans whose
+        # pruned schema is ONLY _corrupt_record (see checks.no_corrupt_records)
+        bad_rows = [r["_corrupt_record"] for r in bad.select("_corrupt_record", "ok").collect()]
+        if bad_rows:
+            sinks.atomic_write_text(paths.quarantine, "\n".join(bad_rows) + "\n")
+    else:
+        C.enforce(C.no_corrupt_records(payload))
+    C.enforce(C.payload_shape(payload, "transactions"))
     txns = payload.select(
         F.col("run_id"), F.explode("transactions").alias("t")
     ).select("run_id", "t.*")
@@ -209,13 +226,16 @@ def run(
     run_id: str,
     scenario: str = "ok",
     n: int = 40,
+    quarantine: bool = False,
 ) -> RunResult:
     """End-to-end run (§3.1). Raises typed errors under failure scenarios —
-    callers (and the scenario test matrix) assert on the error type."""
+    callers (and the scenario test matrix) assert on the error type.
+    ``quarantine=True`` routes corrupt input to the quarantine sink instead
+    of failing the validate stage (see validate_and_stage)."""
     paths = RunPaths(base_dir, run_id)
     result = RunResult(run_id=run_id, scenario=scenario)
     ingest(paths, scenario, n)
-    txns = validate_and_stage(spark, paths, scenario)
+    txns = validate_and_stage(spark, paths, scenario, quarantine=quarantine)
     result.staged_rows = txns.count()
     enriched = enrich(txns, scenario)
     loaded = load(spark, enriched, paths)

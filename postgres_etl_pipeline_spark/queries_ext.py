@@ -460,3 +460,17 @@ def simhash_near_dups(spark, sf_dir):
 )
 def tfidf_top_terms(spark, sf_dir):
     return X.tf_idf_top_terms(spread(t(spark, sf_dir, "documents")), k=3)
+
+
+@register(
+    "embedding_ivf_topk",
+    None,  # KMeans partition layout isn't SQL-expressible; rows-only check.
+    survey="§7 Phase 5: IVF ANN — KMeans centroids + n_probe nearest"
+    " buckets + exact rerank (data-adaptive twin of the sign-LSH path)",
+    tags=("ext", "similarity"),
+)
+def embedding_ivf_topk(spark, sf_dir):
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return S.ivf_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 20), k=5
+    )

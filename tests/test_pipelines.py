@@ -141,3 +141,46 @@ def test_retail_race_partial_late_rows_arrive(spark):
     # seeds give (01-01,s1) + (01-02,s2); late rows add (01-03,s2) + (01-03,s3)
     assert len(mart) == 4
     assert {r.day.isoformat() for r in mart} == {"2024-01-01", "2024-01-02", "2024-01-03"}
+
+
+def test_grocery_quarantine_mode_preserves_corrupt_payload(spark, tmp_path):
+    # malformed_json truncates the whole payload doc: quarantine mode must
+    # preserve it and keep going; the canary then fails the run with a
+    # TYPED error — quarantine is about not losing data, not passing gates
+    with pytest.raises(C.DataContractError, match="payload_shape|too_few_rows"):
+        grocery.run(spark, str(tmp_path), "run-q1", "malformed_json", quarantine=True)
+    qpath = grocery.RunPaths(str(tmp_path), "run-q1").quarantine
+    quarantined = open(qpath).read()
+    assert quarantined.startswith('{"ok": true')  # the truncated original
+    assert len(quarantined) > 100
+
+
+def test_grocery_quarantine_mode_clean_run_untouched(spark, tmp_path):
+    import os as _os
+
+    res = grocery.run(spark, str(tmp_path), "run-q2", "ok", quarantine=True)
+    assert res.loaded_rows == 40
+    assert not _os.path.exists(grocery.RunPaths(str(tmp_path), "run-q2").quarantine)
+
+
+def test_quarantine_split_row_level(spark, tmp_path):
+    from postgres_etl_pipeline_spark.connectors import sources
+
+    p = tmp_path / "mixed.ndjson"
+    p.write_text(
+        '{"run_id": "r", "event_time": "2024-01-01T00:00:00Z", "txn_id": "a",'
+        ' "store_id": "s", "sku": "k", "quantity": 1, "unit_price_cents": 199,'
+        ' "tender_type": "cash", "customer_id": null}\n'
+        "{this is not json\n"
+        '{"run_id": "r", "event_time": "2024-01-01T00:00:01Z", "txn_id": "b",'
+        ' "store_id": "s", "sku": "k", "quantity": 2, "unit_price_cents": 299,'
+        ' "tender_type": "card", "customer_id": null}\n'
+        "also-garbage\n"
+    )
+    from postgres_etl_pipeline_spark.schemas import STG_TRANSACTIONS_SCHEMA
+
+    df = sources.read_ndjson(spark, str(p), STG_TRANSACTIONS_SCHEMA)
+    good, bad = C.quarantine_split(df)
+    assert {r.txn_id for r in good.collect()} == {"a", "b"}
+    bad_texts = [r["_corrupt_record"] for r in bad.collect()]
+    assert bad_texts == ["{this is not json", "also-garbage"]

@@ -1,0 +1,42 @@
+"""ANN tiers vs exact brute force: measured recall for the approximate
+paths (IVF, sign-LSH) whose correctness is statistical, not hash-exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.operators import similarity as S
+from postgres_etl_pipeline_spark.queries import spread, t
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    ivf = _topk_sets(S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4))
+    assert set(ivf) == set(exact)  # every query answered
+    recalls = [len(ivf[q] & exact[q]) / 5 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # data-dependent; probing 4/16 centroids must beat random bucket scan
+    assert mean_recall >= 0.4, f"mean recall {mean_recall}"
+    # determinism: same seed, same answer
+    ivf2 = _topk_sets(S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4))
+    assert ivf == ivf2
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_small):
+    # probing ALL centroids degenerates to exact search — recall must be 1
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    full = _topk_sets(
+        S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    )
+    assert full == exact
