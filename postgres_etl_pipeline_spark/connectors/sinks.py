@@ -127,3 +127,27 @@ def upsert_sql(table: str, cols: list[str], keys: list[str]) -> str:
         f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
         f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed external table — the co-located-join layout (SURVEY §4.2).
+
+    Both sides of a repeat join written with the same (bucket_cols,
+    n_buckets) join WITHOUT an exchange: each bucket pairs off by file.
+    This is the 100 TB answer to 'we join these two huge tables every run'
+    — pay the shuffle once at write time, never again at read time
+    (asserted plan-level in tests/test_bucketing.py).
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

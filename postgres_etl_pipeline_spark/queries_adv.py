@@ -393,3 +393,35 @@ def retail_pipeline_mart(spark, sf_dir):
 
     res = retail.run(spark, "ok")
     return res.mart.withColumn("day", F.col("day").cast("string"))
+
+
+@register(
+    "sql_exists_in_subqueries",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+      AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    GROUP BY 1
+    """,
+    survey="§2.4/§2.5: the SQL entry point — correlated EXISTS + IN"
+    " subqueries, decorrelated by Catalyst into semi joins",
+    tags=("adv", "sql"),
+)
+def sql_exists_in_subqueries(spark, sf_dir):
+    for name in ("customer", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sqlq_{name}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM sqlq_customer c
+        WHERE EXISTS (SELECT 1 FROM sqlq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND c_nationkey IN (SELECT n_nationkey FROM sqlq_nation
+                              WHERE n_regionkey = 1)
+        GROUP BY c_mktsegment
+        """
+    )

@@ -1,0 +1,47 @@
+"""Bucketed co-located joins: the pay-shuffle-once-at-write layout must
+join with NO exchange on either side (plan-level assertion), and results
+must equal the plain shuffled join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.connectors.sinks import write_bucketed
+from postgres_etl_pipeline_spark.queries import t
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    li = t(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = t(spark, sf_small, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(
+        li, "b_lineitem", str(tmp_path / "li"), ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", str(tmp_path / "o"), ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    try:
+        # MERGE hint: at test scale Catalyst would broadcast the small side
+        # (disabling bucketing); the layout exists for the 100 TB case where
+        # BOTH sides are too big to broadcast — force that join strategy
+        joined = (
+            spark.table("b_lineitem")
+            .hint("MERGE")
+            .join(spark.table("b_orders").hint("MERGE"), "l_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same answer as the shuffled join over the raw frames
+        expect = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority").count()
+        )
+        got = joined.groupBy("o_orderpriority").count()
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
