@@ -156,3 +156,36 @@ def stream_stateful_user_totals(spark, sf_dir):
     return res.groupBy("user_id").agg(
         F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s")
     ).select("user_id", "s.n_events", "s.total_value")
+
+
+@register(
+    "stream_dedup_then_hourly",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT ON (event_id) event_id, ts, event_type
+      FROM events
+    )
+    SELECT strftime(date_trunc('hour', ts), '{_FMT}') AS win_start,
+           event_type,
+           count(*) AS n_events
+    FROM d
+    GROUP BY 1, 2
+    """,
+    survey="§2.8: CHAINED stateful operators — dropDuplicates(event_id) →"
+    " tumbling window agg in one streaming query (Spark 3.4+ multi-stateful"
+    " support); drained result == batch distinct-then-agg",
+    tags=("streaming",),
+)
+def stream_dedup_then_hourly(spark, sf_dir):
+    ev = sources.stream_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    deduped = ev.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
+    out = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return runner.run_to_memory(out, "stream_dedup_then_hourly", "complete")
