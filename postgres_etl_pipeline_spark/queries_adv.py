@@ -425,3 +425,84 @@ def sql_exists_in_subqueries(spark, sf_dir):
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    survey="§2.4: TPC-H Q3 shape — selective 3-way join, grouped revenue,"
+    " global top-10 (TakeOrderedAndProject, no full sort)",
+    tags=("adv", "join", "bench"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    survey="§2.4: TPC-H Q7 shape — 4-way join, revenue volume by customer"
+    " nation × year (dims broadcast, fact never shuffled pre-agg)",
+    tags=("adv", "join"),
+)
+def q7_nation_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    vol = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("cust_nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), vol.alias("volume"))
+    )

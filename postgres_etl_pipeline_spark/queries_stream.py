@@ -189,3 +189,55 @@ def stream_dedup_then_hourly(spark, sf_dir):
         )
     )
     return runner.run_to_memory(out, "stream_dedup_then_hourly", "complete")
+
+
+@register(
+    "stream_stream_join",
+    f"""
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           c.user_id,
+           strftime(c.ts, '{_FMT}') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL '30 minutes'
+     AND v.ts <= c.ts
+    """,
+    survey="§2.8: stream-stream INNER interval join (views within 30 min"
+    " before each click, same user) — watermarks bound both sides' state;"
+    " drained result == batch interval join",
+    tags=("streaming",),
+)
+def stream_stream_join(spark, sf_dir):
+    ev = sources.stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    return runner.run_to_memory(joined, "stream_stream_join", "append")
