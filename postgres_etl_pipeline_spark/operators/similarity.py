@@ -83,6 +83,9 @@ def brute_force_topk(
 
     spark = corpus.sparkSession
     q_rows = queries.select(id_col, vec_col).collect()
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -217,6 +220,10 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
     ).withColumn("fv", array_to_vector("cv"))
+    # degenerate corpora: KMeans needs ≥ k points; tiny/empty inputs fall
+    # back to exact search (same contract, no index worth building)
+    if c.limit(n_centroids).count() < n_centroids:
+        return brute_force_topk(corpus, queries, k, id_col, vec_col)
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="fv", predictionCol="cid"
     ).fit(c)

@@ -92,7 +92,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(ev.dtypes).get("ts") == "bigint":  # nanos-as-long applied
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
