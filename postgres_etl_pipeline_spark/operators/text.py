@@ -144,3 +144,29 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataF
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "tfidf", "rank")
     )
+
+
+def ngram_udtf():
+    """Python UDTF (Spark 3.5+) emitting (ngram, n) rows per document —
+    the lateral-join escape hatch of §2.9, for when per-row logic must
+    produce a variable number of OUTPUT ROWS and can't be an explode over
+    a built-in array expression.
+
+    Registered on demand (``spark.udtf.register("ngrams", ngram_udtf())``)
+    and used as ``SELECT ... FROM docs, LATERAL ngrams(text, 2)``. The
+    row-materializing Python loop makes this the slow path — the engine's
+    own n-gram ops stay expression-level (see dedup.shingles); this exists
+    to keep the UDTF surface tested.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, n: int")
+    class NGrams:
+        def eval(self, text: str, n: int = 2):
+            if not text:
+                return
+            toks = text.split()
+            for i in range(max(0, len(toks) - n + 1)):
+                yield (" ".join(toks[i : i + n]), n)
+
+    return NGrams

@@ -66,3 +66,17 @@ def test_artifacts_exist(tmp_path):
     assert C.artifacts_exist([str(p)]).ok
     r = C.artifacts_exist([str(p), str(tmp_path / "missing.json")])
     assert not r.ok and "missing artifact" in r.samples[0]
+
+
+def test_ngram_udtf_lateral_join(spark):
+    from postgres_etl_pipeline_spark.operators.text import ngram_udtf
+
+    spark.udtf.register("ngrams", ngram_udtf())
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, ngram FROM udtf_docs, LATERAL ngrams(text, 2)"
+    ).collect()
+    got = {(r.doc_id, r.ngram) for r in rows}
+    assert got == {(1, "a b"), (1, "b c"), (2, "x y")}

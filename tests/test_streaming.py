@@ -236,3 +236,65 @@ def test_foreach_batch_upsert_effectively_once(spark, tmp_path):
     again = spark.read.parquet(target)
     assert again.count() == 3
     assert {r.txn_id: r.quantity for r in again.collect()} == {"t-1": 1, "t-2": 9, "t-3": 3}
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    # c1(u1,10:00) matches v1(u1,09:50); c2(u2,10:05) has no view and must
+    # be emitted with NULL only after the watermark proves no matching view
+    # can still arrive (v_ts <= c_ts bound + 10m delay). Batches B and C
+    # advance event time to push the watermark past that point.
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [
+            {"ts": "2024-01-01T09:50:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T10:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01T10:05:00Z", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+        mtime_offset_s=-120,
+    )
+    # the join's watermark is the MIN over both inputs — later batches must
+    # advance BOTH the click and view sides or eviction never happens
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [
+            {"ts": "2024-01-01T11:00:00Z", "user_id": 9, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T11:00:00Z", "user_id": 9, "event_type": "click", "value": 1.0},
+        ],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(tmp_path / "c.ndjson"),
+        [
+            {"ts": "2024-01-01T12:00:00Z", "user_id": 9, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T12:00:00Z", "user_id": 9, "event_type": "click", "value": 1.0},
+        ],
+    )
+    ev = _events_stream(spark, tmp_path)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "left_outer",
+    ).select(
+        "c_user",
+        F.date_format("c_ts", "HH:mm").alias("click_t"),
+        F.date_format("v_ts", "HH:mm").alias("view_t"),
+    )
+    out = run_to_memory(joined, "t_ss_outer", "append")
+    rows = {(r.c_user, r.click_t, r.view_t) for r in out.collect()}
+    assert {(1, "10:00", "09:50"), (2, "10:05", None)} <= rows
+    # the u9 helper pairs match themselves; no spurious extra rows
+    assert rows - {(1, "10:00", "09:50"), (2, "10:05", None)} == {
+        (9, "11:00", "11:00"), (9, "12:00", "12:00"),
+    }
