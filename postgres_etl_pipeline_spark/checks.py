@@ -54,6 +54,8 @@ def enforce(*results: CheckResult) -> None:
 def required_fields(df: DataFrame, fields_: list[str], name: str = "required") -> CheckResult:
     """V1 — required fields non-null (``grocery_validate_dag.py:26``:
     event_time, txn_id, store_id, sku, quantity, tender_type)."""
+    if not fields_:  # vacuous pass, not a filter(None) crash
+        return CheckResult(name, True)
     missing_schema = [f for f in fields_ if f not in df.columns]
     if missing_schema:
         return CheckResult(
@@ -156,7 +158,14 @@ def canary_min_rows(
 ) -> CheckResult:
     """V6 — ``count < 10 → canary_failed: too_few_rows``
     (``grocery_reconcile_dag.py:24-34``)."""
-    n = df.count()
+    return canary_threshold_count(df.count(), min_rows, name)
+
+
+def canary_threshold_count(
+    n: int, min_rows: int = 10, name: str = "canary"
+) -> CheckResult:
+    """V6 on a precomputed count — lets callers that already counted the
+    relation gate without a second scan job."""
     ok = n >= min_rows
     return CheckResult(
         name, ok, 0 if ok else 1,

@@ -88,12 +88,17 @@ def upsert_parquet(
     which shuffles only matched files) or the JDBC staging merge below. The
     row-at-a-time loop of the reference is the one pattern we never copy.
     """
-    src_rank = F.lit(1)
-    inc = incoming.withColumn("__src", src_rank)
-    try:
+    inc = incoming.withColumn("__src", F.lit(1))
+    # "first write" is decided by an explicit existence check, NEVER by
+    # catching read/union errors: a schema-drifted batch or transient IO
+    # failure inside a blanket except would silently overwrite the target
+    # with only the incoming rows (destroying the table)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
         current = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
-        merged = current.unionByName(inc)
-    except Exception:  # first write — no target yet
+        merged = current.unionByName(inc)  # schema mismatch PROPAGATES
+    else:
         merged = inc
     w = Window.partitionBy(*keys).orderBy(*(list(order_by) + [F.col("__src").desc()]))
     deduped = (
@@ -101,11 +106,12 @@ def upsert_parquet(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    # Materialize before overwriting the path we read from.
-    out = deduped.cache()
-    out.count()
+    # localCheckpoint truncates lineage BEFORE overwriting the path we read
+    # from: a cache() would recompute evicted blocks from the half-
+    # overwritten source; a checkpoint either has the data or fails the job
+    # (never corrupts). Production path is a transactional format (Delta).
+    out = deduped.localCheckpoint(eager=True)
     out.write.mode("overwrite").parquet(target_path)
-    out.unpersist()
     return spark.read.parquet(target_path)
 
 

@@ -114,7 +114,9 @@ def transactions_raw_text(
     ``io_utils.py:76-89`` has the same observable shape)."""
     payload = transactions_payload(run_id, scenario, n, store_id)
     raw = json.dumps(payload)
-    if scenario in ("malformed_json", "partial_write"):
+    if scenario == "malformed_json":
+        # server-side truncation (app.py:75-79); partial_write is a FILE-
+        # level fault injected by the torn-write sink, not the generator
         return raw[: max(1, len(raw) // 2)]
     return raw
 

@@ -69,7 +69,7 @@ class RunPaths:
 
     @property
     def quarantine(self) -> str:
-        return os.path.join(self.root, "quarantine", "corrupt.ndjson")
+        return os.path.join(self.root, "quarantine", "corrupt")
 
 
 @dataclass
@@ -93,12 +93,12 @@ def with_retries(fn, retries: int = 2, delay_s: float = 0.0):
     the injected ones. Same semantics here.
     """
     last: Exception | None = None
-    for _ in range(retries + 1):
+    for attempt in range(retries + 1):
         try:
             return fn()
         except G.TemporalError as e:  # retryable class only
             last = e
-            if delay_s:
+            if delay_s and attempt < retries:  # no backoff after final try
                 time.sleep(delay_s)
     raise last
 
@@ -112,9 +112,9 @@ def ingest(paths: RunPaths, scenario: str, n: int = 40, retries: int = 2) -> Non
         retries=retries,
     )
     if scenario == "partial_write":
-        # the generator already truncated the text; the torn write models
-        # the *file-level* race (io_utils.py:76-89) — same observable shape
-        sinks.atomic_write_text(paths.raw, raw)
+        # file-level torn-write race (io_utils.py:76-89): half the payload
+        # hits disk, no atomic rename — the reader must quarantine it
+        sinks.torn_write_text(paths.raw, raw)
     else:
         sinks.atomic_write_text(paths.raw, raw)
 
@@ -135,12 +135,15 @@ def validate_and_stage(
     C.enforce(C.artifacts_exist([paths.raw]))
     payload = sources.read_json_doc(spark, paths.raw, PAYLOAD_SCHEMA_PERMISSIVE)
     if quarantine:
+        # cache is Spark's documented unlock for corrupt-record-only queries
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); safe here because the payload
+        # is one bounded run artifact (n ≤ 200, app.py:44). The quarantine
+        # write stays distributed — no driver collect of bad records.
+        payload = payload.cache()
         payload, bad = C.quarantine_split(payload)
-        # keep a data column in the projection: Spark rejects scans whose
-        # pruned schema is ONLY _corrupt_record (see checks.no_corrupt_records)
-        bad_rows = [r["_corrupt_record"] for r in bad.select("_corrupt_record", "ok").collect()]
-        if bad_rows:
-            sinks.atomic_write_text(paths.quarantine, "\n".join(bad_rows) + "\n")
+        bad_lines = bad.select(F.col("_corrupt_record").alias("value"))
+        if not bad_lines.isEmpty():
+            bad_lines.write.mode("overwrite").text(paths.quarantine)
     else:
         C.enforce(C.no_corrupt_records(payload))
     C.enforce(C.payload_shape(payload, "transactions"))
@@ -156,7 +159,12 @@ def validate_and_stage(
         C.not_null(txns, ["unit_price_cents"], name="drift_resolved"),
     )
     sinks.write_ndjson(txns, paths.staged)
-    return txns
+    # read the staged artifact BACK: downstream jobs re-scan cheap NDJSON
+    # with an exact schema instead of re-parsing the multiLine raw payload
+    # per action — the stage boundary is real, as in the reference
+    return sources.read_ndjson(spark, paths.staged, txns.schema).drop(
+        "_corrupt_record"
+    )
 
 
 def enrich(txns: DataFrame, scenario: str) -> DataFrame:
@@ -189,8 +197,8 @@ def reconcile(spark: SparkSession, paths: RunPaths) -> int:
     """Stage 5 (``grocery_reconcile_dag.py:16-35``): canary count for this
     run (A2 + V6), then the reconcile artifact."""
     stg = spark.read.parquet(paths.table).filter(F.col("run_id") == paths.run_id)
-    n = stg.count()
-    C.enforce(C.canary_min_rows(stg, CANARY_MIN_ROWS))
+    n = stg.count()  # ONE count job; the canary gates on the same number
+    C.enforce(C.canary_threshold_count(n, CANARY_MIN_ROWS))
     sinks.atomic_write_text(
         paths.reconcile,
         json.dumps({"run_id": paths.run_id, "ok": True, "stg_rows": n}),

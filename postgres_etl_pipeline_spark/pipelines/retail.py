@@ -146,7 +146,11 @@ def run(spark: SparkSession, scenario: str = "ok", strict: bool = True) -> Retai
         results = [C.CheckResult("model_build", False, 1, [str(e)[:200]])]
     if scenario == "race_partial":
         # late producer lands after the mart was built: rebuild picks it up
-        # (batch twin of the streaming watermark policy, SURVEY §2.8)
+        # (batch twin of the streaming watermark policy, SURVEY §2.8).
+        # stg AND checks are recomputed too — the returned result must be
+        # internally consistent (gates must have seen the returned mart)
         src2 = src.unionByName(late_rows(spark))
-        mart = mart_daily_sales(stg_transactions(src2, "ok", strict=strict))
+        stg = stg_transactions(src2, "ok", strict=strict)
+        mart = mart_daily_sales(stg)
+        results = quality_tests(mart)
     return RetailResult(scenario=scenario, stg=stg, mart=mart, checks=results)

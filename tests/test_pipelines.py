@@ -149,8 +149,11 @@ def test_grocery_quarantine_mode_preserves_corrupt_payload(spark, tmp_path):
     # TYPED error — quarantine is about not losing data, not passing gates
     with pytest.raises(C.DataContractError, match="payload_shape|too_few_rows"):
         grocery.run(spark, str(tmp_path), "run-q1", "malformed_json", quarantine=True)
-    qpath = grocery.RunPaths(str(tmp_path), "run-q1").quarantine
-    quarantined = open(qpath).read()
+    qdir = grocery.RunPaths(str(tmp_path), "run-q1").quarantine
+    import glob as _glob
+
+    parts = sorted(_glob.glob(qdir + "/part-*"))
+    quarantined = "".join(open(f).read() for f in parts)
     assert quarantined.startswith('{"ok": true')  # the truncated original
     assert len(quarantined) > 100
 
@@ -184,3 +187,33 @@ def test_quarantine_split_row_level(spark, tmp_path):
     assert {r.txn_id for r in good.collect()} == {"a", "b"}
     bad_texts = [r["_corrupt_record"] for r in bad.collect()]
     assert bad_texts == ["{this is not json", "also-garbage"]
+
+
+def test_upsert_parquet_schema_mismatch_raises_not_destroys(spark, tmp_path):
+    # regression: a blanket except used to treat ANY union/read failure as
+    # "first write" and overwrite the target with only the incoming batch
+    from postgres_etl_pipeline_spark.connectors.sinks import upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("k1", 1, "a"), ("k2", 2, "b"), ("k3", 3, "c")], ["k", "seq", "v"]
+    )
+    upsert_parquet(spark, base, target, keys=["k"], order_by=[F.col("seq").desc()])
+    assert spark.read.parquet(target).count() == 3
+
+    drifted = spark.createDataFrame([("k4", 4)], ["k", "seq"])  # missing v
+    with pytest.raises(Exception):
+        upsert_parquet(spark, drifted, target, keys=["k"], order_by=[F.col("seq").desc()])
+    # the target table survived untouched
+    assert sorted(r.k for r in spark.read.parquet(target).collect()) == ["k1", "k2", "k3"]
+
+
+def test_transactions_df_driver_side_with_drift(spark):
+    # S7 driver-side DataFrame build incl. the schema_drift merge branch
+    df_ok = G.transactions_df(spark, "run-tdf", "ok", n=12)
+    assert df_ok.count() == 12
+    assert df_ok.filter(F.col("unit_price_cents").isNull()).count() == 0
+    df_drift = G.transactions_df(spark, "run-tdf", "schema_drift", n=12)
+    # the renamed field is merged back — no nulls, same schema
+    assert df_drift.filter(F.col("unit_price_cents").isNull()).count() == 0
+    assert df_drift.columns == df_ok.columns
