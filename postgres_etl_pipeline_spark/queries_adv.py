@@ -506,3 +506,34 @@ def q7_nation_volume(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_items"), vol.alias("volume"))
     )
+
+
+@register(
+    "collect_priorities_per_segment",
+    """
+    SELECT c.c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT o.o_orderpriority)), ',')
+             AS priorities,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    survey="§2.5 gap: collection aggregate (collect_set → sorted array; the"
+    " canonical ordering makes it hash-comparable across engines)",
+    tags=("adv", "agg"),
+)
+def collect_priorities_per_segment(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            # string-join the sorted array: engine-portable representation
+            # (array cells render differently across drivers/pandas)
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

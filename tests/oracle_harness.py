@@ -45,12 +45,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
         if pd.isna(v):
             return "<null>"
         if isinstance(v, float):
             return f"{v:.6g}"
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
 
     for c in out.columns:
