@@ -537,3 +537,31 @@ def collect_priorities_per_segment(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "from_json_typed_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS k_sum
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    survey="§2.3 P8 typed: from_json into a StructType (schema-on-read over"
+    " a JSONB-style column) vs string-path extraction",
+    tags=("adv", "json"),
+)
+def from_json_typed_props(spark, sf_dir):
+    from .queries import read_events
+
+    ev = read_events(spark, sf_dir)
+    parsed = ev.select(
+        F.from_json("props", "k INT").alias("p")
+    ).filter(F.col("p.k").isNotNull())
+    return parsed.groupBy((F.col("p.k") % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").cast("long").alias("k_sum"),
+    )
