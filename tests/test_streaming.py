@@ -298,3 +298,59 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     assert rows - {(1, "10:00", "09:50"), (2, "10:05", None)} == {
         (9, "11:00", "11:00"), (9, "12:00", "12:00"),
     }
+
+
+def test_checkpoint_resume_no_duplicates(spark, tmp_path):
+    # kill a stream after its first micro-batch, restart from the SAME
+    # checkpoint into a FILE sink (exactly-once via its transaction log):
+    # the source resumes at the uncommitted file and the final table holds
+    # exactly one copy of every row — the restart-safety the reference's
+    # retry + upsert approximates (SURVEY §2.8)
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ndjson(
+        str(src / "a.ndjson"),
+        [_txn("r1", f"a-{i}", "2024-01-01T10:00:00Z") for i in range(5)],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(src / "b.ndjson"),
+        [_txn("r1", f"b-{i}", "2024-01-01T10:05:00Z") for i in range(5)],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start_query():
+        return (
+            stream_ndjson_txns(spark, str(src), max_files_per_trigger=1)
+            .select("run_id", "txn_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q1 = start_query()
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= 5:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.2)
+    q1.stop()  # killed mid-stream
+
+    q2 = start_query()
+    deadline = _time.time() + 60
+    while _time.time() < deadline and spark.read.parquet(out_dir).count() < 10:
+        _time.sleep(0.2)
+    q2.stop()
+
+    rows = [r.txn_id for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(rows) == sorted(
+        [f"a-{i}" for i in range(5)] + [f"b-{i}" for i in range(5)]
+    )  # every row exactly once, across the kill/restart boundary
