@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -79,9 +80,15 @@ def upsert_parquet(
     onto a parquet-backed table (``grocery_lib/pg.py:33-60``).
 
     Batch algorithm: union(target, incoming) → row_number over (keys,
-    order_by) → keep rn=1 → rewrite. Incoming rows order AFTER existing ones
-    at equal ordering columns, preserving the reference's sequential
-    last-write-wins (``pg.py:56-59``; SURVEY §2.9 caution 5).
+    order_by) → keep rn=1 → write merged result to a SIBLING temp directory
+    → swap into place. The target is never the write destination while it is
+    still the read source, so there is no lineage hazard and no torn-table
+    window during the (long) merge write; the only non-atomic step is the
+    final delete+rename, and a crash between those two leaves the complete
+    merged copy on disk at the temp path for recovery. Incoming rows order
+    AFTER existing ones at equal ordering columns, preserving the
+    reference's sequential last-write-wins (``pg.py:56-59``; SURVEY §2.9
+    caution 5).
 
     Scale: full rewrite is O(table) — correct-but-naive for parquet. The
     scale path is a transactional table format (Delta/Iceberg MERGE INTO,
@@ -106,12 +113,17 @@ def upsert_parquet(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    # localCheckpoint truncates lineage BEFORE overwriting the path we read
-    # from: a cache() would recompute evicted blocks from the half-
-    # overwritten source; a checkpoint either has the data or fails the job
-    # (never corrupts). Production path is a transactional format (Delta).
-    out = deduped.localCheckpoint(eager=True)
-    out.write.mode("overwrite").parquet(target_path)
+    # write the merged result BESIDE the target, then swap. Writing directly
+    # over target_path would destroy the table if the job died mid-write
+    # (and would recompute from a half-overwritten source without a
+    # checkpoint). With the sibling write, the target stays intact and
+    # readable for the whole merge; the swap below is two metadata ops.
+    tmp_path = target_path.rstrip("/") + f".__merge_{uuid.uuid4().hex[:8]}"
+    deduped.write.mode("overwrite").parquet(tmp_path)
+    tmp_jvm = spark._jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs.delete(jvm_path, True)
+    if not fs.rename(tmp_jvm, jvm_path):  # crash-safe: merged copy persists at tmp
+        raise IOError(f"rename {tmp_path} -> {target_path} failed; merged data at {tmp_path}")
     return spark.read.parquet(target_path)
 
 

@@ -89,9 +89,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows double's 53-bit mantissa, so never route this through a float).
     Truncation toward zero == floor for post-epoch data, matching DuckDB's
     ns→µs cast.
+
+    The legacy conf is consumed when the relation is resolved, so scoping it
+    to the read (set → read → restore) keeps later unrelated nanos reads in
+    the same session failing loudly instead of silently yielding bigint.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .session import scoped_conf
+
+    with scoped_conf(spark, {"spark.sql.legacy.parquet.nanosAsLong": "true"}):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":  # nanos-as-long applied
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -613,7 +619,10 @@ def except_custkeys(spark, sf_dir):
     y95 = o.filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
     ).select("o_custkey")
-    return y94.exceptAll(y95.distinct()).distinct()
+    # subtract == EXCEPT DISTINCT: a key present on the right is excluded
+    # entirely regardless of left-side multiplicity (exceptAll().distinct()
+    # would wrongly retain a key with left-count > right-count)
+    return y94.subtract(y95)
 
 
 @register(

@@ -18,6 +18,8 @@ Defaults chosen for Postgres-parity semantics (SURVEY §2.9) and scale
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -59,3 +61,28 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]) -> Iterator[SparkSession]:
+    """Set session confs for the duration of the block, then restore priors.
+
+    For confs consumed at *relation-creation* time (e.g.
+    ``spark.sql.legacy.parquet.nanosAsLong``, baked into the parquet
+    relation when ``spark.read`` resolves it) this scopes the override to
+    the reads inside the block without leaking mutated session state to
+    later, unrelated reads — which should fail loudly on nanos timestamps
+    rather than silently producing bigint columns.
+    """
+    priors: dict[str, str | None] = {}
+    for k, v in confs.items():
+        priors[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, prior in priors.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)

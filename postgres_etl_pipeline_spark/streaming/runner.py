@@ -46,7 +46,13 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout — a PARTIAL memory table
+        # must surface as a timeout, never as a silently-wrong result
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"streaming drain '{qname}' did not finish within {timeout_s}s"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -94,7 +100,11 @@ def run_upsert_sink(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"upsert drain to '{target_path}' did not finish within {timeout_s}s"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -59,9 +59,12 @@ def stream_events(
     """Stream the driver ``events`` table (replay of a bounded event log).
 
     Same nanos handling as the batch reader (queries.read_events): read ns
-    as LongType, convert with integer ``DIV 1000`` → timestamp_micros.
+    as LongType, convert with integer ``DIV 1000`` → timestamp_micros. No
+    session conf needed here: file streams take an explicit user schema
+    (EVENTS_NANOS_SCHEMA declares ts as LongType), so no footer-driven
+    schema inference happens and nanosAsLong never applies — verified by
+    draining with the conf unset.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = stream_parquet(
         spark, f"{sf_dir}/events.parquet", EVENTS_NANOS_SCHEMA, max_files_per_trigger
     )
