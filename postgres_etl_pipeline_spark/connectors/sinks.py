@@ -147,6 +147,31 @@ def upsert_sql(table: str, cols: list[str], keys: list[str]) -> str:
     )
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Incremental mart refresh: replace ONLY the partitions present in
+    ``df``, leaving all other partitions' files untouched.
+
+    This is the 100 TB maintenance path for the daily mart (A1,
+    ``mart_daily_sales.sql:6-15``): late or corrected transactions for day D
+    recompute and rewrite partition day=D alone — O(changed days), not
+    O(table) like a full CTAS, and not a row-level merge either (the mart is
+    a pure function of its day's inputs, so partition replacement is exact).
+
+    Uses dynamic partition overwrite (write-local option, not session conf,
+    so concurrent full-overwrite writers are unaffected): Spark stages new
+    files per touched partition and commits by swapping just those
+    directories.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,
