@@ -474,3 +474,107 @@ def embedding_ivf_topk(spark, sf_dir):
     return S.ivf_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 20), k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 4: pair graph → connected components → keep-one-per-cluster.
+# The step that turns near-dup PAIRS into an actual deduplicated corpus
+# (operators/graph.py). DuckDB oracle computes the same transitive closure
+# with a recursive CTE over the exact-Jaccard pair set.
+# ---------------------------------------------------------------------------
+
+_CC_CTES = f"""
+    pairs AS ({_JACCARD_ORACLE.format(thr=0.5)}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+"""
+
+
+@register(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM cc
+    """,
+    survey="§7 Phase 5: near-dup clustering — minhash pairs → hash-to-min"
+    " connected components (iterative label propagation, one shuffle/round,"
+    " localCheckpoint-truncated lineage); cluster id = min doc id",
+    tags=("ext", "dedup"),
+)
+def dedup_cc_clusters(spark, sf_dir):
+    from .operators.graph import connected_components
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    """,
+    survey="§7 Phase 5: end-to-end dedup — drop every clustered doc except"
+    " its cluster representative (anti-join against non-canonical members);"
+    " the corpus a training pipeline would actually emit",
+    tags=("ext", "dedup"),
+)
+def dedup_keep_list(spark, sf_dir):
+    from .operators.graph import connected_components, dedup_keep_filter
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return dedup_keep_filter(docs, cc).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "token_budget_packing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+    survey="§7 Phase 5: sequence packing — concat-and-chunk documents into"
+    " 2048-token training bins (bin = running-token-offset DIV budget)."
+    " Global window here; at 100 TB pack per shard (partitionBy shard id)"
+    " so each task owns one independent running sum",
+    tags=("ext", "text"),
+)
+def token_budget_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 2048.0)
+        .cast("long")
+        .alias("bin_id"),
+    )
