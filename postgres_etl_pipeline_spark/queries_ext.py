@@ -578,3 +578,109 @@ def token_budget_packing(spark, sf_dir):
         .cast("long")
         .alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (embedding-space twin of the text CC pipeline) + dataset
+# assembly: deterministic splits and stratified sampling. All hash-bucket
+# logic uses md5 — engine-portable and stable across runs/cluster sizes,
+# unlike rand()-seeded sampling whose draw order is partition-dependent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup_keep_list",
+    f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    vb AS (SELECT vec_id, e, {_bucket_expr("e")} AS bucket FROM v),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb2
+      FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+    ),
+    edges AS (SELECT va AS src, vb2 AS dst FROM pairs
+              UNION SELECT vb2, va FROM pairs),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src
+    ),
+    cc AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+    SELECT em.vec_id, em.label FROM embeddings em
+    WHERE em.vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id <> cluster_id)
+    """,
+    survey="§7 Phase 5: SEMANTIC dedup end-to-end — sign-LSH bucket pairs"
+    " ≥0.35 cosine → connected components → keep one vector per cluster"
+    " (embedding-space twin of dedup_keep_list)",
+    tags=("ext", "similarity", "dedup"),
+)
+def semantic_dedup_keep_list(spark, sf_dir):
+    from .operators.graph import connected_components, dedup_keep_filter
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    pairs = S.lsh_near_dups(emb, threshold=0.35).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    return dedup_keep_filter(emb, cc, id_col="vec_id").select("vec_id", "label")
+
+
+@register(
+    "train_val_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN bucket < 52429 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) AS bucket
+          FROM documents)
+    """,
+    survey="§7 Phase 5: deterministic 80/10/10 split — md5 bucket of the"
+    " stable id, so assignment is a pure function of the row (reproducible"
+    " across runs, partitionings, and engines; never rand()-order-dependent)",
+    tags=("ext", "text"),
+)
+def train_val_test_split(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 52429, "train")
+        .when(bucket < 58982, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    """
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE bucket < 16384) AS BIGINT) AS sampled,
+           CAST(count(*) AS BIGINT) AS total
+    FROM b GROUP BY lang
+    """,
+    survey="§7 Phase 5: stratified deterministic sampling — the same md5"
+    " bucket keeps ~25% per language stratum; one scan, no shuffle beyond"
+    " the stats aggregate",
+    tags=("ext", "text"),
+)
+def stratified_sample_counts(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return docs.select("lang", bucket.alias("bucket")).groupBy("lang").agg(
+        F.count(F.when(F.col("bucket") < 16384, 1)).alias("sampled"),
+        F.count(F.lit(1)).alias("total"),
+    )
