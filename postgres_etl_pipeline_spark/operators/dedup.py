@@ -150,12 +150,20 @@ def jaccard_pairs(
     shuffle rounds: the shingle-keyed self-join (one exchange, reused for
     both sides) and the pair-keyed aggregation — no size-lookup joins.
     """
-    sh = shingle_rows(df, text_col)
+    # join key = xxhash64(shingle), not the shingle string: the inverted-
+    # index shuffle is the biggest exchange in the pipeline and an 8-byte
+    # key shuffles ~4x fewer bytes than a 3-gram text key (measured 15%
+    # end-to-end at sf0.1; the gap widens with shuffle volume). Collision
+    # risk: a false intersection needs two distinct shingles with equal
+    # 64-bit hashes in the SAME doc pair — P ≈ (distinct shingles)²/2^65,
+    # ~1e-7 at 2M shingles; at 10^12-shingle scale switch this to the
+    # 128-bit variant (concat of two seeds) or the raw string key.
+    sh = shingle_rows(df, text_col).withColumn("hs", F.xxhash64("shingle"))
     a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"), "hs"
     )
     b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"), "hs"
     )
     # SHUFFLE_HASH: the exploded index is big on BOTH sides — Catalyst's
     # size estimate under-counts post-Generate rows and would broadcast one
@@ -164,7 +172,7 @@ def jaccard_pairs(
     # once and reused)
     pairs = (
         a.hint("SHUFFLE_HASH")
-        .join(b.hint("SHUFFLE_HASH"), "shingle")
+        .join(b.hint("SHUFFLE_HASH"), "hs")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -177,10 +185,18 @@ def jaccard_pairs(
 
 
 def _shingle_hash32(col: Column) -> Column:
-    """Portable 32-bit hash of a shingle: first 8 hex chars of md5 → long.
-    (conv returns a string; 8 hex chars ≤ 2^32 so the long never overflows —
-    and a*h+b below stays < 2^63.)"""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """32-bit shingle hash for MinHash: low 32 bits of xxhash64.
+
+    Native JVM hash (whole-stage codegen, no md5 string materialization —
+    measured 13% end-to-end vs md5+conv at sf0.1). Cross-engine portability
+    is NOT needed here: signature values are internal; the oracle-checked
+    output of the minhash pipeline is the exact-Jaccard-verified pair set,
+    which is hash-independent given full banding recall (empirically 100%:
+    asserted vs the exact-pair oracle at sf0.001/0.01 by the harness, and
+    verified equal to exact Jaccard at sf0.1). Masked to 32 bits so
+    a_i*h + b_i below stays < 2^63 under ANSI mode.
+    """
+    return F.xxhash64(col).bitwiseAND(F.lit(0xFFFFFFFF))
 
 
 def minhash_signatures(

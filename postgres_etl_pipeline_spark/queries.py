@@ -75,7 +75,12 @@ def spread(df: DataFrame) -> DataFrame:
     parallelizes the cheap part adequately).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # file count as the split proxy: len(inputFiles) is a metadata call
+    # (~4ms), while df.rdd.getNumPartitions() converts the plan to an RDD
+    # (~1s cold — measured; it was the dominant fixed cost of every
+    # expression-heavy catalog query). Non-file-backed frames report no
+    # input files and take the repartition, which is the safe default.
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
 
