@@ -341,3 +341,57 @@ def csv_roundtrip_orders(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "props_map_stats",
+    """
+    SELECT event_type, k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS BIGINT) AS total_k
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY event_type, k
+    """,
+    survey="§1.2 extension: MapType surface — from_json to map<string,int>,"
+    " explode to key/value rows, aggregate per key (the reference's JSONB"
+    " column read as a dynamic map rather than a fixed struct)",
+    tags=("tpch", "formats"),
+)
+def props_map_stats(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select("event_type", "props")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,int>")).alias("k", "v"),
+    )
+    return kv.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("total_k"),
+    )
+
+
+@register(
+    "orc_roundtrip_orders",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    survey="§2.1/§2.2 source-format breadth: ORC sink + source round-trip"
+    " (columnar sibling of parquet; schema travels in the file so the read"
+    " needs no user schema); oracle reads the original parquet",
+    tags=("tpch", "formats"),
+)
+def orc_roundtrip_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/orders_orc"
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
