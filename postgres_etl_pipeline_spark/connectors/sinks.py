@@ -194,3 +194,26 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Data-skipping layout: range-repartition by ``sort_cols`` + sort
+    within partitions, so each output parquet file owns a DISJOINT value
+    range and its row-group min/max statistics actually prune.
+
+    A hash-partitioned write scatters every key range across every file —
+    min/max spans everything, the reader skips nothing. After this layout,
+    a point/range predicate on ``sort_cols`` touches only the files whose
+    stats overlap (file- and row-group-level pruning in the parquet
+    reader). This is the open-source answer to clustering/z-order for the
+    single-column case, and the 100 TB lever for scan-heavy predicates that
+    partition directories are too coarse for. Disjointness is asserted
+    file-by-file in tests via parquet footer stats.
+    """
+    w = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
+    w.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -310,3 +310,39 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[merge_fn[fn](out).alias(out) for out, (fn, _c) in aggs.items()]
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    other_key: str | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe large⋈large equi-join: salt the skewed side, REPLICATE the
+    other side across all salt values.
+
+    A hot join key sends all its rows to one reducer; salting appends a
+    random bucket to the skewed side's key and joins against the other side
+    exploded ``salt_buckets`` times, so the hot key's rows spread over
+    ``salt_buckets`` reducers. Cost: the other side's shuffle volume
+    × salt_buckets — use only when the other side is much smaller than the
+    skew concentration (classic fact⋈mid-size-dim skew).
+
+    AQE's skew-join split (on in this engine's sessions) handles most cases
+    by splitting oversized partitions at runtime; this explicit form exists
+    for the cases AQE can't see — a skewed SHUFFLE_HASH side, or skew
+    appearing only after upstream operators inflate a partition. Result
+    equivalence vs the plain join is asserted in tests.
+    """
+    ok = other_key or key
+    salted = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = (salted[key] == replicated[ok]) & (
+        salted["__salt"] == replicated["__salt"]
+    )
+    return salted.join(replicated, cond).drop("__salt")
