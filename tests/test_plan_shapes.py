@@ -1,0 +1,121 @@
+"""Plan-shape regressions: pin the physical-plan features that matter at
+100 TB but are invisible in small-data result checks (SURVEY §7 "explain
+and iterate"). If one of these fails while results still match, a scale
+regression slipped in.
+
+Pinned against the pre-AQE plan (plans.plan_summary) — the declared
+strategy, not the local-data runtime rewrite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.plans import plan_summary, scan_columns
+from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    load_all()
+
+
+def q(name, spark, sf):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_star_join_broadcasts_all_dims_no_fact_shuffle_before_agg(spark, sf_small):
+    df = q("star_join_revenue", spark, sf_small)
+    s = plan_summary(df)
+    # every dim joins via broadcast; the only shuffle is the final groupBy
+    assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
+    assert s.broadcast_joins >= 1
+    assert s.shuffles == 1
+
+
+def test_q6_is_pure_scan_filter_agg(spark, sf_small):
+    df = q("q6_revenue_delta", spark, sf_small)
+    s = plan_summary(df)
+    assert s.joins == 0
+    assert s.scans == 1
+    # quantity/discount/shipdate predicates reach the parquet reader
+    assert s.scans_with_pushed_filters == 1
+    # single-partition agg exchange only
+    assert s.shuffles == 0
+
+
+def test_q6_scan_prunes_to_needed_columns(spark, sf_small):
+    df = q("q6_revenue_delta", spark, sf_small)
+    (cols,) = scan_columns(df)
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_daily_mart_partial_agg_before_shuffle(spark, sf_small):
+    df = q("daily_sales_mart", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side combine: a HashAggregate must appear below the Exchange
+    assert plan.count("HashAggregate") >= 2
+    s = plan_summary(df)
+    assert s.shuffles == 1
+
+
+def test_q5_large_joins_are_sort_merge_dims_broadcast(spark, sf_small):
+    df = q("q5_local_supplier_volume", spark, sf_small)
+    s = plan_summary(df)
+    # lineitem ⋈ orders (both scale with SF) must NOT be planned as a
+    # broadcast: at 100 TB that's an executor OOM
+    assert s.sort_merge_joins >= 1
+    assert s.broadcast_joins >= 3  # region→nation→supplier chain + customer
+    assert s.scans_with_pushed_filters >= 2  # r_name + o_orderdate minimum
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_small):
+    df = q("q16_supplier_counts", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan
+
+
+def test_typed_projection_is_shuffle_free(spark, sf_small):
+    df = q("typed_projection", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 0 and s.joins == 0
+
+
+def test_pricing_summary_prunes_lineitem(spark, sf_small):
+    df = q("pricing_summary", spark, sf_small)
+    for cols in scan_columns(df):
+        # 16-column lineitem must not be read wholesale for a 7-column agg
+        assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_scalar_subquery_broadcasts_one_row_agg(spark, sf_small):
+    df = q("q15_top_supplier", spark, sf_small)
+    s = plan_summary(df)
+    assert s.broadcast_joins >= 2  # 1-row max + supplier dim
+    # rev is aggregated once then reused; no third lineitem scan
+    assert s.scans <= 3
+
+
+def test_wholestage_codegen_covers_hot_path(spark, sf_small):
+    from postgres_etl_pipeline_spark.plans import wholestage_spans
+
+    df = q("daily_sales_mart", spark, sf_small)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    assert wholestage_spans(df) >= 1
+
+
+def test_salted_join_adds_no_extra_shuffles(spark, sf_small):
+    from postgres_etl_pipeline_spark.operators.relational import salted_join
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    df = salted_join(li, o, "l_orderkey", "o_orderkey", salt_buckets=4)
+    s = plan_summary(df)
+    # one shuffle per side on the (key, salt) — salting must not introduce
+    # a pre-shuffle repartition pass
+    assert s.shuffles <= 2
