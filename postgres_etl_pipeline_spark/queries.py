@@ -799,6 +799,7 @@ def _load_extensions() -> None:
     from . import queries_stream  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_tpch2  # noqa: F401
+    from . import queries_ts  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
