@@ -1,0 +1,145 @@
+"""Property-based tests (Hypothesis): randomized inputs checked against
+naive in-Python reference implementations. The fixed-fixture tests prove
+the operators on known shapes; these prove them on shapes nobody thought
+to write down (duplicate keys, equal timestamps, single-row groups,
+all-rows-one-key skew).
+
+Spark round-trips are ~0.5 s/example, so examples are capped and
+deadlines disabled — breadth comes from the strategies, not the count.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.operators.relational import (
+    asof_join,
+    dedupe_last_write_wins,
+    salted_agg,
+)
+from postgres_etl_pipeline_spark.operators.timeseries import resample_locf
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.sampled_from(["a", "b", "c"])
+_small_int = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def _keyed_rows(draw, max_rows=25, unique_ts_per_key=False):
+    rows = draw(
+        st.lists(st.tuples(_keys, _small_int, _small_int), max_size=max_rows)
+    )
+    if unique_ts_per_key:
+        seen, out = set(), []
+        for k, ts, v in rows:
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                out.append((k, ts, v))
+        return out
+    return rows
+
+
+@given(left=_keyed_rows(), right=_keyed_rows(unique_ts_per_key=True))
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    ldf = spark.createDataFrame(left, "k string, lts int, lv int") if left else None
+    rdf = spark.createDataFrame(right, "k string, rts int, rv int") if right else None
+    if ldf is None or rdf is None:
+        return
+    got = {
+        (r.k, r.lts, r.lv): r.asof_rv
+        for r in asof_join(
+            ldf, rdf, ["k"], "lts", "rts", {"rv": "asof_rv"}
+        ).collect()
+    }
+    for k, lts, lv in left:
+        cands = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[(k, lts, lv)] == want
+
+
+@given(rows=_keyed_rows())
+@settings(**_SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, ts int, v int")
+    plain = {
+        r.k: (r.s, r.n, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.s, r.n, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert salted == plain
+
+
+@given(rows=_keyed_rows())
+@settings(**_SETTINGS)
+def test_dedupe_last_write_wins_keeps_exactly_the_winner(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, ts int, v int")
+    out = dedupe_last_write_wins(
+        df, ["k"], [F.col("ts").desc(), F.col("v").desc()]
+    ).collect()
+    got = {r.k: (r.ts, r.v) for r in out}
+    assert len(out) == len(got), "one row per key"
+    for k in {r[0] for r in rows}:
+        want = max((ts, v) for (rk, ts, v) in rows if rk == k)
+        assert got[k] == want
+
+
+@given(rows=_keyed_rows(max_rows=15, unique_ts_per_key=True))
+@settings(**_SETTINGS)
+def test_resample_locf_grid_is_contiguous_and_carries(spark, rows):
+    if not rows:
+        return
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, i, base + dt.timedelta(hours=ts, minutes=30), float(v))
+        for i, (k, ts, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k string, eid int, ts timestamp, v double")
+    out = resample_locf(df, ["k"], "ts", "v", "1 hour", tie_break=["eid"]).collect()
+    per_key: dict[str, list] = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    for k, rs in per_key.items():
+        obs = {ts: None for (rk, ts, v) in rows if rk == k}
+        for rk, ts, v in rows:  # last write per (k, ts) — ts unique per key here
+            if rk == k:
+                obs[ts] = float(v)
+        hours = sorted(
+            int((r.bucket - base).total_seconds() // 3600) for r in rs
+        )
+        assert hours == list(range(min(obs), max(obs) + 1)), "contiguous grid"
+        carried = None
+        by_hour = {
+            int((r.bucket - base).total_seconds() // 3600): r for r in rs
+        }
+        for h in hours:
+            r = by_hour[h]
+            if h in obs:
+                carried = obs[h]
+                assert r.is_gap == 0
+            else:
+                assert r.is_gap == 1
+            assert r.value == carried
