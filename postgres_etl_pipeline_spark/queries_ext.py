@@ -684,3 +684,43 @@ def stratified_sample_counts(spark, sf_dir):
         F.count(F.when(F.col("bucket") < 16384, 1)).alias("sampled"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+_BPE_PATT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "token_counts_bpe",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATT}'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATT}')))
+                     AS DOUBLE)
+                / CAST(SUM(len({_TOKS})) AS DOUBLE) AS DOUBLE) AS bpe_per_ws
+    FROM documents
+    GROUP BY lang
+    """,
+    survey="§7 Phase 5: BPE-ish token counting — letter runs / single"
+    " digits / punctuation runs via regexp_extract_all (the pre-merge"
+    " token stream a byte-pair tokenizer starts from), compared against"
+    " whitespace tokens per language; exact integer counts, ratio as the"
+    " only float",
+    tags=("ext", "text"),
+)
+def token_counts_bpe(spark, sf_dir):
+    docs = spread(t(spark, sf_dir, "documents"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATT), 0))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+    )
+    return agg.withColumn(
+        "bpe_per_ws",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")).cast(
+            "double"
+        ),
+    )
