@@ -25,6 +25,15 @@ from .streaming import jobs, runner, sources
 
 _FMT = "%Y-%m-%d %H:%M:%S"
 
+# State-store partition count for these BOUNDED local drains. A stateful
+# streaming query pins state partitioning from spark.sql.shuffle.partitions
+# at first-batch planning; 32 instances per operator are pure overhead at
+# catalog data volumes (measured: stream_stream_join 11.9s→2.4s at sf0.1
+# going 32→4). At 100 TB this number goes UP with state volume — it's a
+# deployment knob (runner.run_to_memory(state_partitions=...)), not a
+# hardcoded conf.
+STATE_PARTITIONS = 4
+
 
 @register(
     "stream_tumbling_hourly",
@@ -42,7 +51,7 @@ _FMT = "%Y-%m-%d %H:%M:%S"
 def stream_tumbling_hourly(spark, sf_dir):
     ev = sources.stream_events(spark, sf_dir)
     out = jobs.tumbling_counts(ev, window="1 hour", delay="30 minutes")
-    return runner.run_to_memory(out, "stream_tumbling_hourly", "complete")
+    return runner.run_to_memory(out, "stream_tumbling_hourly", "complete", state_partitions=STATE_PARTITIONS)
 
 
 @register(
@@ -67,7 +76,7 @@ def stream_tumbling_hourly(spark, sf_dir):
 def stream_sliding_hourly(spark, sf_dir):
     ev = sources.stream_events(spark, sf_dir)
     out = jobs.sliding_counts(ev, window="1 hour", slide="30 minutes")
-    return runner.run_to_memory(out, "stream_sliding_hourly", "complete")
+    return runner.run_to_memory(out, "stream_sliding_hourly", "complete", state_partitions=STATE_PARTITIONS)
 
 
 @register(
@@ -101,7 +110,7 @@ def stream_session_windows(spark, sf_dir):
     # exactly 30 minutes starts a new session — hence >= in the oracle.
     ev = sources.stream_events(spark, sf_dir)
     out = jobs.session_window_agg(ev, gap="30 minutes")
-    return runner.run_to_memory(out, "stream_session_windows", "complete")
+    return runner.run_to_memory(out, "stream_session_windows", "complete", state_partitions=STATE_PARTITIONS)
 
 
 _LINEITEM_KEYS_SCHEMA = T.StructType(
@@ -130,7 +139,7 @@ def stream_dedup_lineitem(spark, sf_dir):
     deduped = li.dropDuplicates(["l_orderkey", "l_linenumber"])
     # append-mode memory sink emits each first-seen key once; counting is a
     # batch op on the drained table (avoids chained stateful operators)
-    out = runner.run_to_memory(deduped, "stream_dedup_lineitem", "append")
+    out = runner.run_to_memory(deduped, "stream_dedup_lineitem", "append", state_partitions=STATE_PARTITIONS)
     return out.agg(F.count(F.lit(1)).alias("distinct_keys"))
 
 
@@ -150,7 +159,7 @@ def stream_dedup_lineitem(spark, sf_dir):
 def stream_stateful_user_totals(spark, sf_dir):
     ev = sources.stream_events(spark, sf_dir)
     out = jobs.stateful_user_totals(ev.select("user_id", "value"))
-    res = runner.run_to_memory(out, "stream_stateful_user_totals", "update")
+    res = runner.run_to_memory(out, "stream_stateful_user_totals", "update", state_partitions=STATE_PARTITIONS)
     # update mode re-emits a group on every batch it changes in; keep the
     # final (= max-count) emission per user so any batch count converges
     return res.groupBy("user_id").agg(
@@ -188,7 +197,7 @@ def stream_dedup_then_hourly(spark, sf_dir):
             "n_events",
         )
     )
-    return runner.run_to_memory(out, "stream_dedup_then_hourly", "complete")
+    return runner.run_to_memory(out, "stream_dedup_then_hourly", "complete", state_partitions=STATE_PARTITIONS)
 
 
 @register(
@@ -240,4 +249,4 @@ def stream_stream_join(spark, sf_dir):
         F.col("c_user").alias("user_id"),
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
-    return runner.run_to_memory(joined, "stream_stream_join", "append")
+    return runner.run_to_memory(joined, "stream_stream_join", "append", state_partitions=STATE_PARTITIONS)
