@@ -113,17 +113,29 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataF
     """Top-k TF-IDF terms per document.
 
     tf = in-doc term count; idf = ln(N / df) with df = docs containing the
-    term; ties broken by token so the ordering is total. Three shuffles:
-    (doc, token) counts, token document-frequency, and the per-doc top-k
-    window — all keyed well at scale (token df join is a broadcast when the
-    vocabulary fits, which a deduped corpus vocabulary usually does).
+    term; ties broken by token so the ordering is total.
+
+    Shape chosen for vocabulary skew: document frequency is aggregated
+    (map-side combined — stopword rows collapse per task before the
+    shuffle) and BROADCAST back, so the big (doc, token) relation is never
+    shuffled by token. The tempting alternative — `count() over (partition
+    by token)` — is one shuffle cheaper on paper but ships every tf row to
+    a token-keyed reducer, where 'the'/'of' pile onto single partitions at
+    corpus scale. tf is checkpointed so the explode+count runs once, not
+    once per consumer (docfreq + final scoring). If the corpus vocabulary
+    outgrows broadcast (billion-token web vocab), drop the hint: AQE plans
+    a skew-split shuffle join and the rest of the shape is unchanged.
     """
     tok = df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(docfreq, "token")
+        tf.join(F.broadcast(docfreq), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
