@@ -565,3 +565,65 @@ def from_json_typed_props(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("p.k").cast("long").alias("k_sum"),
     )
+
+
+@register(
+    "rolling_7d_revenue",
+    """
+    WITH d AS (
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev_dec AS DOUBLE) AS daily_rev,
+           CAST(SUM(rev_dec) OVER (
+                  PARTITION BY o_orderpriority ORDER BY d
+                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7d
+    FROM d
+    """,
+    survey="§2.5 gap: RANGE window frame over time (trailing 7 calendar"
+    " days, not 7 rows — gap days shrink the frame); sums stay DECIMAL"
+    " through the frame so DuckDB's segment-tree accumulation and Spark's"
+    " running frame can't drift; Spark expresses the interval frame as"
+    " rangeBetween(-6, 0) over epoch-days",
+    tags=("adv", "window"),
+)
+def rolling_7d_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy(
+        "o_orderpriority", F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return base.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev_dec").cast("double").alias("daily_rev"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
+    )
+
+
+@register(
+    "hll_daily_users",
+    None,  # engine-specific HLL estimates; mergeability + error bounds are
+    # asserted in tests/test_sketches.py (rows-only driver check)
+    survey="§2.5 extension: mergeable distinct-count sketches — daily HLL"
+    " sketch of user_id (Apache DataSketches via hll_sketch_agg); the"
+    " 100 TB pattern is sketch-per-partition once, union at query time"
+    " (re-aggregation without re-scanning raw data)",
+    tags=("adv", "sketch"),
+)
+def hll_daily_users(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
