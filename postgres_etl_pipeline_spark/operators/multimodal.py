@@ -109,3 +109,97 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("orig_n_bytes", T.LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_n_bytes", T.LongType(), False),
+        T.StructField("n_frames_total", T.LongType(), False),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, target_len: int) -> bytes:
+    """Deterministic stand-in for an image resize: stride-resample the
+    payload bytes to exactly ``target_len`` (nearest-neighbor over the byte
+    stream). Real deploy swaps this for PIL/libvips inside the same batch
+    loop — the Spark-side contract (binary in, fixed-size binary out,
+    metadata updated) is what's under test."""
+    if not payload:
+        return bytes(target_len)
+    n = len(payload)
+    return bytes(payload[(i * n) // target_len] for i in range(target_len))
+
+
+def resize_payloads(df: DataFrame, target_len: int = 64) -> DataFrame:
+    """'Resize' every payload to a fixed byte budget via mapInPandas.
+
+    Pure map — no shuffle; output rows are uniformly ``target_len`` bytes,
+    which is the property downstream training shards rely on (fixed-size
+    records pack without per-row length bookkeeping). Input partition
+    sizing note as in extract_features.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [_fake_resize(p, target_len) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                    "orig_n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, every_k: int = 2
+) -> DataFrame:
+    """Frame sampling: ONE payload row → MANY frame rows via mapInPandas.
+
+    The video pattern at 100 TB: the expansion happens executor-side inside
+    the Arrow batch loop (never collect-and-loop on the driver), and the
+    output is re-partitionable by (doc_id, frame_idx) for downstream
+    per-frame work. The fake 'codec' treats the payload as fixed-size
+    ``frame_bytes`` chunks and keeps every ``every_k``-th, mirroring
+    keyframe/stride sampling; a real build decodes with ffmpeg in the same
+    loop.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame": [],
+                "frame_n_bytes": [],
+                "n_frames_total": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = payload or b""
+                n_total = (len(p) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_total, every_k):
+                    frame = p[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(frame)
+                    out["frame_n_bytes"].append(len(frame))
+                    out["n_frames_total"].append(n_total)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -724,3 +724,31 @@ def token_counts_bpe(spark, sf_dir):
             "double"
         ),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n, CAST(ceil(n / 64.0) AS BIGINT) AS n_total FROM p)
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN i = n_total - 1 THEN n - i*64 ELSE 64 END AS BIGINT)
+             AS frame_n_bytes,
+           n_total AS n_frames_total
+    FROM f, LATERAL unnest(range(0, n_total, 2)) AS t(i)
+    """,
+    survey="§7 Phase 5: video-style frame sampling — one payload row →"
+    " many frame rows, expanded executor-side in the Arrow batch loop"
+    " (operators/multimodal.sample_frames, 64-byte frames, stride 2);"
+    " the oracle checks the full per-frame index/size ledger",
+    tags=("ext", "multimodal"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    payloads = M.attach_binary_payload(spread(t(spark, sf_dir, "documents")))
+    frames = M.sample_frames(payloads, frame_bytes=64, every_k=2)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_n_bytes",
+        "n_frames_total",
+    )

@@ -47,3 +47,37 @@ def test_extract_features_batch_shape_and_determinism(spark):
 def test_decode_payload_is_an_explicit_stub():
     with pytest.raises(NotImplementedError, match="kind='image/png'"):
         M.decode_payload(b"\x89PNG", "image/png")
+
+
+def test_resize_payloads_fixed_budget(spark, sf_small):
+    from postgres_etl_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payloads,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    out = resize_payloads(attach_binary_payload(docs), target_len=32).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.n_bytes == 32 and len(r.payload) == 32
+        # nearest-neighbor resample keeps first byte for non-empty payloads
+        if r.orig_n_bytes:
+            assert r.payload[0:1]
+
+
+def test_sample_frames_expansion_and_sizes(spark):
+    from postgres_etl_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"a" * 130), (2, b"b" * 64), (3, b""), (4, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {(r.doc_id, r.frame_idx): r for r in sample_frames(df, 64, 2).collect()}
+    # doc 1: 130 bytes → frames 0,1,2 (sizes 64,64,2); stride 2 keeps 0,2
+    assert rows[(1, 0)].frame_n_bytes == 64 and rows[(1, 0)].n_frames_total == 3
+    assert rows[(1, 2)].frame_n_bytes == 2
+    assert (1, 1) not in rows
+    # doc 2: exactly one frame
+    assert rows[(2, 0)].frame_n_bytes == 64 and rows[(2, 0)].n_frames_total == 1
+    # empty / NULL payloads emit no frames
+    assert not [k for k in rows if k[0] in (3, 4)]
