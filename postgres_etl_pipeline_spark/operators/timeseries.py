@@ -104,3 +104,51 @@ def rollup_resampled(
         F.sum("is_gap").cast("long").alias("n_gaps"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average via batch
+    ``applyInPandas`` — the sanctioned grouped-map escape hatch (SURVEY
+    §2.9): the recursion s_i = (1-α)·s_{i-1} + α·x_i makes every value
+    depend on the previous OUTPUT, which no SQL window frame expresses.
+
+    Each group arrives as ONE pandas DataFrame (Arrow-batched), is sorted
+    by (ts, tie_break) for a total order, folded in float64, and returns a
+    single row — so the shuffle carries raw events once and the output is
+    one row per key. Skew note: a pathologically hot key serializes its
+    fold; cap per-key history upstream (watermark/window) before this op
+    at 100 TB.
+
+    Use α with an exact binary complement (0.25, 0.5) when cross-engine
+    bit-parity matters — 1-α then rounds identically everywhere.
+    """
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(f"{k} {t}" for k, t in df.select(*key_cols).dtypes)
+        + ", ewma double, n_events long"
+    )
+    order = [ts_col, *(tie_break or [])]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        x = pdf[value_col].to_numpy()
+        s = float(x[0])
+        for v in x[1:]:
+            s = (1.0 - alpha) * s + alpha * float(v)
+        return pd.DataFrame(
+            {
+                **{k: [pdf[k].iloc[0]] for k in key_cols},
+                "ewma": [s],
+                "n_events": [len(x)],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(fold, out_schema)

@@ -114,3 +114,31 @@ def events_daily_rollup_locf(spark, sf_dir):
         "n_gaps",
         "n_buckets",
     )
+
+
+@register(
+    "events_user_ewma",
+    """
+    SELECT user_id,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.75*acc + 0.25*x), 6) AS ewma,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    survey="§2.9: batch applyInPandas (grouped map) — per-user EWMA, a"
+    " sequential recursion no SQL window expresses"
+    " (operators/timeseries.grouped_ewma); α=0.25 has an exact binary"
+    " complement so the Spark fold and DuckDB's list_reduce agree"
+    " bit-for-bit",
+    tags=("timeseries",),
+)
+def events_user_ewma(spark, sf_dir):
+    from .operators.timeseries import grouped_ewma
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = grouped_ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.25, tie_break=["event_id"]
+    )
+    return out.select(
+        "user_id", F.round("ewma", 6).alias("ewma"), "n_events"
+    )
