@@ -72,8 +72,9 @@ def read_jdbc_table(
     ``num_partitions`` range-sliced queries in parallel. Predicate pushdown
     is on by default (filters reach the remote WHERE clause).
 
-    Requires the vendor JDBC driver jar on the classpath; this container
-    ships none, so tests exercise the option-plumbing only.
+    Requires the vendor JDBC driver jar on the classpath. Exercised live in
+    tests/test_jdbc.py against embedded Derby (ships with Spark): write →
+    plain and range-partitioned read-back, remote-WHERE pushdown.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column:
