@@ -217,3 +217,100 @@ def write_range_layout(
     """
     w = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
     w.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` of each column's
+    non-negative integer representation, so files sorted by this ONE value
+    cluster in ALL dimensions at once.
+
+    Pure Column expression (shift/mask/or chain — whole-stage codegen, no
+    UDF). Caller maps each column to a bounded non-negative int first
+    (direct for keys; rank- or bucket-encode otherwise). bits·n_cols must
+    fit a long (≤ 63).
+    """
+    ncols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(ncols)
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits × {n} cols exceeds a long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(ncols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional data-skipping layout: range-partition + sort by the
+    interleaved z-value, then drop the helper column on write.
+
+    `write_range_layout` makes ONE column's file min/max disjoint — perfect
+    1-D pruning, zero 2-D help. Z-ordering trades a little 1-D sharpness
+    for bounded min/max ranges on EVERY z-ordered column, so conjunctive
+    range predicates across dimensions prune files the parquet reader would
+    otherwise have to read. The open-source answer to Delta/Iceberg
+    OPTIMIZE ZORDER for plain parquet dirs (asserted file-footer-level in
+    tests/test_skew_and_layout.py).
+    """
+    zdf = df.withColumn("__z", zorder_value(zorder_cols, bits=bits))
+    parts = [n_files] if n_files else []
+    (
+        zdf.repartitionByRange(*parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈total_bytes / target_mb⌉ files, preserving (or imposing) a sort layout.
+    Returns the new file count.
+
+    The operational 100 TB problem this solves: streaming/incremental sinks
+    accrete thousands of KB-sized files per partition; every reader then
+    pays per-file open/footer costs and the scheduler per-split overhead.
+    Compaction is a pure rewrite — coalesce to the byte-budgeted file count
+    (no shuffle) unless a sort layout is requested, in which case the
+    range-partition shuffle re-establishes data-skipping stats at the same
+    pass. Writes to a sibling temp dir and swaps via rename, same crash
+    contract as upsert_parquet.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = f"{path}__compact_tmp"
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

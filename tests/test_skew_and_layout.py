@@ -76,3 +76,76 @@ def test_range_layout_files_have_disjoint_stats(spark, sf_small):
 
     # round-trip integrity
     assert spark.read.parquet(path).count() == o.count()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from postgres_etl_pipeline_spark.connectors.sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (0, 0)], "a int, b int"
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_value(["a", "b"], bits=4).alias("z")).collect()
+    }
+    # a's bits land at even positions, b's at odd: z(a,b) = Σ a_i·4^i + 2·b_i·4^i
+    assert got == {(1, 1): 3, (2, 1): 6, (3, 3): 15, (0, 0): 0}
+
+
+def test_zorder_layout_prunes_2d_boxes_better_than_1d_range(spark, tmp_path):
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / 256).cast("int").alias("y"),
+    )
+
+    def files_matching_box(path, x_hi, y_hi):
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = {}
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    lohi = stats.setdefault(c.path_in_schema, [1 << 60, -1])
+                    lohi[0] = min(lohi[0], c.statistics.min)
+                    lohi[1] = max(lohi[1], c.statistics.max)
+            if stats["x"][0] <= x_hi and stats["y"][0] <= y_hi:
+                n += 1
+        return n
+
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_layout(grid, zpath, ["x", "y"], n_files=16, bits=8)
+    write_range_layout(grid, rpath, ["x"], n_files=16)
+
+    # the box [0,63]² is 1/16 of the space: the x-range layout matches every
+    # file covering x≤63 (each spans all y); z-order confines it to the
+    # file(s) owning the low z range
+    z_match = files_matching_box(zpath, 63, 63)
+    r_match = files_matching_box(rpath, 63, 63)
+    assert z_match < r_match
+    assert z_match <= 2
+
+
+def test_compact_files_reduces_count_and_preserves_data(spark, tmp_path):
+    from postgres_etl_pipeline_spark.connectors.sinks import compact_files
+
+    path = str(tmp_path / "frag")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.repartition(40).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+
+    before = o.count()
+    n = compact_files(spark, path, target_mb=128, sort_cols=["o_orderkey"])
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # sort layout re-established: single file's min/max == global min/max,
+    # and rows inside are ordered
+    keys = [r.o_orderkey for r in after.select("o_orderkey").collect()]
+    assert keys == sorted(keys)
