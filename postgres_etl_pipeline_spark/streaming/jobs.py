@@ -42,6 +42,28 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, delay).dropDuplicates(keys)
 
 
+def dedup_bounded_state(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_time",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the 100 TB dedup — per-key state
+    is EVICTED once the watermark passes the key's event time + ``delay``,
+    so state is O(keys inside the horizon), bounded even for unbounded key
+    cardinality. Contrast ``dedup_within_watermark``: plain
+    ``dropDuplicates`` keeps every key seen FOREVER (state grows with
+    distinct keys for the stream's lifetime — fine for a bounded drain,
+    fatal for a year-long stream of fresh PKs).
+
+    Trade-off: a duplicate redelivered with an event time more than
+    ``delay`` after the original is re-emitted (state already evicted) —
+    pair with the keyed-upsert sink (K5) so re-emissions are no-op merges.
+    Semantics pinned in tests/test_streaming.py.
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -119,3 +119,18 @@ def test_salted_join_adds_no_extra_shuffles(spark, sf_small):
     # one shuffle per side on the (key, salt) — salting must not introduce
     # a pre-shuffle repartition pass
     assert s.shuffles <= 2
+
+
+def test_q19_pushes_per_relation_disjunctions_to_both_scans(spark, sf_small):
+    import re
+
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    df = q("q19_disjunctive_revenue", spark, sf_small)
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan_string(df, "formatted"))
+    li = [p for p in pushed if "l_quantity" in p]
+    pt = [p for p in pushed if "p_brand" in p]
+    # Catalyst extracts the per-relation common disjunctions from the
+    # OR-of-ANDs and pushes them into each parquet scan
+    assert li and "Or(" in li[0]
+    assert pt and "Or(" in pt[0]

@@ -354,3 +354,56 @@ def test_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert sorted(rows) == sorted(
         [f"a-{i}" for i in range(5)] + [f"b-{i}" for i in range(5)]
     )  # every row exactly once, across the kill/restart boundary
+
+
+def test_dedup_bounded_state_evicts_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics, documented-by-test:
+
+    batch A: t-1 @10:00 → emitted (first sighting; state expiry 10:10).
+    batch B: t-1 @10:05 (redelivery inside the horizon) → DROPPED, and the
+             drop REFRESHES the expiry to 10:15; t-9 @10:30 moves the
+             watermark to 10:20 for the next batch.
+    batch C: filler t-8 @10:35 — runs under watermark 10:20 > 10:15, so
+             t-1's state is evicted during this batch's cleanup (eviction
+             lags: it needs a batch where the key does NOT reappear).
+    batch D: t-1 @10:35 (late redelivery, fresh ingest ts) → RE-EMITTED —
+             the price of bounded state; the keyed-upsert sink absorbs it.
+
+    Plain dropDuplicates would keep t-1's state forever and emit it once —
+    correct, but state = all keys ever seen (unusable on endless streams).
+    """
+    from postgres_etl_pipeline_spark.streaming.jobs import dedup_bounded_state
+    from postgres_etl_pipeline_spark.streaming.runner import run_to_memory
+    from postgres_etl_pipeline_spark.streaming.sources import stream_ndjson_txns
+
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [_txn("r1", "t-1", "2024-01-01T10:00:00Z")],
+        mtime_offset_s=-180,
+    )
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [
+            _txn("r1", "t-1", "2024-01-01T10:05:00Z"),
+            _txn("r1", "t-9", "2024-01-01T10:30:00Z"),
+        ],
+        mtime_offset_s=-120,
+    )
+    _write_ndjson(
+        str(tmp_path / "c.ndjson"),
+        [_txn("r1", "t-8", "2024-01-01T10:35:00Z")],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(tmp_path / "d.ndjson"),
+        [_txn("r1", "t-1", "2024-01-01T10:35:00Z")],
+    )
+    stream = stream_ndjson_txns(spark, str(tmp_path), max_files_per_trigger=1)
+    deduped = dedup_bounded_state(
+        stream, ["run_id", "txn_id"], "event_time", "10 minutes"
+    )
+    out = run_to_memory(deduped, "t_dedup_bounded", "append")
+    t1_emissions = out.filter(F.col("txn_id") == "t-1").count()
+    assert t1_emissions == 2, "evicted key re-emits on late redelivery"
+    # t-1 ×2 + t-9 + t-8; the in-horizon duplicate was dropped
+    assert out.count() == 4
