@@ -143,3 +143,38 @@ def test_resample_locf_grid_is_contiguous_and_carries(spark, rows):
             else:
                 assert r.is_gap == 1
             assert r.value == carried
+
+
+@given(rows=_keyed_rows(max_rows=20, unique_ts_per_key=True))
+@settings(**_SETTINGS)
+def test_scd2_compress_matches_naive_history(spark, rows):
+    from postgres_etl_pipeline_spark.operators.scd import scd2_compress
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, ts int, attr int")
+    hist = scd2_compress(df, ["k"], ["attr"], "ts").collect()
+
+    # naive reference: walk each key's snapshots in ts order, open a
+    # version on every attr change
+    want: dict[str, list] = {}
+    for k in sorted({r[0] for r in rows}):
+        snaps = sorted(((ts, a) for (rk, ts, a) in rows if rk == k))
+        versions = []
+        for ts, a in snaps:
+            if not versions or versions[-1][1] != a:
+                versions.append([ts, a])
+        want[k] = versions
+
+    got: dict[str, list] = {}
+    for r in sorted(hist, key=lambda r: (r.k, r.version)):
+        got.setdefault(r.k, []).append(r)
+    assert got.keys() == want.keys()
+    for k, vs in want.items():
+        rows_k = got[k]
+        assert [r.version for r in rows_k] == list(range(1, len(vs) + 1))
+        for i, (ts, a) in enumerate(vs):
+            assert rows_k[i].valid_from == ts and rows_k[i].attr == a
+            # valid_to chains to the next change; open-ended on the last
+            nxt = vs[i + 1][0] if i + 1 < len(vs) else None
+            assert rows_k[i].valid_to == nxt
