@@ -134,3 +134,32 @@ def test_q19_pushes_per_relation_disjunctions_to_both_scans(spark, sf_small):
     # OR-of-ANDs and pushes them into each parquet scan
     assert li and "Or(" in li[0]
     assert pt and "Or(" in pt[0]
+
+
+def test_partitioned_write_prunes_directories_at_read(spark, sf_small, tmp_path):
+    import re
+
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    path = str(tmp_path / "orders_by_status")
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    o.write.partitionBy("o_orderstatus").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = plan_string(back, "formatted")
+    m = re.search(r"PartitionFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
+    # the status predicate must prune DIRECTORIES (partition filter), not
+    # run as a data filter over all files
+    assert m, plan[:500]
+    statuses = {r.o_orderstatus for r in back.select("o_orderstatus").collect()}
+    assert statuses == {"F"}
+    # executed scan touches only the o_orderstatus=F directory: the scan
+    # metric counts 1 of the 3 status partitions
+    scan_metrics = back._jdf.queryExecution().executedPlan().toString()
+    # (inputFiles() reflects the UNpruned index, so assert via the plan's
+    # selected-partition count instead)
+    import re as _re
+
+    sel = _re.search(r"partition count: (\d+)", scan_metrics)
+    if sel:  # metric text varies by Spark minor; PartitionFilters above is
+        assert sel.group(1) == "1"  # the load-bearing assertion either way
