@@ -402,3 +402,64 @@ def simhash_near_dups(
     return cands.select(
         "doc_a", "doc_b", hd.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def _raw_spans(t: Column, n: int) -> Column:
+    """Word n-gram SPANS (positional, duplicates kept) from a bound token
+    array ``t`` — unlike shingles these are not dedup'd, because span
+    dedup counts every occurrence. Same lambda-binding rule as
+    ``_raw_shingles``: ``t`` must be a lambda variable."""
+    parts = lambda x, i: F.concat_ws(
+        " ", x, *[F.element_at(t, i + j) for j in range(2, n + 1)]
+    )
+    return F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))), parts
+    )
+
+
+def span_dup_coverage(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """C4/RefinedWeb-style exact span dedup audit: for every document,
+    what fraction of its word ``n``-gram spans also occurs elsewhere in
+    the corpus (another doc, or repeated within this one)?
+
+    Pipeline: explode positional spans → global span occurrence counts
+    (map-side combined) → join the counts back → per-doc rollup. The join
+    keys on the span string; at 100 TB the span-count relation is far
+    smaller than the positional one (aggregation first), and both sides
+    are hash-partitioned on the span — a plain shuffle join with no
+    skewed key (natural-language spans have long-tail frequencies; the
+    few hot spans are exactly the duplicated boilerplate we're measuring,
+    bounded by corpus copies, not by key-space collapse).
+
+    Emits per doc: total spans, spans with a global duplicate, and the
+    duplicated fraction (one double division of exact longs). The actual
+    *removal* op this audits is the same plan with a filter on
+    ``global_c == 1`` feeding a reconstruction — the audit is the
+    expensive part.
+    """
+    toks = tokens(text_col)
+    spans = df.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.transform(F.array(toks), lambda t: _raw_spans(t, n)))
+        ).alias("span"),
+    )
+    span_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("global_c"))
+    per_doc = (
+        spans.join(span_counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("global_c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+            "dup_span_fraction"
+        ),
+    )

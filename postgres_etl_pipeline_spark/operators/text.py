@@ -182,3 +182,131 @@ def ngram_udtf():
                 yield (" ".join(toks[i : i + n]), n)
 
     return NGrams
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition metrics.
+
+    Per doc: total/distinct token counts, the most-frequent-token share,
+    and the duplicate-bigram share — the standard web-corpus repetition
+    filters (a doc that is one phrase looped scores near 1.0 on both).
+
+    Shape: explode → (doc, token) hash-agg → per-doc rollup, and the same
+    keyed on bigrams, joined on doc_id. Explode + hash aggregate is chosen
+    over per-row array folds deliberately: counting duplicates inside an
+    array with higher-order functions is interpreted and O(n²) per row,
+    while the exploded aggregation is whole-stage-codegen'd, map-side
+    combined, and keyed by doc_id — it scales with splits and never
+    concentrates a hot key (doc_id is unique per row group).
+
+    Fractions are emitted as ONE double division of exact integer parts
+    (partition-invariant; oracle-comparable bit-for-bit at %.6g).
+    """
+    toks = tokens(text_col)
+    base = df.select("doc_id", toks.alias("toks"))
+    tok = base.select("doc_id", F.explode("toks").alias("tok"))
+    tok_stats = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    # bigrams from the bound token array (see _raw_shingles note on HOF
+    # re-evaluation: the slice/element_at lambda binds t once)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.array("toks"),
+                    lambda t: F.transform(
+                        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+                    ),
+                )
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        )
+    )
+    out = tok_stats.join(bg_stats, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.col("top_c").cast("double") / F.col("n_tokens")).alias("top_token_fraction"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams"),
+        ).alias("dup_bigram_fraction"),
+    )
+
+
+def heavy_hitter_tokens(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Exact corpus-wide heavy hitters: top-k tokens by frequency.
+
+    Explode → map-side-combined hash aggregate → global top-k via
+    TakeOrderedAndProject (no full sort: each task keeps its local top-k,
+    the driver merges k·tasks rows). (count DESC, token ASC) is a total
+    order, so the cutoff is deterministic.
+
+    At 100 TB the exact pass stays one shuffle of the *aggregated*
+    (token, count) pairs; the approximate sibling (`DataFrame.freqItems`,
+    Karp/Misra-Gries) finds the same hitters in one pass with NO shuffle —
+    its superset guarantee vs this exact op is pinned in
+    tests/test_text_ops.py.
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+NUM_PATTERN = r"-?\d+(?:\.\d+)?"
+
+
+def redact_numbers(col: str | Column) -> Column:
+    """Replace every numeric literal with the placeholder ``<NUM>`` —
+    the PII-scrub primitive (ids, phone-ish digit runs, amounts).
+    Built-in regexp_replace: JVM-side, codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, NUM_PATTERN, "<NUM>")
+
+
+def redaction_stats(df: DataFrame, col: str, group_by: str) -> DataFrame:
+    """Per-group redaction audit for a PII-style scrub of ``col``:
+    how many numeric literals were redacted, how many rows had any,
+    and how many distinct post-redaction templates remain.
+
+    The template cardinality is the useful signal at corpus scale: a
+    column whose million raw values collapse to a handful of ``<NUM>``
+    templates is machine-generated, not natural text. One scan, one
+    hash-agg shuffle keyed by the (low-cardinality) group column —
+    count-distinct expands to a two-phase aggregate, never a collect.
+    """
+    red = redact_numbers(col)
+    n_matches = F.regexp_count(F.col(col), F.lit(NUM_PATTERN))
+    return (
+        df.select(F.col(group_by), n_matches.alias("m"), red.alias("template"))
+        .groupBy(group_by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("m").cast("long").alias("n_redacted"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("long").alias("rows_with_pii"),
+            F.countDistinct("template").cast("long").alias("n_templates"),
+        )
+    )

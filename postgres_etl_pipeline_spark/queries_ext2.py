@@ -1,0 +1,214 @@
+"""Extension catalog, batch 2: corpus-hygiene operators a web-scale
+training-data pipeline runs between crawl and tokenizer — repetition
+filtering (Gopher), exact span dedup (C4/RefinedWeb), frequency heavy
+hitters, PII-style redaction, and the composed keep/drop quality gate.
+
+Same registry/oracle conventions as queries_ext.py (tokenization canon,
+exact-integer parts with one final double division, md5-only visible
+hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import text as X
+from .queries import read_events, register, spread, t
+from .queries_ext import _TOKS
+
+# Stopword-hit fragments bound to the shared ``toks`` CTE column (the
+# queries_ext._HITS twins re-tokenize from ``text``, which the CTE drops).
+_HITS_T = {
+    lang: "len(list_filter(toks, x -> lower(x) IN ({words})))".format(
+        words=", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    )
+    for lang in X.STOPWORDS
+}
+
+# Token-array CTE shared by the oracles below (DuckDB list indexing is
+# 1-based and negative slice bounds wrap, hence the greatest() guards).
+_L = (
+    "SELECT doc_id, lang, source, "
+    f"{_TOKS} AS toks FROM documents"
+)
+
+
+@register(
+    "doc_repetition_scores",
+    f"""
+    WITH l AS ({_L}),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    ts AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                  CAST(max(c) AS BIGINT) AS top_c
+           FROM tc GROUP BY 1),
+    bgl AS (SELECT doc_id,
+                   unnest(list_transform(toks[1:greatest(len(toks)-1, 0)],
+                          (x, i) -> x || ' ' || toks[i+1])) AS bg
+            FROM l),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY 1, 2),
+    bs AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+           FROM bc GROUP BY 1)
+    SELECT ts.doc_id,
+           ts.n_tokens,
+           ts.n_distinct_tokens,
+           CAST(ts.top_c AS DOUBLE) / ts.n_tokens AS top_token_fraction,
+           CASE WHEN bs.n_bigrams > 0
+                THEN CAST(bs.n_bigrams - bs.n_distinct_bigrams AS DOUBLE)
+                     / bs.n_bigrams
+           END AS dup_bigram_fraction
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+    survey="§7 Phase 5: Gopher-style repetition filters — top-token share + duplicate-bigram share per doc (explode + codegen hash-agg, never per-row array folds)",
+    tags=("ext", "text"),
+)
+def doc_repetition_scores(spark, sf_dir):
+    return X.repetition_stats(spread(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY 1
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    survey="§7 Phase 5: exact corpus heavy hitters (map-side-combined agg + TakeOrderedAndProject top-k); approximate one-pass sibling DataFrame.freqItems superset-pinned in test_text_ops",
+    tags=("ext", "text"),
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    return X.heavy_hitter_tokens(spread(t(spark, sf_dir, "documents")), k=20)
+
+
+_SPAN8 = (
+    "list_transform(toks[1:greatest(len(toks)-7, 0)], (x, i) -> "
+    + " || ' ' || ".join(["x"] + [f"toks[i+{j}]" for j in range(1, 8)])
+    + ")"
+)
+
+
+@register(
+    "span_dedup_coverage",
+    f"""
+    WITH l AS ({_L}),
+    sp AS (SELECT doc_id, unnest({_SPAN8}) AS span FROM l),
+    gc AS (SELECT span, count(*) AS global_c FROM sp GROUP BY 1)
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN gc.global_c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(sum(CASE WHEN gc.global_c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_span_fraction
+    FROM sp JOIN gc USING (span)
+    GROUP BY 1
+    """,
+    survey="§7 Phase 5: C4/RefinedWeb exact span dedup audit — positional word 8-grams, global occurrence counts joined back, per-doc duplicated fraction",
+    tags=("ext", "dedup"),
+)
+def span_dedup_coverage(spark, sf_dir):
+    return D.span_dup_coverage(spread(t(spark, sf_dir, "documents")), n=8)
+
+
+@register(
+    "props_redaction_audit",
+    r"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(regexp_extract_all(props, '-?\d+(?:\.\d+)?')))
+                AS BIGINT) AS n_redacted,
+           CAST(sum(CASE WHEN len(regexp_extract_all(props, '-?\d+(?:\.\d+)?')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_pii,
+           CAST(count(DISTINCT regexp_replace(props, '-?\d+(?:\.\d+)?', '<NUM>', 'g'))
+                AS BIGINT) AS n_templates
+    FROM events
+    GROUP BY 1
+    """,
+    survey="§7 Phase 5 / §2.3 P8: PII-style numeric redaction over the JSONB-ish props column — regexp scrub + per-type audit (redaction counts, template cardinality)",
+    tags=("ext", "text"),
+)
+def props_redaction_audit(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select("event_type", "props")
+    return X.redaction_stats(spread(ev), col="props", group_by="event_type")
+
+
+@register(
+    "corpus_quality_gate",
+    f"""
+    WITH l AS ({_L}),
+    scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             {_HITS_T['en']} AS e, {_HITS_T['es']} AS s,
+             {_HITS_T['fr']} AS f, {_HITS_T['de']} AS d
+      FROM l
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
+            FROM tc GROUP BY 1),
+    gated AS (
+      SELECT scored.lang, scored.source, scored.n_tokens,
+             (scored.n_tokens >= 30
+              AND rep.top_frac <= 0.12
+              AND scored.lang = (
+                CASE WHEN e >= s AND e >= f AND e >= d AND e > 0 THEN 'en'
+                     WHEN s >= f AND s >= d AND s > 0 THEN 'es'
+                     WHEN f >= d AND f > 0 THEN 'fr'
+                     WHEN d > 0 THEN 'de'
+                     ELSE 'und' END)) AS keep
+      FROM scored JOIN rep USING (doc_id)
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS kept_fraction
+    FROM gated
+    GROUP BY 1, 2
+    """,
+    survey="§7 Phase 5: the composed keep/drop corpus gate — lang-id agreement + min length + repetition threshold in one pass, rolled up per (lang, source); the filter a training pipeline actually ships",
+    tags=("ext", "text"),
+)
+def corpus_quality_gate(spark, sf_dir):
+    docs = spread(t(spark, sf_dir, "documents"))
+    scored = X.language_id(docs).select(
+        "doc_id", "lang", "source", "pred_lang",
+        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    # only the top-token share is gated on — skip repetition_stats' bigram
+    # pass and aggregate the token counts directly
+    rep = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_token_fraction")
+        )
+    )
+    keep = (
+        (F.col("n_tokens") >= 30)
+        & (F.col("top_token_fraction") <= 0.12)
+        & (F.col("lang") == F.col("pred_lang"))
+    )
+    gated = scored.join(rep, "doc_id").withColumn("keep", keep)
+    return gated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("kept_fraction"),
+    )

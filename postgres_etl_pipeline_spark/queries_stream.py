@@ -250,3 +250,40 @@ def stream_stream_join(spark, sf_dir):
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
     return runner.run_to_memory(joined, "stream_stream_join", "append", state_partitions=STATE_PARTITIONS)
+
+
+@register(
+    "stream_static_enrich",
+    """
+    WITH dim AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS type_total,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS type_avg_value
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, d.type_total, d.type_avg_value
+    FROM events e JOIN dim d USING (event_type)
+    """,
+    survey="§2.8 extension: stream-static broadcast join — per-batch dimension lookup enrichment, stateless append mode (the missing join flavor between batch J1 and the stream-stream interval join)",
+    tags=("streaming",),
+)
+def stream_static_enrich(spark, sf_dir):
+    from .queries import read_events
+
+    ev = sources.stream_events(spark, sf_dir)
+    dim = (
+        read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("type_total"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("type_avg_value"),
+        )
+    )
+    out = jobs.static_enrich(ev, dim)
+    return runner.run_to_memory(
+        out, "stream_static_enrich", "append", state_partitions=STATE_PARTITIONS
+    )

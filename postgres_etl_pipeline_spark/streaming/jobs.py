@@ -309,3 +309,19 @@ def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment (the dimension-lookup pattern).
+
+    The static side is re-broadcast per micro-batch — no streaming state
+    at all, so unlike a stream-stream join there is no watermark and no
+    state store: each event row is enriched exactly once, append-mode
+    safe. At 100 TB this is THE pattern for slowly-changing lookups
+    (currency tables, model registries): the batch side can be a parquet
+    /Delta table that each trigger re-reads, picking up dim updates
+    between micro-batches without restarting the stream.
+    """
+    return events.select("event_id", "event_type").join(
+        F.broadcast(dim), "event_type"
+    )

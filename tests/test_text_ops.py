@@ -1,0 +1,125 @@
+"""Unit tests for the batch-2 corpus-hygiene operators: repetition
+metrics, span dedup coverage, heavy hitters (+ freqItems superset
+guarantee), and numeric redaction. Crafted inputs pin the arithmetic;
+the sf0.001 catalog oracles pin cross-engine parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.operators import dedup as D
+from postgres_etl_pipeline_spark.operators import text as X
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestRepetitionStats:
+    def test_crafted_fractions(self, spark):
+        df = _docs(spark, ["a a a a b"])
+        row = X.repetition_stats(df).collect()[0]
+        assert row.n_tokens == 5
+        assert row.n_distinct_tokens == 2
+        assert row.top_token_fraction == pytest.approx(0.8)
+        # bigrams: "a a" x3, "a b" -> 4 total, 2 distinct -> dup 0.5
+        assert row.dup_bigram_fraction == pytest.approx(0.5)
+
+    def test_single_token_doc_has_null_bigram_fraction(self, spark):
+        row = X.repetition_stats(_docs(spark, ["solo"])).collect()[0]
+        assert row.n_tokens == 1
+        assert row.dup_bigram_fraction is None
+
+    def test_no_repetition(self, spark):
+        row = X.repetition_stats(_docs(spark, ["a b c d"])).collect()[0]
+        assert row.top_token_fraction == pytest.approx(0.25)
+        assert row.dup_bigram_fraction == pytest.approx(0.0)
+
+
+class TestSpanDupCoverage:
+    def test_shared_span_flags_both_docs(self, spark):
+        shared = "one two three four five six seven eight"
+        df = _docs(
+            spark,
+            [
+                shared + " tail-a",          # 2 spans, 1 duplicated
+                shared + " tail-b",          # 2 spans, 1 duplicated
+                "x1 x2 x3 x4 x5 x6 x7 x8",   # 1 span, unique
+            ],
+        )
+        rows = {r.doc_id: r for r in D.span_dup_coverage(df, n=8).collect()}
+        assert rows[0].n_spans == 2 and rows[0].n_dup_spans == 1
+        assert rows[1].dup_span_fraction == pytest.approx(0.5)
+        assert rows[2].n_dup_spans == 0
+
+    def test_intra_doc_repeat_counts_as_dup(self, spark):
+        span = "w1 w2 w3 w4 w5 w6 w7 w8"
+        df = _docs(spark, [span + " " + span])
+        row = D.span_dup_coverage(df, n=8).collect()[0]
+        # 9 positional spans; the loop makes the first and last identical
+        assert row.n_spans == 9
+        assert row.n_dup_spans >= 2
+
+    def test_short_docs_emit_no_rows(self, spark):
+        assert D.span_dup_coverage(_docs(spark, ["too short"]), n=8).count() == 0
+
+
+class TestHeavyHitters:
+    def test_exact_topk_total_order(self, spark):
+        df = _docs(spark, ["b b b a a c", "a b"])
+        rows = X.heavy_hitter_tokens(df, k=2).collect()
+        assert [(r.token, r.cnt) for r in rows] == [("b", 4), ("a", 3)]
+
+    def test_freq_items_is_superset_of_exact(self, spark, sf_small):
+        """DataFrame.freqItems (one-pass, no shuffle) must return a
+        superset of the items whose true frequency exceeds the support —
+        the guarantee that makes it the 100 TB pre-filter for the exact
+        heavy-hitter aggregation."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        tok = docs.select(F.explode(X.tokens("text")).alias("token"))
+        support = 0.02
+        approx = set(tok.stat.freqItems(["token"], support).collect()[0][0])
+        total = tok.count()
+        exact = {
+            r.token
+            for r in tok.groupBy("token").count().collect()
+            if r["count"] / total > support
+        }
+        assert exact <= approx
+
+
+class TestRedaction:
+    def test_redact_numbers_column(self, spark):
+        df = spark.createDataFrame(
+            [("abc 123 x-4.5 end",), ("no digits",)], "s string"
+        )
+        out = [r[0] for r in df.select(X.redact_numbers("s")).collect()]
+        assert out == ["abc <NUM> x<NUM> end", "no digits"]
+
+    def test_redaction_stats_counts(self, spark):
+        df = spark.createDataFrame(
+            [("a", '{"x": 1, "y": 22}'), ("a", '{"x": 3, "y": 22}'), ("b", "{}")],
+            "g string, s string",
+        )
+        rows = {r.g: r for r in X.redaction_stats(df, "s", "g").collect()}
+        assert rows["a"].n_redacted == 4
+        assert rows["a"].rows_with_pii == 2
+        # both 'a' rows collapse to the same template after redaction
+        assert rows["a"].n_templates == 1
+        assert rows["b"].n_redacted == 0 and rows["b"].n_templates == 1
+
+
+class TestCorpusGate:
+    def test_gate_is_non_degenerate_on_testdata(self, spark, sf_small):
+        from postgres_etl_pipeline_spark.queries import REGISTRY, queries
+
+        queries()
+        out = REGISTRY["corpus_quality_gate"].fn(spark, sf_small)
+        agg = out.agg(
+            F.sum("n_docs").alias("docs"), F.sum("n_kept").alias("kept")
+        ).collect()[0]
+        # thresholds must actually split the corpus: some kept, some dropped
+        assert 0 < agg.kept < agg.docs
