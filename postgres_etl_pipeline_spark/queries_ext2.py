@@ -212,3 +212,83 @@ def corpus_quality_gate(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("kept_fraction"),
     )
+
+
+@register(
+    "label_embedding_centroids",
+    """
+    WITH x AS (
+      SELECT label,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                    (v, i) -> {'pos': i - 1, 'v': v}), recursive := true)
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM x
+    GROUP BY 1, 2
+    """,
+    survey="§7 Phase 5: per-group vector centroids (posexplode + map-side-combined decimal agg — the IVF coarse-quantizer / class-prototype training primitive; no executor holds a whole group)",
+    tags=("ext", "similarity"),
+)
+def label_embedding_centroids(spark, sf_dir):
+    from .operators.similarity import group_centroids
+
+    return group_centroids(spread(t(spark, sf_dir, "embeddings")), "label")
+
+
+# Per-source target sampling rates for the mixture: derived from the
+# numeric source suffix so the weights are a pure function of the row
+# (srcN keeps (1 + N mod 5)/5 of its docs — five distinct rates, all
+# strata non-degenerate on the driver testdata).
+_RATE = "(1 + CAST(substr(source, 4) AS BIGINT) % 5) / 5.0"
+
+
+@register(
+    "source_mixture_sample",
+    f"""
+    WITH b AS (
+      SELECT source,
+             {_RATE} AS rate,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS bucket,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(count(*) FILTER (WHERE bucket < rate * 65536) AS BIGINT)
+             AS sampled_docs,
+           CAST(sum(n_tokens) FILTER (WHERE bucket < rate * 65536) AS BIGINT)
+             AS sampled_tokens
+    FROM b
+    GROUP BY 1
+    """,
+    survey="§7 Phase 5: deterministic source-mixture sampling — per-source target rates applied via the stable md5 bucket (the data-mixing step of training-corpus assembly; reproducible across runs, partitionings, and engines — never rand())",
+    tags=("ext", "text"),
+)
+def source_mixture_sample(spark, sf_dir):
+    docs = spread(t(spark, sf_dir, "documents"))
+    rate = (
+        1 + F.substring("source", 4, 10).cast("long") % 5
+    ).cast("double") / 5.0
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    keep = bucket < rate * 65536
+    return (
+        docs.select(
+            "source",
+            keep.alias("keep"),
+            F.size(X.tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_docs"),
+            F.count(F.when(F.col("keep"), 1)).cast("long").alias("sampled_docs"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+    )

@@ -123,3 +123,30 @@ class TestCorpusGate:
         ).collect()[0]
         # thresholds must actually split the corpus: some kept, some dropped
         assert 0 < agg.kept < agg.docs
+
+
+class TestGroupCentroids:
+    def test_crafted_centroid(self, spark):
+        from postgres_etl_pipeline_spark.operators.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (1, [3.0, 6.0]), (2, [5.0, 5.0])],
+            "label int, embedding array<float>",
+        )
+        rows = {(r.label, r.pos): r for r in group_centroids(df).collect()}
+        assert rows[(1, 0)].centroid == pytest.approx(2.0)
+        assert rows[(1, 1)].centroid == pytest.approx(4.0)
+        assert rows[(2, 0)].n_vectors == 1
+
+
+class TestSourceMixture:
+    def test_rates_are_applied_non_degenerately(self, spark, sf_small):
+        from postgres_etl_pipeline_spark.queries import REGISTRY, queries
+
+        queries()
+        out = REGISTRY["source_mixture_sample"].fn(spark, sf_small).collect()
+        by_src = {r.source: r for r in out}
+        # rate-1.0 sources keep everything; rate-0.2 sources keep a strict subset
+        full = [r for r in out if r.sampled_docs == r.total_docs]
+        partial = [r for r in out if 0 < r.sampled_docs < r.total_docs]
+        assert full and partial
