@@ -38,9 +38,16 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Checkpoint the symmetrized edge list BEFORE the loop: its lineage is
+    # the entire upstream pair-finder (minhash banding join / LSH bucket
+    # join) and every round's actions would otherwise be free to re-derive
+    # it — measured at sf0.1 this one checkpoint is worth ~2× on the full
+    # dedup chain.
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -56,11 +63,12 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("new_label"))
         )
-        joined = labels.join(new_labels, "node")
+        # checkpoint FIRST, then read the convergence count off the
+        # materialized rows — one execution of the join+agg per round,
+        # not one for the count and another for the checkpoint
+        joined = labels.join(new_labels, "node").localCheckpoint(eager=True)
         changed = joined.filter(F.col("new_label") < F.col("label")).count()
-        labels = joined.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        labels = joined.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
