@@ -444,7 +444,16 @@ def span_dup_coverage(df: DataFrame, n: int = 8, text_col: str = "text") -> Data
             F.flatten(F.transform(F.array(toks), lambda t: _raw_spans(t, n)))
         ).alias("span"),
     )
-    span_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("global_c"))
+    # SHUFFLE_HASH hint: Catalyst sizes the post-explode aggregate from the
+    # pre-explode scan stats and happily BROADCASTS the span-count relation
+    # — which at corpus scale is every distinct span (plan-shape test pins
+    # this). Shuffle-hash keys both sides on the span; the build side per
+    # partition is distinct-spans/N, which scales with the partition count.
+    span_counts = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("global_c"))
+        .hint("SHUFFLE_HASH")
+    )
     per_doc = (
         spans.join(span_counts, "span")
         .groupBy("doc_id")

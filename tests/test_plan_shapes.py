@@ -163,3 +163,37 @@ def test_partitioned_write_prunes_directories_at_read(spark, sf_small, tmp_path)
     sel = _re.search(r"partition count: (\d+)", scan_metrics)
     if sel:  # metric text varies by Spark minor; PartitionFilters above is
         assert sel.group(1) == "1"  # the load-bearing assertion either way
+
+
+def test_repetition_scores_partial_aggs_before_both_shuffles(spark, sf_small):
+    """Both exploded aggregations (tokens, bigrams) must map-side combine:
+    at corpus scale the (doc, token) partials collapse per task before any
+    shuffle. spread() adds one round-robin repartition locally; beyond it
+    the plan is the two keyed agg exchanges plus the doc_id join."""
+    df = q("doc_repetition_scores", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final per branch
+
+
+def test_span_dedup_never_broadcasts_the_span_relation(spark, sf_small):
+    """The positional-span relation grows with the corpus — if Catalyst
+    ever broadcast-joins it against the span counts, the plan OOMs at
+    scale. Both sides must meet in a shuffle join keyed on the span."""
+    df = q("span_dedup_coverage", spark, sf_small)
+    s = plan_summary(df)
+    assert s.broadcast_joins == 0
+    assert s.sort_merge_joins + s.shuffled_hash_joins >= 1
+
+
+def test_centroids_scan_prunes_to_group_and_vector(spark, sf_small):
+    df = q("label_embedding_centroids", spark, sf_small)
+    (cols,) = scan_columns(df)
+    assert cols == {"label", "embedding"}
+
+
+def test_mixture_sample_is_single_scan_single_shuffle(spark, sf_small):
+    """Deterministic sampling is a scan-time map — one pass over documents,
+    one aggregate exchange on the low-cardinality source key."""
+    df = q("source_mixture_sample", spark, sf_small)
+    s = plan_summary(df)
+    assert s.scans == 1 and s.joins == 0
