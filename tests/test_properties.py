@@ -178,3 +178,67 @@ def test_scd2_compress_matches_naive_history(spark, rows):
             # valid_to chains to the next change; open-ended on the last
             nxt = vs[i + 1][0] if i + 1 < len(vs) else None
             assert rows_k[i].valid_to == nxt
+
+
+_words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_repetition_stats_matches_naive(spark, texts):
+    from postgres_etl_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        counts: dict[str, int] = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct_tokens == len(counts)
+        assert abs(r.top_token_fraction - max(counts.values()) / len(toks)) < 1e-12
+        if bgs:
+            naive = (len(bgs) - len(set(bgs))) / len(bgs)
+            assert abs(r.dup_bigram_fraction - naive) < 1e-12
+        else:
+            assert r.dup_bigram_fraction is None
+
+
+@given(texts=_texts, n=st.sampled_from([2, 3]))
+@settings(**_SETTINGS)
+def test_span_dup_coverage_matches_naive(spark, texts, n):
+    """Small n keeps random texts long enough to have spans; the operator
+    is n-generic (the catalog pins n=8 via its DuckDB oracle)."""
+    from collections import Counter
+
+    from postgres_etl_pipeline_spark.operators.dedup import span_dup_coverage
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in span_dup_coverage(df, n=n).collect()}
+    spans_per_doc = {
+        i: [
+            " ".join(t.split()[j : j + n])
+            for j in range(len(t.split()) - n + 1)
+        ]
+        for i, t in enumerate(texts)
+    }
+    global_counts = Counter(s for spans in spans_per_doc.values() for s in spans)
+    for i, spans in spans_per_doc.items():
+        if not spans:
+            assert i not in got
+            continue
+        dup = sum(1 for s in spans if global_counts[s] > 1)
+        assert got[i].n_spans == len(spans)
+        assert got[i].n_dup_spans == dup
