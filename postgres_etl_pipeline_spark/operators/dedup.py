@@ -472,3 +472,25 @@ def span_dup_coverage(df: DataFrame, n: int = 8, text_col: str = "text") -> Data
             "dup_span_fraction"
         ),
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, index_fps: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental corpus dedup: admit only new documents whose fingerprint
+    is (a) absent from the historical index and (b) first within the
+    incoming batch (min doc_id keeps the tie-break deterministic).
+
+    This is the production shape for a continuously-growing corpus: the
+    index is a compact (fp) relation maintained across runs — the
+    admitted batch's fingerprints are appended to it afterwards — so each
+    increment costs one anti-join against the index plus an intra-batch
+    group-by, never a re-scan of the historical corpus text. Both
+    relations are keyed by the uniform md5 fingerprint: no skew, and the
+    anti-join degrades gracefully from broadcast (small index) to shuffle
+    (web-scale index) under AQE.
+    """
+    new_fp = new_docs.select("doc_id", fingerprint(text_col).alias("fp"))
+    keeper = new_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    idx = index_fps.select("fp").distinct()
+    return keeper.join(idx, "fp", "left_anti").select("doc_id", "fp")

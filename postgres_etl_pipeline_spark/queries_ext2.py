@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import text as X
 from .queries import read_events, register, spread, t
-from .queries_ext import _TOKS
+from .queries_ext import _NORM, _TOKS
 
 # Stopword-hit fragments bound to the shared ``toks`` CTE column (the
 # queries_ext._HITS twins re-tokenize from ``text``, which the CTE drops).
@@ -292,3 +292,31 @@ def source_mixture_sample(spark, sf_dir):
             .alias("sampled_tokens"),
         )
     )
+
+
+@register(
+    "incremental_dedup_new_docs",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fp
+            WHERE CAST(substr(source, 4) AS BIGINT) < 10),
+    new AS (SELECT doc_id, fp FROM fp
+            WHERE CAST(substr(source, 4) AS BIGINT) >= 10),
+    keeper AS (SELECT fp, min(doc_id) AS doc_id FROM new GROUP BY 1)
+    SELECT k.doc_id, k.fp
+    FROM keeper k
+    WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = k.fp)
+    """,
+    survey="§7 Phase 5 / §2.2 K5 shape: incremental corpus dedup — admit new-batch docs absent from the historical fingerprint index (anti-join) and first within the batch; the continuously-growing-corpus pattern (index maintained across runs, history never re-scanned)",
+    tags=("ext", "dedup"),
+)
+def incremental_dedup_new_docs(spark, sf_dir):
+    from .operators.text import fingerprint
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    src_n = F.substring("source", 4, 10).cast("long")
+    index_fps = docs.filter(src_n < 10).select(fingerprint("text").alias("fp"))
+    new_docs = docs.filter(src_n >= 10)
+    return D.incremental_exact_dedup(new_docs, index_fps)

@@ -150,3 +150,25 @@ class TestSourceMixture:
         full = [r for r in out if r.sampled_docs == r.total_docs]
         partial = [r for r in out if 0 < r.sampled_docs < r.total_docs]
         assert full and partial
+
+
+class TestIncrementalDedup:
+    def test_index_hit_and_intra_batch_dup_are_dropped(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+        from postgres_etl_pipeline_spark.operators.text import fingerprint
+
+        index_docs = _docs(spark, ["already indexed"])
+        index_fps = index_docs.select(fingerprint("text").alias("fp"))
+        new = spark.createDataFrame(
+            [
+                (10, "already indexed"),   # dup of history -> dropped
+                (11, "fresh doc"),         # admitted
+                (12, "fresh doc"),         # intra-batch dup -> dropped
+                (13, "another one"),       # admitted
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in incremental_exact_dedup(new, index_fps).collect()}
+        assert kept == {11, 13}
