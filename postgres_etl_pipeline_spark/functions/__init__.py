@@ -19,6 +19,7 @@ scalar / relational (reference: dbt marts + validate/enrich callables)
 
 text (extensions: language-ID, quality, tokenization over `documents`)
   normalize_ws, tokens, token_count, fingerprint, stopword_hits
+  redact_numbers   PII-style numeric-literal scrub (regexp, codegen)
 
 dedup (shingle/minhash/simhash building blocks)
   shingles
@@ -42,6 +43,7 @@ from ..operators.similarity import as_double_vec, cosine, dot, norm
 from ..operators.text import (
     fingerprint,
     normalize_ws,
+    redact_numbers,
     stopword_hits,
     token_count,
     tokens,
@@ -59,6 +61,7 @@ __all__ = [
     "money",
     "norm",
     "normalize_ws",
+    "redact_numbers",
     "safe_div",
     "shingles",
     "stopword_hits",
