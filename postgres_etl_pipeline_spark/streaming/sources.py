@@ -16,18 +16,41 @@ from pyspark.sql import types as T
 
 from ..schemas import STG_TRANSACTIONS_SCHEMA
 
-# events.parquet carries TIMESTAMP(NANOS); see queries.read_events for why
-# the conversion must be exact integer division (double mantissa overflow).
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos via nanosAsLong
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# events.parquet has carried TIMESTAMP(NANOS) in some driver generations and
+# TIMESTAMP(MICROS) in others; the batch reader (queries.read_events) adapts
+# by inspecting the resolved dtype, but a file STREAM takes a forced schema,
+# so the unit must be probed from a parquet footer up front (driver-side,
+# one footer — at 100 TB you probe one object of the prefix, not the data).
+
+
+def _events_ts_schema(path: str) -> tuple[T.StructType, bool]:
+    """Return (read schema, is_nanos) for an events parquet file/dir.
+
+    NANOS parquet can't be read as a Spark timestamp (PARQUET_TYPE_ILLEGAL)
+    → read the raw int64 as LongType and convert with exact integer DIV
+    (epoch-nanos overflow double's mantissa; never route through a float).
+    MICROS parquet reads natively as TimestampNTZ.
+    """
+    import glob as _glob
+    import pyarrow.parquet as _pq
+
+    probe = path if path.endswith(".parquet") else next(
+        iter(sorted(_glob.glob(f"{path}/*.parquet")))
+    )
+    unit = _pq.ParquetFile(probe).schema_arrow.field("ts").type.unit
+    is_nanos = unit == "ns"
+    ts_type = T.LongType() if is_nanos else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    return schema, is_nanos
 
 
 def stream_parquet(
@@ -58,17 +81,20 @@ def stream_events(
 ) -> DataFrame:
     """Stream the driver ``events`` table (replay of a bounded event log).
 
-    Same nanos handling as the batch reader (queries.read_events): read ns
-    as LongType, convert with integer ``DIV 1000`` → timestamp_micros. No
-    session conf needed here: file streams take an explicit user schema
-    (EVENTS_NANOS_SCHEMA declares ts as LongType), so no footer-driven
-    schema inference happens and nanosAsLong never applies — verified by
-    draining with the conf unset.
+    Unit-adaptive twin of the batch reader (queries.read_events): NANOS
+    parquet is read as LongType and converted with integer ``DIV 1000`` →
+    timestamp_micros; MICROS parquet reads natively as TimestampNTZ and is
+    cast to (session-UTC) timestamp. No session conf needed here: file
+    streams take an explicit user schema, so no footer-driven schema
+    inference happens and nanosAsLong never applies — verified by draining
+    with the conf unset.
     """
-    ev = stream_parquet(
-        spark, f"{sf_dir}/events.parquet", EVENTS_NANOS_SCHEMA, max_files_per_trigger
-    )
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    path = f"{sf_dir}/events.parquet"
+    schema, is_nanos = _events_ts_schema(path)
+    ev = stream_parquet(spark, path, schema, max_files_per_trigger)
+    if is_nanos:
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_ndjson_txns(

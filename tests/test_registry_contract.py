@@ -35,6 +35,26 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert actual == ROWS_ONLY
 
 
+def test_driver_window_rotation_contract():
+    """The driver verifies only ``list(queries())[:50]``; the rotation must
+    (a) fill all 50 slots, (b) lead with the sentinel core, (c) give every
+    windowed entry an oracle (a rows-only row would waste a slot), and
+    (d) reference only registered names (a typo would silently shrink the
+    window)."""
+    from postgres_etl_pipeline_spark import queries as Q
+
+    names = list(Q.queries())
+    oracles = Q.oracle_sql()
+    window = names[:50]
+    assert len(names) == len(REGISTRY)
+    assert len(Q._DRIVER_WINDOW) == 50
+    assert window == list(Q._DRIVER_WINDOW)
+    assert window[: len(Q._SENTINELS)] == list(Q._SENTINELS)
+    assert all(n in oracles for n in window)
+    unknown = [n for n in Q._DRIVER_WINDOW if n not in REGISTRY]
+    assert not unknown
+
+
 def test_every_entry_has_survey_citation():
     missing = [n for n, s in REGISTRY.items() if not s.survey.strip()]
     assert not missing
