@@ -360,15 +360,98 @@ def moving_avg_monthly_revenue(spark, sf_dir):
     return m.select("mon", "rev", F.round(F.avg("rev").over(w), 4).alias("rev_ma3"))
 
 
-# --- full-pipeline entries (rows-only: inputs come from the seeded datagen,
-# not the sf_dir tables, so no DuckDB oracle is expressible) -----------------
+# --- full-pipeline entries ---------------------------------------------------
+# Inputs come from the seeded datagen, not the sf_dir tables — but the
+# generator is deterministic pure Python (datagen.transactions_payload,
+# crc32-seeded), so the ORACLE inlines the exact same source rows as SQL
+# VALUES and recomputes the full chain (dedupe → star join → daily agg)
+# independently in DuckDB. This converts both end-to-end §3 pipelines from
+# rows-only smoke checks into hash-level correctness evidence.
+
+
+def _grocery_mart_oracle() -> str:
+    """Self-contained DuckDB twin of the §3.1 chain for the catalog run
+    (run_id='run-catalog', scenario='ok', n=40): same seeded source rows
+    inlined as VALUES, then last-write-wins dedupe on (run_id, txn_id) →
+    star join to the seed dims (``sql/init.sql:47-61``) → revenue_cents →
+    daily mart (``mart_daily_sales.sql:6-15`` shape + region)."""
+    from .datagen import DIM_PRODUCTS_ROWS, DIM_STORES_ROWS, transactions_payload
+
+    payload = transactions_payload("run-catalog", "ok", 40)
+    txn_vals = ",\n      ".join(
+        "('{}', '{}', '{}', {}, {}, TIMESTAMP '{}')".format(
+            t["txn_id"], t["store_id"], t["sku"], t["quantity"],
+            t["unit_price_cents"], t["event_time"].replace("+00:00", "").replace("T", " "),
+        )
+        for t in payload["transactions"]
+    )
+    store_vals = ", ".join(f"('{sid}', '{region}')" for sid, _, region, _ in DIM_STORES_ROWS)
+    sku_vals = ", ".join(f"('{sku}', '{cat}')" for sku, cat, _, _ in DIM_PRODUCTS_ROWS)
+    return f"""
+    WITH txns(txn_id, store_id, sku, quantity, unit_price_cents, event_time) AS (
+      VALUES {txn_vals}
+    ),
+    dim_store(store_id, region) AS (VALUES {store_vals}),
+    dim_product(sku, category) AS (VALUES {sku_vals}),
+    deduped AS (
+      SELECT * FROM txns
+      QUALIFY row_number() OVER (
+        PARTITION BY txn_id ORDER BY event_time DESC) = 1
+    ),
+    fct AS (
+      SELECT d.*, s.region,
+             CAST(d.quantity AS BIGINT) * d.unit_price_cents AS revenue_cents
+      FROM deduped d
+      JOIN dim_store s USING (store_id)
+      JOIN dim_product p USING (sku)
+    )
+    SELECT strftime(date_trunc('day', event_time), '%Y-%m-%d') AS day,
+           store_id, region,
+           count(*) AS txns,
+           CAST(SUM(quantity) AS BIGINT) AS units,
+           CAST(SUM(revenue_cents) AS BIGINT) AS gross_amount_cents
+    FROM fct
+    GROUP BY 1, 2, 3
+    """
+
+
+def _retail_mart_oracle() -> str:
+    """DuckDB twin of the §3.2 dbt chain ('ok' scenario): the literal seed
+    rows (``retail_seed_dag.py:105-113``) → typed staging casts
+    (``stg_transactions.sql:22-42``) → daily mart (``mart_daily_sales.sql``)."""
+    from .pipelines.retail import SEED_ROWS
+
+    vals = ",\n      ".join(
+        f"('{r[0]}', {r[1]}, '{r[2]}', {r[3]}, TIMESTAMP '{r[4]}')" for r in SEED_ROWS
+    )
+    return f"""
+    WITH src(transaction_id, store_id, amount_cents, quantity, transaction_ts) AS (
+      VALUES {vals}
+    ),
+    stg AS (
+      SELECT CAST(transaction_id AS VARCHAR) AS transaction_id,
+             CAST(store_id AS INTEGER) AS store_id,
+             CAST(amount_cents AS INTEGER) AS amount_cents,
+             CAST(quantity AS INTEGER) AS quantity,
+             transaction_ts
+      FROM src
+    )
+    SELECT strftime(date_trunc('day', transaction_ts), '%Y-%m-%d') AS day,
+           store_id,
+           count(*) AS txns,
+           CAST(SUM(quantity) AS BIGINT) AS units,
+           CAST(SUM(CAST(amount_cents AS BIGINT)) AS BIGINT) AS gross_amount_cents
+    FROM stg
+    GROUP BY 1, 2
+    """
 
 
 @register(
     "grocery_pipeline_mart",
-    None,
+    _grocery_mart_oracle(),
     survey="§3.1 end-to-end: generate → validate → stage → star join → mart"
-    " (driver-visible smoke of the whole grocery chain)",
+    " (driver-visible hash check of the whole grocery chain against an"
+    " independently recomputed DuckDB twin over the same seeded rows)",
     tags=("pipeline",),
 )
 def grocery_pipeline_mart(spark, sf_dir):
@@ -378,14 +461,14 @@ def grocery_pipeline_mart(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="grocery_q_")
     res = grocery.run(spark, base, "run-catalog", "ok")
-    return res.mart
+    return res.mart.withColumn("day", F.col("day").cast("string"))
 
 
 @register(
     "retail_pipeline_mart",
-    None,
+    _retail_mart_oracle(),
     survey="§3.2 end-to-end: seed → typed staging → daily mart → quality"
-    " gates (dbt-chain twin)",
+    " gates (dbt-chain twin, hash-checked against inlined seed rows)",
     tags=("pipeline",),
 )
 def retail_pipeline_mart(spark, sf_dir):

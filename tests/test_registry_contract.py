@@ -18,8 +18,6 @@ from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all
 ROWS_ONLY = {
     "approx_percentiles_by_brand",   # sketch values are engine-specific
     "embedding_ivf_topk",            # KMeans centroids not SQL-expressible
-    "grocery_pipeline_mart",         # seeded datagen input, no sf tables
-    "retail_pipeline_mart",          # seeded datagen input, no sf tables
     "multimodal_feature_extract",    # mapInPandas fake-decode features
     "hll_daily_users",               # DataSketches estimates
 }
@@ -36,23 +34,31 @@ def test_rows_only_set_is_exactly_the_documented_one():
 
 
 def test_driver_window_rotation_contract():
-    """The driver verifies only ``list(queries())[:50]``; the rotation must
-    (a) fill all 50 slots, (b) lead with the sentinel core, (c) give every
-    windowed entry an oracle (a rows-only row would waste a slot), and
-    (d) reference only registered names (a typo would silently shrink the
-    window)."""
+    """The driver verifies only ``list(queries())[:50]``; the window config
+    must (a) fill all 50 slots, (b) lead with the sentinel core, (c) spend
+    slots only on oracle-checked entries or the documented rows-only set
+    (whose driver rows-only evidence is still worth a slot once), and
+    (d) reference only registered names — queries() itself raises on a typo
+    rather than silently shrinking the window."""
     from postgres_etl_pipeline_spark import queries as Q
 
     names = list(Q.queries())
     oracles = Q.oracle_sql()
-    window = names[:50]
+    window = Q._driver_window()
     assert len(names) == len(REGISTRY)
-    assert len(Q._DRIVER_WINDOW) == 50
-    assert window == list(Q._DRIVER_WINDOW)
-    assert window[: len(Q._SENTINELS)] == list(Q._SENTINELS)
-    assert all(n in oracles for n in window)
-    unknown = [n for n in Q._DRIVER_WINDOW if n not in REGISTRY]
-    assert not unknown
+    assert len(window) == 50
+    assert names[:50] == list(window)
+    assert window[: len(Q._SENTINELS)] == Q._SENTINELS
+    assert all(n in oracles or n in ROWS_ONLY for n in window)
+
+
+def test_unknown_window_name_raises(monkeypatch):
+    """A config typo must fail loudly, not shrink the window (r03 advice)."""
+    from postgres_etl_pipeline_spark import queries as Q
+
+    monkeypatch.setattr(Q, "_driver_window", lambda: ("no_such_query",))
+    with pytest.raises(ValueError, match="no_such_query"):
+        Q.queries()
 
 
 def test_every_entry_has_survey_citation():
