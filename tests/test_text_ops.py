@@ -172,3 +172,55 @@ class TestIncrementalDedup:
         )
         kept = {r.doc_id for r in incremental_exact_dedup(new, index_fps).collect()}
         assert kept == {11, 13}
+
+
+class TestStopShingleCap:
+    """jaccard_pairs skew guard: shingles shared by more than
+    max(stop_min_df, stop_max_df_frac * n_docs) documents are dropped
+    before the inverted-index self-join (the 100x scale-killer fix —
+    one boilerplate shingle over k docs otherwise emits k^2/2 candidates)."""
+
+    BOILER = "the quick brown fox jumps over the lazy sleeping dog tonight now"
+
+    def _corpus(self, spark, n=60):
+        # every doc: 12 shared boilerplate tokens + 4 unique tokens
+        return _docs(
+            spark,
+            [f"{self.BOILER} u{i}a u{i}b u{i}c u{i}d" for i in range(n)],
+        )
+
+    def test_hot_shingles_detected_and_bounded(self, spark):
+        df = self._corpus(spark)
+        sh = D.doc_shingles(df).withColumn("hs", F.xxhash64("shingle"))
+        n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = D.stop_shingle_hashes(sh, n_docs, max_df_frac=0.25, min_df=8)
+        # exactly the 10 all-boilerplate shingles cross cap=ceil(0.25*60)=15
+        # (boundary shingles mix unique tokens, df=1)
+        assert hot.count() == 10
+        kept = sh.join(F.broadcast(hot), "hs", "left_anti")
+        # candidate volume through the self-join is now bounded: every
+        # surviving shingle has df <= cap; worst-case fan-out per key is
+        # cap^2 instead of n^2
+        max_df = kept.groupBy("hs").count().agg(F.max("count")).collect()[0][0]
+        assert max_df <= 15
+
+    def test_cap_drops_boilerplate_only_pairs(self, spark):
+        df = self._corpus(spark)
+        uncapped = D.jaccard_pairs(df, threshold=0.5, stop_max_df_frac=None)
+        # shared 10 of 14 shingles -> jaccard 10/18 = 0.556: all N^2/2 pairs
+        assert uncapped.count() == 60 * 59 // 2
+        capped = D.jaccard_pairs(
+            df, threshold=0.5, stop_max_df_frac=0.25, stop_min_df=8
+        )
+        # boilerplate no longer contributes intersections -> no pairs at all
+        assert capped.count() == 0
+
+    def test_default_cap_is_identity_on_testdata(self, spark, sf_small):
+        """On the sf corpora no shingle crosses the default cap, so the
+        capped operator must be bit-identical to the exact uncapped one
+        (this is what keeps jaccard_near_dups oracle-green)."""
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        a = sorted(map(tuple, D.jaccard_pairs(docs, 0.5).collect()))
+        b = sorted(map(tuple,
+                       D.jaccard_pairs(docs, 0.5, stop_max_df_frac=None).collect()))
+        assert a == b and len(a) > 0
