@@ -1,0 +1,120 @@
+"""Distributed global ranking — the scale-safe replacement for
+``Window.orderBy(...)`` (which Spark executes as Exchange SinglePartition:
+every row through ONE task — the definitive 100x scale-killer).
+
+Pattern (the "approx-quantile cutpoints + join" plan the catalog docstrings
+prescribed): one ``approxQuantile`` pass yields ~k value cutpoints, embedded
+as LITERALS so every downstream job sees identical boundaries (range
+repartitioning's sampled boundaries, by contrast, can differ between the
+count job and the final job — the z-order flake class). Rows bucket by
+cutpoint comparison (order-consistent: ties share a bucket), rank within
+buckets via a PARTITIONED window, and per-bucket offsets — at most k rows —
+are collected once and re-broadcast as a literal map. Global rank =
+within-bucket row_number + offset[bucket]. Shuffle cost: one hash exchange
+on the bucket id (~n/k rows per task) + two O(k)-row driver scalars; no
+stage ever sees more than one bucket.
+
+Determinism: the final rank depends only on the total ordering
+``(value_col, *tie_cols)``, never on where the cutpoints landed, so
+approxQuantile's approximation affects balance, not results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RankedFrame:
+    """``df`` + ``_rank`` (1-based global row_number under the total
+    ordering) and the driver-side facts downstream expressions need."""
+
+    df: DataFrame                      # input cols + _bkt + _rank
+    n_total: int                       # total row count
+    first_keys: dict[int, tuple]       # bucket -> first row's key tuple
+    buckets: list[int]                 # non-empty buckets, ascending
+
+
+def _bucket_expr(value_col: str, cuts: list[float]) -> Column:
+    """Order-consistent bucket id: number of cutpoints strictly below the
+    value. Literal comparisons — folded into whole-stage codegen."""
+    b: Column = F.lit(0)
+    for c in cuts:
+        b = b + (F.col(value_col) > F.lit(c)).cast("int")
+    return b
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    key_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+    rel_err: float = 1e-3,
+) -> RankedFrame:
+    """Attach a 1-based global rank under ``ORDER BY value_col, *tie_cols``
+    without any single-partition exchange.
+
+    ``key_cols`` (default ``tie_cols``) are the columns captured per bucket
+    for boundary expressions (global first row, next-row handoff for lead).
+    The ordering must be total (tie_cols break all ties) — with a total
+    order, rank == row_number == dense_rank, and percent_rank/cume_dist
+    are pure arithmetic over (rank, n_total).
+    """
+    spark = df.sparkSession
+    k = n_buckets or spark.sparkContext.defaultParallelism
+    probs = [i / k for i in range(1, k)]
+    cuts = sorted(set(df.stat.approxQuantile(value_col, probs, rel_err)))
+    b = df.withColumn("_bkt", _bucket_expr(value_col, cuts))
+
+    keys = key_cols if key_cols is not None else list(tie_cols)
+    order_struct = F.struct(value_col, *tie_cols)
+    stats = (
+        b.groupBy("_bkt")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min_by(F.struct(*keys), order_struct).alias("_first"),
+        )
+        .collect()
+    )  # ≤ k rows — a driver scalar, same class as approxQuantile itself
+    stats.sort(key=lambda r: r["_bkt"])
+    offsets: dict[int, int] = {}
+    first_keys: dict[int, tuple] = {}
+    acc = 0
+    for r in stats:
+        offsets[r["_bkt"]] = acc
+        acc += r["_cnt"]
+        first_keys[r["_bkt"]] = tuple(r["_first"])
+    if not offsets:  # empty input: rank column still needs a valid plan
+        ranked = b.withColumn("_rank", F.lit(None).cast("long"))
+        return RankedFrame(ranked, 0, {}, [])
+
+    off_map = F.create_map(
+        *[F.lit(x) for bkt, off in offsets.items() for x in (bkt, off)]
+    )
+    w = Window.partitionBy("_bkt").orderBy(value_col, *tie_cols)
+    ranked = b.withColumn(
+        "_rank",
+        (F.row_number().over(w) + off_map[F.col("_bkt")]).cast("long"),
+    )
+    return RankedFrame(ranked, acc, first_keys, sorted(offsets))
+
+
+def ntile_expr(rank: Column, n_total: int, n_tiles: int) -> Column:
+    """``ntile(n_tiles)`` as arithmetic over a precomputed global rank:
+    the first ``n_total % n_tiles`` tiles get ``n_total // n_tiles + 1``
+    rows, the rest one fewer (Spark/DuckDB/Postgres ntile semantics).
+    All operands are Python ints — constant-folded literals."""
+    q, rem = divmod(n_total, n_tiles)
+    big = (q + 1) * rem  # rows living in the oversized leading tiles
+    small_tile = (  # guard q == 0 (n_total < n_tiles): branch never taken
+        F.lit(rem) + F.floor((rank - F.lit(big) - 1) / F.lit(max(q, 1))) + 1
+    )
+    return (
+        F.when(rank <= F.lit(big), F.floor((rank - 1) / F.lit(q + 1)) + 1)
+        .otherwise(small_tile)
+        .cast("int")
+    )

@@ -259,15 +259,23 @@ def customer_order_gaps(spark, sf_dir):
     FROM q
     GROUP BY 1
     """,
-    survey="§2.5 gap: ntile ranking (total ordering incl. key tie-break;"
-    " single-partition window — at scale use approx quantile cutpoints"
-    " + a join instead)",
+    survey="§2.5 gap: ntile ranking over a total order — computed scale-"
+    " safely via operators.ranking.global_rank (approx-quantile literal"
+    " cutpoints → bucketed row_number + offset map; no single-partition"
+    " exchange) + ntile_expr arithmetic; the oracle keeps the exact global"
+    " window as the twin",
     tags=("adv", "window"),
 )
 def customer_balance_quartiles(spark, sf_dir):
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    q = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    from .operators.ranking import global_rank, ntile_expr
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rf = global_rank(c, "c_acctbal", ["c_custkey"])
+    if rf.n_total == 0:
+        return spark.createDataFrame(
+            [], "quartile int, n long, min_bal double, max_bal double"
+        )
+    q = rf.df.withColumn("quartile", ntile_expr(F.col("_rank"), rf.n_total, 4))
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),

@@ -542,25 +542,33 @@ def dedup_keep_list(spark, sf_dir):
     return dedup_keep_filter(docs, cc).select("doc_id", "lang", "n_chars")
 
 
+_PACK_SHARDS = 64  # fixed constant: bin layout must not depend on cluster size
+
+
 @register(
     "token_budget_packing",
     f"""
     WITH tok AS (
-      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             doc_id % {_PACK_SHARDS} AS shard_id
+      FROM documents
     ),
     c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      SELECT doc_id, n_tokens, shard_id,
+             SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
       FROM tok
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard_id AS BIGINT) AS shard_id,
            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
     FROM c
     """,
     survey="§7 Phase 5: sequence packing — concat-and-chunk documents into"
-    " 2048-token training bins (bin = running-token-offset DIV budget)."
-    " Global window here; at 100 TB pack per shard (partitionBy shard id)"
-    " so each task owns one independent running sum",
+    " 2048-token training bins, SHARDED: shard_id = doc_id % 64 (a fixed"
+    " constant so the layout is cluster-size-independent), each shard owns"
+    " an independent running sum via a PARTITIONED window — no single-"
+    " partition exchange; a bin is addressed by (shard_id, bin_id)",
     tags=("ext", "text"),
 )
 def token_budget_packing(spark, sf_dir):
@@ -568,12 +576,19 @@ def token_budget_packing(spark, sf_dir):
 
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id", X.token_count("text").cast("long").alias("n_tokens")
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("long").alias("shard_id"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
         "doc_id",
         "n_tokens",
+        "shard_id",
         F.floor((F.col("cum") - F.col("n_tokens")) / 2048.0)
         .cast("long")
         .alias("bin_id"),

@@ -247,20 +247,48 @@ def grouping_sets_revenue(spark, sf_dir):
     """,
     survey="§2.5 gap: analytic-window surface beyond lag/ntile —"
     " percent_rank, cume_dist, first_value, lead-with-default on one total"
-    " ordering (global window; at scale rank against approx-quantile"
-    " cutpoints instead — see customer_balance_quartiles note)",
+    " ordering, computed scale-safely (operators.ranking.global_rank:"
+    " bucketed rank + literal offset/handoff maps; percent_rank/cume_dist"
+    " are arithmetic over (rank, n); lead crosses bucket boundaries via a"
+    " next-bucket-first map; no single-partition exchange — the oracle"
+    " keeps the exact global window as the twin)",
     tags=("tpch",),
 )
 def supplier_window_stats(spark, sf_dir):
-    s = t(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return s.select(
+    from .operators.ranking import global_rank
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    rf = global_rank(s, "s_acctbal", ["s_suppkey"], key_cols=["s_suppkey"])
+    if rf.n_total == 0:
+        return spark.createDataFrame(
+            [],
+            "s_suppkey long, s_name string, bal_pct_rank double,"
+            " bal_cume_dist double, poorest_suppkey long, next_suppkey long",
+        )
+    n = rf.n_total
+    # lead across bucket boundaries: the last row of bucket b hands off to
+    # the FIRST key of the next non-empty bucket (a ≤k-entry literal map)
+    nxt = {
+        bkt: rf.first_keys[rf.buckets[i + 1]][0]
+        for i, bkt in enumerate(rf.buckets[:-1])
+    }
+    boundary = (
+        F.create_map(*[F.lit(x) for b, v in nxt.items() for x in (b, v)])[
+            F.col("_bkt")
+        ]
+        if nxt
+        else F.lit(None)
+    )
+    wb = Window.partitionBy("_bkt").orderBy("s_acctbal", "s_suppkey")
+    return rf.df.select(
         "s_suppkey",
         "s_name",
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
-        F.first("s_suppkey").over(w).alias("poorest_suppkey"),
-        F.lead("s_suppkey", 1, -1).over(w).cast("long").alias("next_suppkey"),
+        ((F.col("_rank") - 1) / F.lit(max(n - 1, 1))).cast("double").alias("bal_pct_rank"),
+        (F.col("_rank") / F.lit(n)).cast("double").alias("bal_cume_dist"),
+        F.lit(rf.first_keys[rf.buckets[0]][0]).cast("long").alias("poorest_suppkey"),
+        F.coalesce(F.lead("s_suppkey").over(wb), boundary, F.lit(-1))
+        .cast("long")
+        .alias("next_suppkey"),
     )
 
 

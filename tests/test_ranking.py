@@ -1,0 +1,95 @@
+"""operators.ranking — distributed global rank / ntile arithmetic.
+
+The contract: identical RESULTS to the exact single-partition global
+window, with a PLAN that never routes the big input through an
+Exchange SinglePartition (the 100x scale-killer the module replaces).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.operators.ranking import (
+    global_rank,
+    ntile_expr,
+)
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "k long, v double"
+    ).repartition(8)
+
+
+class TestGlobalRank:
+    def test_matches_exact_window_with_duplicate_values(self, spark):
+        vals = [5, 1, 1, 3, 3, 3, 9, 0, 5, 5, 2, 7, 7, 4, 4] * 20
+        df = _vals(spark, vals)
+        rf = global_rank(df, "v", ["k"], n_buckets=4)
+        got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
+        w = Window.orderBy("v", "k")
+        exp = {
+            (r.k, r.rn)
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+        }
+        assert got == exp
+        assert rf.n_total == len(vals)
+
+    def test_empty_input(self, spark):
+        rf = global_rank(_vals(spark, []), "v", ["k"])
+        assert rf.n_total == 0 and rf.df.count() == 0
+
+    def test_single_row(self, spark):
+        rf = global_rank(_vals(spark, [42]), "v", ["k"])
+        assert [r._rank for r in rf.df.collect()] == [1]
+
+    def test_first_keys_and_bucket_order(self, spark):
+        rf = global_rank(_vals(spark, [10, 30, 20, 40]), "v", ["k"], n_buckets=2)
+        # global first row is the minimum under (v, k): k=0 (v=10)
+        assert rf.first_keys[rf.buckets[0]] == (0,)
+
+    def test_no_single_partition_exchange_in_plan(self, spark):
+        df = _vals(spark, range(1000))
+        rf = global_rank(df, "v", ["k"], n_buckets=8)
+        plan = rf.df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "Window" in plan  # partitioned window did the ranking
+
+
+class TestNtileExpr:
+    @pytest.mark.parametrize("n,k", [(1, 4), (2, 4), (3, 4), (4, 4), (5, 4),
+                                     (7, 4), (101, 4), (12, 5), (60, 7)])
+    def test_matches_builtin_ntile(self, spark, n, k):
+        df = _vals(spark, range(n))
+        rf = global_rank(df, "v", ["k"], n_buckets=4)
+        got = dict(
+            rf.df.select(
+                "k", ntile_expr(F.col("_rank"), rf.n_total, k).alias("t")
+            ).collect()
+        )
+        w = Window.orderBy("v", "k")
+        exp = dict(df.select("k", F.ntile(k).over(w).alias("t")).collect())
+        assert got == exp
+
+
+class TestCatalogQueriesScaleShape:
+    """The two rewritten catalog entries must keep a SinglePartition-free
+    plan (their oracles pin result parity vs the exact global window)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "customer_balance_quartiles",
+            "supplier_window_stats",
+            "token_budget_packing",
+        ],
+    )
+    def test_no_single_partition_exchange(self, spark, sf_small, name):
+        from postgres_etl_pipeline_spark.queries import REGISTRY, queries
+
+        queries()
+        df = REGISTRY[name].fn(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
