@@ -32,22 +32,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers + Python/Arrow workers once (excluded
     # from timings — engine warmup, not query work).
-    next(iter(bench_queries.values())).fn(spark, sf_dir).count()
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
 
+    # Per query: one untimed warmup run (JIT/codegen compilation for THIS
+    # plan, not just the engine) then best-of-3 timed runs, back to back.
+    # Round-3 showed single-shot timings swing ±30% with zero code change —
+    # min over adjacent repetitions estimates steady-state cost. (Spreading
+    # reps across interleaved sweeps was tried and REJECTED: accumulated
+    # broadcast/GC pressure from the other plans inflated the heavy
+    # queries ~2x and raised variance instead of lowering it.)
     total = 0.0
     for name, spec in bench_queries.items():
-        # best-of-2: min over repetitions estimates steady-state cost,
-        # insulating the metric from co-tenant machine-load spikes
-        best = float("inf")
-        for _ in range(2):
+        spec.fn(spark, sf_dir).count()
+        b = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+            b = min(b, time.perf_counter() - t0)
+        timings[name] = round(b, 3)
+        total += b
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
