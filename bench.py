@@ -63,6 +63,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Methodology marker (round-4 advice): r01-r03 were
+                # single-shot cold ("cold-single"); r04+ are per-query
+                # warmup + best-of-3. Cross-round deltas are only
+                # comparable within the same method.
+                "method": "warm-best-of-3",
             }
         )
     )

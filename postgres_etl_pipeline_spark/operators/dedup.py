@@ -209,7 +209,7 @@ def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
-    stop_max_df_frac: float | None = 0.25,
+    stop_max_df_frac: float | None = None,
     stop_min_df: int = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
@@ -227,11 +227,13 @@ def jaccard_pairs(
     the cap bites: set sizes still count ALL distinct shingles, but stop
     shingles no longer contribute intersections, so similarity from
     corpus-wide boilerplate is (deliberately) not counted — a conservative
-    Jaccard. On corpora where no shingle crosses the cap (all sf testdata
-    tiers — asserted by the oracle harness) results are bit-identical to
-    the uncapped join. ``stop_max_df_frac=None`` disables the cap (the
-    exact oracle twin). Beyond that, :func:`minhash_lsh_candidates` is the
-    sub-quadratic path. Jaccard itself is exact integer arithmetic + one
+    Jaccard. Because of that, the LIBRARY default is ``stop_max_df_frac=
+    None`` (exact n-gram Jaccard, what the function name promises); scale
+    call sites — including the registered catalog entry — opt INTO the cap
+    explicitly. On corpora where no shingle crosses the cap (all sf
+    testdata tiers — asserted by the oracle harness) the capped result is
+    bit-identical to the exact join. Beyond the cap,
+    :func:`minhash_lsh_candidates` is the sub-quadratic path. Jaccard itself is exact integer arithmetic + one
     double division — engine-portable.
 
     Set sizes ride along with the exploded rows (computed row-wise inside

@@ -17,6 +17,20 @@ stage ever sees more than one bucket.
 Determinism: the final rank depends only on the total ordering
 ``(value_col, *tie_cols)``, never on where the cutpoints landed, so
 approxQuantile's approximation affects balance, not results.
+
+Input contract: ``df`` must be DETERMINISTIC across jobs — the plan is
+evaluated three times (approxQuantile, the bucket-stats collect, the final
+ranked plan), and a plan containing ``rand()``/sampling/order-dependent id
+generation can hand the final job different rows than the ones the
+offsets were computed from (silently wrong or null ranks). Cache or
+``localCheckpoint`` such inputs first; parquet-backed plans (every catalog
+call site) are deterministic as-is.
+
+NULL values in ``value_col`` take the dedicated ``-1`` bucket, ranked
+before every non-null bucket and ordered among themselves by
+``tie_cols`` — exactly ``Window.orderBy``'s default ASC NULLS FIRST.
+(approxQuantile drops nulls, so without the guard a null value would
+produce a null bucket id — a runtime "null map key" error downstream.)
 """
 
 from __future__ import annotations
@@ -68,7 +82,14 @@ def global_rank(
     k = n_buckets or spark.sparkContext.defaultParallelism
     probs = [i / k for i in range(1, k)]
     cuts = sorted(set(df.stat.approxQuantile(value_col, probs, rel_err)))
-    b = df.withColumn("_bkt", _bucket_expr(value_col, cuts))
+    # NULLS FIRST: nulls get bucket -1 (approxQuantile ignores them and the
+    # cutpoint comparison would yield a NULL bucket id otherwise)
+    b = df.withColumn(
+        "_bkt",
+        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            _bucket_expr(value_col, cuts)
+        ),
+    )
 
     keys = key_cols if key_cols is not None else list(tie_cols)
     order_struct = F.struct(value_col, *tie_cols)

@@ -825,14 +825,36 @@ _SENTINELS: tuple[str, ...] = (
 
 
 def _driver_window() -> tuple[str, ...]:
-    """The 50 names pinned to the front of ``queries()`` this round, from
-    repo-root config; empty (→ registration order) when no config exists."""
+    """The 50 names pinned to the front of ``queries()`` this round.
+
+    Resolution order: ``$SPARK_GRAFT_DRIVER_WINDOW`` (explicit path — the
+    installed/wheel deployment knob, round-4 advice) → ``DRIVER_WINDOW.json``
+    next to the package source (the repo checkout layout). A missing config
+    is VISIBLE, not silent: a warning is emitted before falling back to
+    registration order, so a misplaced config can't quietly change what the
+    verifier samples."""
     import json
+    import os
+    import warnings
     from pathlib import Path
 
-    cfg = Path(__file__).resolve().parent.parent / _WINDOW_CONFIG
-    if not cfg.is_file():
-        return ()
+    override = os.environ.get("SPARK_GRAFT_DRIVER_WINDOW")
+    if override:
+        cfg = Path(override)
+        if not cfg.is_file():
+            raise FileNotFoundError(
+                f"$SPARK_GRAFT_DRIVER_WINDOW={override!r} does not exist"
+            )
+    else:
+        cfg = Path(__file__).resolve().parent.parent / _WINDOW_CONFIG
+        if not cfg.is_file():
+            warnings.warn(
+                f"{_WINDOW_CONFIG} not found at {cfg} — queries() falls back "
+                "to registration order (set $SPARK_GRAFT_DRIVER_WINDOW for "
+                "installed deployments)",
+                stacklevel=2,
+            )
+            return ()
     window = tuple(json.loads(cfg.read_text())["window"])
     if len(window) != len(set(window)):
         raise ValueError(f"{_WINDOW_CONFIG}: duplicate names in window")

@@ -97,7 +97,16 @@ _JACCARD_ORACLE = f"""
     tags=("ext", "dedup", "bench"),
 )
 def jaccard_near_dups(spark, sf_dir):
-    return D.jaccard_pairs(spread(t(spark, sf_dir, "documents")), threshold=0.5)
+    # The SCALE call site opts INTO the stop-shingle cap (the library
+    # default is exact/uncapped); on the sf corpora no shingle crosses the
+    # cap, so this stays bit-identical to the exact oracle (asserted by
+    # tests/test_text_ops.py::test_catalog_cap_is_identity_on_testdata).
+    return D.jaccard_pairs(
+        spread(t(spark, sf_dir, "documents")),
+        threshold=0.5,
+        stop_max_df_frac=0.25,
+        stop_min_df=64,
+    )
 
 
 # ---------------------------------------------------------------------------

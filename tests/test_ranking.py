@@ -50,6 +50,23 @@ class TestGlobalRank:
         # global first row is the minimum under (v, k): k=0 (v=10)
         assert rf.first_keys[rf.buckets[0]] == (0,)
 
+    def test_nulls_rank_first_like_exact_window(self, spark):
+        """NULL values take the -1 bucket and reproduce ASC NULLS FIRST —
+        the exact Window.orderBy semantics (round-4 advice: approxQuantile
+        drops nulls, so an unguarded bucket expr would yield null bucket
+        ids and a 'null map key' runtime error)."""
+        rows = [(0, 5.0), (1, None), (2, 1.0), (3, None), (4, 3.0), (5, 2.0)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(4)
+        rf = global_rank(df, "v", ["k"], n_buckets=3)
+        got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "k")
+        exp = {
+            (r.k, r.rn)
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+        }
+        assert got == exp
+        assert rf.buckets[0] == -1  # the null bucket leads the offset order
+
     def test_no_single_partition_exchange_in_plan(self, spark):
         df = _vals(spark, range(1000))
         rf = global_rank(df, "v", ["k"], n_buckets=8)
