@@ -165,9 +165,11 @@ def simhash_docs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "embedding_cosine_topk",
-    """
+# Exact cosine top-5 for the first-20-query slice — shared by the
+# brute-force entry AND the probe-all IVF entry (n_probe = n_centroids
+# degenerates IVF to exact search, so both are hash-checked against the
+# same ground truth).
+_COSINE_TOPK_ORACLE = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -183,7 +185,12 @@ def simhash_docs(spark, sf_dir):
       FROM scored
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "embedding_cosine_topk",
+    _COSINE_TOPK_ORACLE,
     survey="§7 Phase 5: brute-force cosine top-k (broadcast queries, scan corpus)",
     tags=("ext", "similarity", "bench"),
 )
@@ -368,9 +375,37 @@ def multimodal_payload_audit(spark, sf_dir):
     )
 
 
+def _le_uint32_expr(start: int) -> str:
+    """DuckDB SQL for the stub feature at 1-based byte offset ``start``:
+    little-endian uint32 of payload bytes [start, start+4), zero-padded,
+    scaled to [0, 1) — the exact ``multimodal._fake_feature`` arithmetic.
+
+    The payload is UTF-8(text) and the driver corpora are pure ASCII
+    (octet_length(encode(text)) == length(text) at every sf tier —
+    asserted in tests), so byte i IS ``ascii(substring(text, i, 1))``.
+    """
+    terms = " + ".join(
+        f"(CASE WHEN length(text) >= {start + i} "
+        f"THEN ascii(substring(text, {start + i}, 1)) ELSE 0 END) * {256 ** i}.0"
+        for i in range(4)
+    )
+    return f"round(({terms}) / 4294967296.0, 6)"
+
+
 @register(
     "multimodal_feature_extract",
-    None,  # mapInPandas plumbing — not SQL-expressible; rows-only check.
+    # The 'decode' is the deterministic stub (no codec libs in container),
+    # i.e. a pure function of the payload bytes — so the mapInPandas output
+    # has an exact SQL twin and the entry is hash-checked, not rows-only
+    # (round-4 verdict item 1). Real media decode stays NotImplementedError.
+    f"""
+    SELECT doc_id,
+           'text/plain' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_le_uint32_expr(1)} AS f0,
+           {_le_uint32_expr(5)} AS f1
+    FROM documents
+    """,
     survey="§7 Phase 5: Arrow-batched feature extraction over binary payloads (decode stubbed)",
     tags=("ext", "multimodal"),
 )
@@ -473,15 +508,27 @@ def tfidf_top_terms(spark, sf_dir):
 
 @register(
     "embedding_ivf_topk",
-    None,  # KMeans partition layout isn't SQL-expressible; rows-only check.
+    # Probe-ALL mode (n_probe = n_centroids) degenerates IVF to exact
+    # top-k: every centroid's inverted list is scanned, so the result is
+    # ground truth regardless of where KMeans placed the centroids — which
+    # makes the entry hash-oracle-able against the same exact-cosine SQL
+    # as the brute-force entry (round-4 verdict item 1). The approximate
+    # n_probe < n_centroids path stays the parameterized library default,
+    # pinned by measured-recall tests (tests/test_similarity_recall.py).
+    _COSINE_TOPK_ORACLE,
     survey="§7 Phase 5: IVF ANN — KMeans centroids + n_probe nearest"
-    " buckets + exact rerank (data-adaptive twin of the sign-LSH path)",
+    " buckets + exact rerank (data-adaptive twin of the sign-LSH path);"
+    " catalog entry runs probe-all = exact",
     tags=("ext", "similarity"),
 )
 def embedding_ivf_topk(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     return S.ivf_topk(
-        corpus=emb, queries=emb.filter(F.col("vec_id") < 20), k=5
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_centroids=16,
+        n_probe=16,
     )
 
 

@@ -44,6 +44,24 @@ def test_extract_features_batch_shape_and_determinism(spark):
     assert rows2 == {k: r.feature for k, r in rows.items()}
 
 
+@pytest.mark.parametrize("tier", ["sf_small", "sf_med"])
+def test_driver_corpus_is_pure_ascii(spark, tier, request):
+    """The multimodal_feature_extract hash oracle reads payload bytes as
+    ``ascii(substring(text, i, 1))`` — valid ONLY while UTF-8(text) is
+    byte-per-char, i.e. pure ASCII. Pin that property on every tier the
+    harness runs so a future testdata regeneration with non-ASCII text
+    fails HERE with a clear message, not as an opaque hash mismatch."""
+    docs = spark.read.parquet(f"{request.getfixturevalue(tier)}/documents.parquet")
+    non_ascii = docs.filter(
+        F.octet_length(F.encode("text", "UTF-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0, (
+        "documents.text contains non-ASCII characters; the "
+        "multimodal_feature_extract oracle's ascii()-per-byte arithmetic "
+        "no longer matches UTF-8 payload bytes"
+    )
+
+
 def test_decode_payload_is_an_explicit_stub():
     with pytest.raises(NotImplementedError, match="kind='image/png'"):
         M.decode_payload(b"\x89PNG", "image/png")
