@@ -7,15 +7,22 @@ the transitive closure — if A~B and B~C, then {A,B,C} is one duplicate
 cluster and one representative survives. This module computes per-node
 component labels with pure DataFrame ops (no GraphFrames dependency).
 
-Algorithm: iterative hash-to-min label propagation — every node starts
-labeled with itself; each round a node takes the min label among itself and
-its neighbors; converged when no label changes. Rounds = component
-diameter + 1, and each round is one shuffle join + one hash aggregate.
-Near-dup clusters are small and dense (diameter ≤ ~3), so this settles in
-a handful of rounds; for adversarial long-chain graphs the upgrade is
-alternating large-star/small-star (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14), which converges in O(log n) rounds —
-same building blocks, different edge rewrite per round.
+Two algorithms, same output contract:
+
+- ``hash_to_min`` (default): iterative label propagation — every node
+  starts labeled with itself; each round a node takes the min label among
+  itself and its neighbors; converged when no label changes. Rounds =
+  component diameter + 1, each one shuffle join + one hash aggregate.
+  Near-dup clusters are small and dense (diameter ≤ ~3), so this settles
+  in a handful of rounds — the right default for dedup pipelines.
+- ``star``: alternating large-star/small-star edge rewrites (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  paper, no reference-repo counterpart), which contract every component
+  to a star rooted at its min node in O(log n) rounds — the adversarial-
+  shape path (long chains, high-diameter meshes) where hash-to-min would
+  need O(diameter) rounds. Each round is two grouped-min aggregates + two
+  node-keyed joins; convergence is detected from a count+hash signature
+  of the materialized edge set (no extra pass over lineage).
 
 Scale notes: labels are localCheckpoint'd each round so the plan does not
 grow with iterations; the per-round shuffle is keyed by node id (near-
@@ -30,11 +37,24 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    algorithm: str = "hash_to_min",
 ) -> DataFrame:
     """Component label per node: (node, component) with component = min
     node id reachable. Edges are undirected; nodes not in any edge are not
-    emitted (an isolated doc is trivially its own cluster)."""
+    emitted (an isolated doc is trivially its own cluster).
+
+    ``algorithm='star'`` switches to the O(log n)-round large-star/
+    small-star contraction (see module docstring) — identical labels,
+    different round complexity; pick it when component diameters are
+    unbounded (general graphs rather than near-dup clusters)."""
+    if algorithm == "star":
+        return connected_components_star(edges, src, dst, max_iter)
+    if algorithm != "hash_to_min":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -54,6 +74,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
@@ -71,7 +92,120 @@ def connected_components(
         labels = joined.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        # partial labels are silently WRONG answers — fail loudly and point
+        # at the O(log n) algorithm built for high-diameter graphs
+        raise RuntimeError(
+            f"hash-to-min did not converge in {max_iter} rounds (component "
+            "diameter exceeds the round budget) — use algorithm='star' for "
+            "long-chain/high-diameter graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects each STRICTLY LARGER
+    neighbor v to m = min(N(u) ∪ {u}). Emitted edges (v, m) satisfy
+    v > u ≥ m, so they always point downhill and never self-loop."""
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mv"))
+        .select("src", F.least("mv", F.col("src")).alias("m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges larger→smaller, then every node u
+    connects its smaller neighbors AND ITSELF to m = min(N⁻(u) ∪ {u})."""
+    d = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    j = d.join(d.groupBy("src").agg(F.min("dst").alias("m")), "src")
+    return (
+        j.select(F.col("dst").alias("src"), "m")
+        .union(j.select("src", "m"))
+        .filter(F.col("src") != F.col("m"))
+        .select("src", F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Kiveris et al. alternating large-star/small-star connected
+    components: O(log n) rounds on ANY graph shape, vs hash-to-min's
+    O(diameter). Same output contract as :func:`connected_components`.
+
+    Scale notes: every round's shuffles are keyed by node id (near-unique;
+    the grouped mins combine map-side, so a high-degree hub costs one
+    partial per task, not a hot reduce key). The edge set is
+    ``localCheckpoint``'d each round — the plan never grows with
+    iterations — and convergence reads a (count, hash-sum) signature off
+    the just-materialized rows, so detection costs one O(1)-row aggregate,
+    never a re-derivation. Raises on non-convergence instead of returning
+    silently-partial labels (with the O(log n) guarantee, hitting
+    ``max_iter=30`` means the input is pathological, not slow).
+    """
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        # bit_xor: order-independent AND overflow-free under ANSI mode
+        # (sum of 64-bit hashes would raise ARITHMETIC_OVERFLOW); the edge
+        # set is distinct, so xor self-cancellation can't mask a change
+        # that count doesn't already catch.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iter} rounds"
+        )
+    # Fixed point is a star forest: every non-root appears once as src
+    # pointing at its component root. Re-attach nodes whose edges were
+    # dropped as self-loops (and roots) via the saved node set.
+    labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def dedup_keep_filter(

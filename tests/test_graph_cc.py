@@ -2,10 +2,12 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from postgres_etl_pipeline_spark.operators.graph import (
     connected_components,
+    connected_components_star,
     dedup_keep_filter,
 )
 
@@ -42,6 +44,59 @@ def test_duplicate_and_reversed_edges_are_harmless(spark):
     )
     got = {r.node: r.component for r in cc.collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestStarAlgorithm:
+    """Large-star/small-star CC (Kiveris et al.) — the O(log n)-round path
+    for adversarial graph shapes (round-4 verdict item 3)."""
+
+    def test_matches_hash_to_min_on_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(42)
+        for _trial in range(3):
+            n = 60
+            pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+            df = _edges(spark, pairs)  # includes self-loops + duplicates
+            a = {(r.node, r.component) for r in connected_components(df).collect()}
+            b = {
+                (r.node, r.component)
+                for r in connected_components(df, algorithm="star").collect()
+            }
+            assert a == b and len(a) > 0
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 300-node chain has diameter 299 — hash-to-min needs ~299
+        rounds, the star contraction O(log n): empirically 10. Cap
+        max_iter at 12 so a regression to per-hop propagation FAILS."""
+        chain = _edges(spark, [(i, i + 1) for i in range(299)])
+        got = {
+            r.node: r.component
+            for r in connected_components_star(chain, max_iter=12).collect()
+        }
+        assert got == {i: 0 for i in range(300)}
+
+    def test_long_chain_makes_hash_to_min_fail_loudly(self, spark):
+        """hash-to-min must raise on non-convergence (silently-partial
+        labels are wrong answers), naming the star alternative."""
+        chain = _edges(spark, [(i, i + 1) for i in range(40)])
+        with pytest.raises(RuntimeError, match="algorithm='star'"):
+            connected_components(chain, max_iter=3)
+
+    def test_empty_and_self_loop_edges(self, spark):
+        assert connected_components_star(_edges(spark, [])).count() == 0
+        got = {
+            r.node: r.component
+            for r in connected_components_star(
+                _edges(spark, [(5, 5), (1, 2)])
+            ).collect()
+        }
+        # self-loop node 5 is kept as its own singleton component
+        assert got == {5: 5, 1: 1, 2: 1}
+
+    def test_unknown_algorithm_raises(self, spark):
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            connected_components(_edges(spark, [(1, 2)]), algorithm="bogus")
 
 
 def test_keep_filter_drops_non_representatives(spark):
