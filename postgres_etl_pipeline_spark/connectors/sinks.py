@@ -13,6 +13,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def atomic_write_text(path: str, text: str) -> None:
@@ -196,13 +197,69 @@ def write_bucketed(
     w.saveAsTable(name)
 
 
+def _partition_by_literal_cuts(
+    df: DataFrame, key_col: str, n_parts: int
+) -> DataFrame:
+    """Deterministically range-partition ``df`` on numeric ``key_col``
+    into ``n_parts`` EXACT equal-rank slices — the determinism fix for the
+    layout writers (round-2 flake, round-4 verdict item 7):
+    ``repartitionByRange`` re-SAMPLES split points per execution, so two
+    writes of the same data could land rows in different files and smear
+    file boundaries. Here every row gets an exact global rank from the
+    distributed ranking kernel (operators/ranking.py — literal
+    approxQuantile buckets + partitioned window + offset map; the
+    approximation moves only internal bucket BALANCE, never the rank), and
+    file id = ``((rank-1)·n_parts) div n_total`` — sharp, byte-
+    deterministic splits with no sampling anywhere.
+
+    Ties: equal key values may split across adjacent files (their file
+    min/max then TOUCH at that one value, never overlap past it); which
+    duplicate lands where is immaterial to the footer stats, which are a
+    pure function of the value multiset.
+
+    Routing: ``repartition(n, col)`` places a row at
+    ``pmod(murmur3(col), n)``, so each file id is mapped to a TOKEN whose
+    murmur3 pmod n equals it (preimages via one tiny driver job;
+    ``F.hash`` IS the Murmur3Hash that HashPartitioning applies). Each
+    output partition then holds exactly one rank slice.
+    """
+    from ..operators.ranking import global_rank
+
+    spark = df.sparkSession
+    rf = global_rank(
+        df, key_col, tie_cols=[], key_cols=[key_col], n_buckets=n_parts
+    )
+    if rf.n_total == 0:
+        return df.withColumn("__routed_tok", F.lit(0).cast("int"))
+    fid = F.expr(f"CAST(((_rank - 1) * {n_parts}) DIV {rf.n_total} AS INT)")
+    cand = spark.range(0, 64 * n_parts).select(
+        F.col("id").cast("int").alias("tok"),
+        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_parts)).alias("p"),
+    )
+    toks = {
+        r["p"]: r["tok"]
+        for r in cand.groupBy("p").agg(F.min("tok").alias("tok")).collect()
+    }
+    missing = set(range(n_parts)) - set(toks)
+    if missing:  # P(miss) ~ n*e^-64 — defensive, not expected
+        raise RuntimeError(f"no murmur preimage found for buckets {missing}")
+    tok_map = F.create_map(
+        *[F.lit(x) for b in range(n_parts) for x in (b, toks[b])]
+    )
+    return (
+        rf.df.withColumn("__routed_tok", tok_map[fid].cast("int"))
+        .repartition(n_parts, "__routed_tok")
+        .drop("_bkt", "_rank")
+    )
+
+
 def write_range_layout(
     df: DataFrame,
     path: str,
     sort_cols: list[str],
     n_files: int | None = None,
 ) -> None:
-    """Data-skipping layout: range-repartition by ``sort_cols`` + sort
+    """Data-skipping layout: range-partition by ``sort_cols`` + sort
     within partitions, so each output parquet file owns a DISJOINT value
     range and its row-group min/max statistics actually prune.
 
@@ -214,9 +271,24 @@ def write_range_layout(
     single-column case, and the 100 TB lever for scan-heavy predicates that
     partition directories are too coarse for. Disjointness is asserted
     file-by-file in tests via parquet footer stats.
+
+    DETERMINISTIC for a numeric leading sort column: split points are
+    literal quantile cutpoints (see :func:`_partition_by_literal_cuts`),
+    so writing the same input twice yields byte-identical file ranges.
+    Non-numeric leading columns fall back to ``repartitionByRange``
+    (disjoint, but boundaries are re-sampled per run).
     """
-    w = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
-    w.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    if isinstance(df.schema[sort_cols[0]].dataType, T.NumericType):
+        routed = _partition_by_literal_cuts(df, sort_cols[0], n)
+    else:  # approxQuantile only handles numeric columns
+        routed = df.repartitionByRange(n, *sort_cols)
+    (
+        routed.sortWithinPartitions(*sort_cols)
+        .drop("__routed_tok")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
@@ -258,13 +330,18 @@ def write_zorder_layout(
     otherwise have to read. The open-source answer to Delta/Iceberg
     OPTIMIZE ZORDER for plain parquet dirs (asserted file-footer-level in
     tests/test_skew_and_layout.py).
+
+    DETERMINISTIC: the Morton key is split at literal quantile cutpoints
+    (:func:`_partition_by_literal_cuts`, never ``repartitionByRange``'s
+    per-run sampling), so two writes of the same input produce identical
+    file boundaries — asserted run-vs-run in tests.
     """
     zdf = df.withColumn("__z", zorder_value(zorder_cols, bits=bits))
-    parts = [n_files] if n_files else []
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
     (
-        zdf.repartitionByRange(*parts, "__z")
+        _partition_by_literal_cuts(zdf, "__z", n)
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__routed_tok")
         .write.mode("overwrite")
         .parquet(path)
     )

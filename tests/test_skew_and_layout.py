@@ -78,6 +78,56 @@ def test_range_layout_files_have_disjoint_stats(spark, sf_small):
     assert spark.read.parquet(path).count() == o.count()
 
 
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return sorted(out)
+
+
+def test_layout_boundaries_are_deterministic_across_runs(spark, tmp_path):
+    """Round-2 flake class: repartitionByRange re-samples split points per
+    execution. The writers now use literal quantile cutpoints + explicit
+    bucket routing — two writes of the same input must produce IDENTICAL
+    per-file value ranges, for both the 1-D range layout and the z-order
+    layout."""
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_range_layout(o, str(tmp_path / "r1"), ["o_orderkey"], n_files=8)
+    write_range_layout(o, str(tmp_path / "r2"), ["o_orderkey"], n_files=8)
+    r1 = _file_ranges(str(tmp_path / "r1"), "o_orderkey")
+    r2 = _file_ranges(str(tmp_path / "r2"), "o_orderkey")
+    assert r1 == r2 and len(r1) > 1
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    write_zorder_layout(grid, str(tmp_path / "z1"), ["x", "y"], n_files=8, bits=6)
+    write_zorder_layout(grid, str(tmp_path / "z2"), ["x", "y"], n_files=8, bits=6)
+    assert _file_ranges(str(tmp_path / "z1"), "x") == _file_ranges(
+        str(tmp_path / "z2"), "x"
+    )
+    assert _file_ranges(str(tmp_path / "z1"), "y") == _file_ranges(
+        str(tmp_path / "z2"), "y"
+    )
+
+
 def test_zorder_value_interleaves_bits(spark):
     from postgres_etl_pipeline_spark.connectors.sinks import zorder_value
 
