@@ -235,19 +235,53 @@ def run(
     scenario: str = "ok",
     n: int = 40,
     quarantine: bool = False,
+    event_log=None,
 ) -> RunResult:
     """End-to-end run (§3.1). Raises typed errors under failure scenarios —
     callers (and the scenario test matrix) assert on the error type.
     ``quarantine=True`` routes corrupt input to the quarantine sink instead
-    of failing the validate stage (see validate_and_stage)."""
+    of failing the validate stage (see validate_and_stage).
+
+    ``event_log`` (a :class:`~.listeners.FailureEventLog`) is the K10
+    failure-event leg — the on_failure_callback twin of the reference's
+    ``notify_ardoa.py:34-70``: any stage failure emits ONE structured
+    failure event naming the failed stage and the run's three artifact
+    URIs, then the typed error propagates unchanged. The HTTP POST leg is
+    out of scope per SURVEY §2.2; the event payload is notifier-shaped.
+    """
     paths = RunPaths(base_dir, run_id)
     result = RunResult(run_id=run_id, scenario=scenario)
-    ingest(paths, scenario, n)
-    txns = validate_and_stage(spark, paths, scenario, quarantine=quarantine)
-    result.staged_rows = txns.count()
-    enriched = enrich(txns, scenario)
-    loaded = load(spark, enriched, paths)
-    result.loaded_rows = loaded.count()
-    reconcile(spark, paths)
-    result.mart = build_mart(spark, paths)
+    stage = "ingest"
+    try:
+        ingest(paths, scenario, n)
+        stage = "validate_and_stage"
+        txns = validate_and_stage(spark, paths, scenario, quarantine=quarantine)
+        result.staged_rows = txns.count()
+        stage = "enrich"
+        enriched = enrich(txns, scenario)
+        stage = "load"
+        loaded = load(spark, enriched, paths)
+        result.loaded_rows = loaded.count()
+        stage = "reconcile"
+        reconcile(spark, paths)
+        stage = "build_mart"
+        result.mart = build_mart(spark, paths)
+    except Exception as e:
+        if event_log is not None:
+            from ..listeners import failure_event
+
+            event_log.emit(
+                failure_event(
+                    pipeline_id="grocery",
+                    run_id=run_id,
+                    task_id=stage,
+                    exception=str(e),
+                    artifact_uris=(
+                        f"file://{paths.raw}",
+                        f"file://{paths.staged}",
+                        f"file://{paths.reconcile}",
+                    ),
+                )
+            )
+        raise
     return result
