@@ -168,6 +168,37 @@ def stream_stateful_user_totals(spark, sf_dir):
 
 
 @register(
+    "stream_stateful_user_profile",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    survey="§2.8: per-user profile with composed state (count + type map +"
+    " total) — applyInPandasWithState twin of the protobuf-gated"
+    " transformWithState processor (streaming/jobs.py); drained state =="
+    " batch groupBy",
+    tags=("streaming",),
+)
+def stream_stateful_user_profile(spark, sf_dir):
+    ev = sources.stream_events(spark, sf_dir)
+    out = jobs.stateful_user_profile(ev.select("user_id", "event_type", "value"))
+    res = runner.run_to_memory(
+        out, "stream_stateful_user_profile", "update", state_partitions=STATE_PARTITIONS
+    )
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("n_events", "n_types", "total_value"), "n_events").alias("s")
+        )
+        .select("user_id", "s.n_events", "s.n_types", "s.total_value")
+    )
+
+
+@register(
     "stream_dedup_then_hourly",
     f"""
     WITH d AS (

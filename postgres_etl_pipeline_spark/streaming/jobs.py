@@ -211,13 +211,72 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_PROFILE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        # MapState stand-in: parallel arrays (event_type, count) — the
+        # single-tuple state applyInPandasWithState offers
+        T.StructField("event_types", T.ArrayType(T.StringType())),
+        T.StructField("type_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _user_profile_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total, ets, cnts = state.get
+        counts = dict(zip(list(ets), list(cnts)))
+    else:
+        n, total, counts = 0, 0.0, {}
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        for et, c in pdf.groupby("event_type").size().items():
+            counts[et] = counts.get(et, 0) + int(c)
+    total = round(total, 2)  # 2-dp inputs: keep the running float exact
+    state.update((n, total, list(counts.keys()), list(counts.values())))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_types": [len(counts)],
+            "total_value": [total],
+        }
+    )
+
+
+def stateful_user_profile(events: DataFrame) -> DataFrame:
+    """Running per-user profile (count, distinct-type count, value total)
+    via ``applyInPandasWithState`` — the SEMANTIC TWIN of
+    :func:`stateful_user_profile_tws`, runnable on any Spark ≥3.4 with no
+    extra dependencies. The TWS version expresses the same state as
+    composable typed states (ValueState + MapState); this one packs the
+    type→count map into parallel state arrays. Tests pin this twin against
+    the batch answer unconditionally, so the profile semantics are
+    verified even where the TWS state-server protocol (google.protobuf)
+    is unavailable; where it IS available, TWS output must equal this."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_profile_fn,
+        outputStructType=_TWS_OUT_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithState (the successor API to applyInPandasWithState):
 # composable typed state (ValueState/ListState/MapState), timers, TTL.
 # GATED: its state-server protocol needs the `protobuf` package, absent in
-# this container — tws_available() lets tests skip cleanly. The processor
-# and wiring below are complete and run wherever protobuf + RocksDB state
-# store are present (any standard Spark 4 cluster).
+# this container (verified: no protobuf runtime exists anywhere on disk,
+# and installs are out of scope here) — tws_available() lets tests skip
+# that leg cleanly while stateful_user_profile above keeps the SEMANTICS
+# executable and pinned. The processor and wiring below are complete and
+# run wherever protobuf + RocksDB state store are present (any standard
+# Spark 4 cluster).
 # ---------------------------------------------------------------------------
 
 TWS_PROVIDER_CONF = {

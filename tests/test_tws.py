@@ -1,9 +1,10 @@
-"""Spark 4 transformWithStateInPandas operator (streaming/jobs.py).
-
-Skips when google.protobuf is absent (this container): the TWS state-server
-protocol requires it. On a standard Spark 4 cluster the test runs fully —
-drained TWS profile must equal the batch groupBy answer.
-"""
+"""Per-user stateful profile: the applyInPandasWithState twin runs
+UNCONDITIONALLY (pinning the profile semantics against the batch answer in
+this container), while the Spark 4 transformWithStateInPandas leg skips
+where google.protobuf is absent (its state-server protocol requires it; no
+protobuf runtime exists in this container and installs are out of scope).
+On a standard Spark 4 cluster all three tests run and TWS must equal both
+the twin and the batch answer."""
 
 from __future__ import annotations
 
@@ -15,29 +16,15 @@ from postgres_etl_pipeline_spark.queries import read_events
 from postgres_etl_pipeline_spark.session import scoped_conf
 from postgres_etl_pipeline_spark.streaming import jobs, runner, sources
 
-pytestmark = pytest.mark.skipif(
+tws_missing = pytest.mark.skipif(
     not jobs.tws_available(),
     reason="google.protobuf not installed (TWS state-server protocol)",
 )
 
 
-def test_tws_profile_matches_batch(spark, sf_small):
-    with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):
-        ev = sources.stream_events(spark, sf_small).select(
-            "user_id", "event_type", "value"
-        )
-        out = jobs.stateful_user_profile_tws(ev)
-        res = runner.run_to_memory(out, "tws_profile", "update")
-        # update mode re-emits per batch; keep the final emission per user
-        got = {
-            r.user_id: (r.n_events, r.n_types, r.total_value)
-            for r in res.groupBy("user_id")
-            .agg(F.max_by(F.struct("n_events", "n_types", "total_value"), "n_events").alias("s"))
-            .select("user_id", "s.*")
-            .collect()
-        }
+def _batch_profile(spark, sf_small):
     batch = read_events(spark, sf_small)
-    want = {
+    return {
         r.user_id: (r.n_events, r.n_types, r.total_value)
         for r in batch.groupBy("user_id")
         .agg(
@@ -49,4 +36,61 @@ def test_tws_profile_matches_batch(spark, sf_small):
         )
         .collect()
     }
-    assert got == want
+
+
+def _final_emission_per_user(res):
+    # update mode re-emits per batch; keep the final emission per user
+    return {
+        r.user_id: (r.n_events, r.n_types, r.total_value)
+        for r in res.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "n_types", "total_value"), "n_events"
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .collect()
+    }
+
+
+def test_profile_twin_matches_batch(spark, sf_small):
+    """applyInPandasWithState profile == batch groupBy answer — runs in
+    every environment, no protobuf needed."""
+    ev = sources.stream_events(spark, sf_small).select(
+        "user_id", "event_type", "value"
+    )
+    res = runner.run_to_memory(
+        jobs.stateful_user_profile(ev),
+        "profile_twin",
+        "update",
+        state_partitions=4,
+    )
+    assert _final_emission_per_user(res) == _batch_profile(spark, sf_small)
+
+
+@tws_missing
+def test_tws_profile_matches_batch(spark, sf_small):
+    with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):
+        ev = sources.stream_events(spark, sf_small).select(
+            "user_id", "event_type", "value"
+        )
+        out = jobs.stateful_user_profile_tws(ev)
+        res = runner.run_to_memory(out, "tws_profile", "update")
+        got = _final_emission_per_user(res)
+    assert got == _batch_profile(spark, sf_small)
+
+
+@tws_missing
+def test_tws_equals_twin(spark, sf_small):
+    """The two state APIs must express identical semantics."""
+    ev = sources.stream_events(spark, sf_small).select(
+        "user_id", "event_type", "value"
+    )
+    twin = runner.run_to_memory(
+        jobs.stateful_user_profile(ev), "twin_cmp", "update", state_partitions=4
+    )
+    with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):
+        tws = runner.run_to_memory(
+            jobs.stateful_user_profile_tws(ev), "tws_cmp", "update"
+        )
+    assert _final_emission_per_user(twin) == _final_emission_per_user(tws)
