@@ -861,6 +861,44 @@ def _driver_window() -> tuple[str, ...]:
     return window
 
 
+def compute_aged_window(
+    repo_root: str | None = None, size: int = 50
+) -> list[str]:
+    """The DETERMINISTIC ageing rule for the driver verification window
+    (round-4 verdict item 4): the window is a pure function of public
+    round artifacts, not a per-round editorial choice.
+
+    Rule: the 3 sentinels first, then the ``size - 3`` registry entries
+    whose most recent driver CORRECTNESS row is OLDEST (never-checked
+    entries age as round 0, i.e. first), ties broken by name. Presence in
+    ``CORRECTNESS_r{N}.json`` counts as that round's evidence regardless
+    of row type (rows-only entries earn their slot the same way).
+    ``scripts/compute_driver_window.py`` writes the config;
+    ``tests/test_registry_contract.py`` asserts the committed window
+    equals this rule's output, so an editorial deviation fails CI."""
+    import glob as _glob
+    import json
+    import re
+    from pathlib import Path
+
+    _load_extensions()
+    root = Path(repo_root) if repo_root else Path(__file__).resolve().parent.parent
+    last_seen: dict[str, int] = {n: 0 for n in REGISTRY}
+    for path in sorted(_glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name in json.loads(Path(path).read_text()):
+            if name in last_seen:
+                last_seen[name] = max(last_seen[name], rnd)
+    pool = sorted(
+        (n for n in REGISTRY if n not in _SENTINELS),
+        key=lambda n: (last_seen[n], n),
+    )
+    return list(_SENTINELS) + pool[: size - len(_SENTINELS)]
+
+
 def _rotated_names() -> list[str]:
     """Registry names with the driver verification window first.
 

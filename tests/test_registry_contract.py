@@ -55,6 +55,17 @@ def test_driver_window_rotation_contract():
     assert all(n in oracles or n in ROWS_ONLY for n in window)
 
 
+def test_window_equals_deterministic_ageing_rule():
+    """Round-4 verdict item 4: the committed DRIVER_WINDOW.json must be
+    the exact output of the public ageing rule (3 sentinels + 47
+    least-recently-verified, ties by name) over the committed
+    CORRECTNESS_r*.json artifacts — the sample a verifier sees is
+    reproducible, never an editorial choice."""
+    from postgres_etl_pipeline_spark import queries as Q
+
+    assert list(Q._driver_window()) == Q.compute_aged_window()
+
+
 def test_unknown_window_name_raises(monkeypatch):
     """A config typo must fail loudly, not shrink the window (r03 advice)."""
     from postgres_etl_pipeline_spark import queries as Q
