@@ -203,6 +203,126 @@ def payload_shape(
     return CheckResult(name, n == 0, n, [f"$.{list_col}: null list"] if n else [])
 
 
+# --- combined single-pass gates ---------------------------------------------
+# Every check above costs one Spark action; a pipeline stage running three
+# gates back-to-back pays three scheduling round-trips over the same data.
+# These combinators compute MULTIPLE CheckResults from ONE aggregation —
+# same results, one scan job (the round-4 small-scale-overhead advice; at
+# 100 TB it's one pass over the relation instead of N).
+
+
+def required_and_not_null(
+    df: DataFrame,
+    required: list[str],
+    extra_cols: list[str],
+    req_name: str = "required",
+    extra_name: str = "not_null",
+) -> tuple[CheckResult, CheckResult]:
+    """V1 + V4 in ONE aggregation: required-field nulls (row-level any-null
+    count + per-field breakdown) and extra not_null column counts."""
+    missing_schema = [f for f in required + extra_cols if f not in df.columns]
+    if missing_schema:
+        return (
+            CheckResult(
+                req_name, False, len(missing_schema),
+                [f"$.{f}: missing from schema" for f in sorted(missing_schema)],
+            ),
+            CheckResult(extra_name, False, 0, []),
+        )
+    any_null = None
+    for f_ in required:
+        c = F.col(f_).isNull()
+        any_null = c if any_null is None else (any_null | c)
+    cols = list(dict.fromkeys(required + extra_cols))
+    agg = df.select(
+        F.coalesce(F.sum(any_null.cast("long")), F.lit(0)).alias("_rows"),
+        *[
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
+            for c in cols
+        ],
+    ).collect()[0]
+    req_samples = [f"$.{f}: {agg[f]} null(s)" for f in sorted(required) if agg[f]]
+    req = CheckResult(req_name, agg["_rows"] == 0, agg["_rows"], req_samples)
+    extra_total = sum(agg[c] for c in extra_cols)
+    extra_samples = [
+        f"$.{c}: {agg[c]} null(s)" for c in sorted(extra_cols) if agg[c]
+    ]
+    extra = CheckResult(extra_name, extra_total == 0, extra_total, extra_samples)
+    return req, extra
+
+
+def not_null_and_non_empty(
+    df: DataFrame,
+    cols: list[str],
+    nn_name: str = "not_null",
+    ne_name: str = "non_empty",
+) -> tuple[CheckResult, CheckResult]:
+    """V4 + V5 in ONE aggregation (dbt runs them as separate tests; the
+    engine folds them into one scan)."""
+    agg = df.select(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
+            for c in cols
+        ],
+    ).collect()[0]
+    samples = [f"$.{c}: {agg[c]} null(s)" for c in sorted(cols) if agg[c]]
+    total = sum(agg[c] for c in cols)
+    nn = CheckResult(nn_name, total == 0, total, samples)
+    empty = agg["_n"] == 0
+    ne = CheckResult(
+        ne_name, not empty, int(empty), ["$: relation is empty"] if empty else []
+    )
+    return nn, ne
+
+
+def corrupt_and_shape(
+    df: DataFrame,
+    list_col: str,
+    corrupt_col: str = "_corrupt_record",
+    wf_name: str = "well_formed",
+    shape_name: str = "payload_shape",
+) -> tuple[CheckResult, CheckResult]:
+    """V2 + V8 in ONE aggregation on the happy path; corrupt SAMPLES cost a
+    second (failure-path-only) job, so a clean payload still pays one scan."""
+    if list_col not in df.columns:
+        return (
+            no_corrupt_records(df, corrupt_col, wf_name),
+            CheckResult(
+                shape_name, False, 1, [f"$.{list_col}: missing from payload schema"]
+            ),
+        )
+    if corrupt_col not in df.columns:
+        agg = df.select(
+            F.coalesce(F.sum(F.col(list_col).isNull().cast("long")), F.lit(0)).alias("_s")
+        ).collect()[0]
+        shape = CheckResult(
+            shape_name, agg["_s"] == 0, agg["_s"],
+            [f"$.{list_col}: null list"] if agg["_s"] else [],
+        )
+        return CheckResult(wf_name, True), shape
+    agg = df.select(
+        F.coalesce(F.sum(F.col(corrupt_col).isNotNull().cast("long")), F.lit(0)).alias("_c"),
+        F.coalesce(F.sum(F.col(list_col).isNull().cast("long")), F.lit(0)).alias("_s"),
+    ).collect()[0]
+    n_corrupt, n_shape = agg["_c"], agg["_s"]
+    samples: list[str] = []
+    if n_corrupt:  # failure path only: fetch the first few corrupt texts
+        anchor = next((c for c in df.columns if c != corrupt_col), None)
+        bad = df.filter(F.col(corrupt_col).isNotNull())
+        if anchor is not None:
+            bad = bad.select(corrupt_col, anchor)
+        samples = [
+            f"$: unparseable: {r[0][:80]!r}" for r in bad.take(MAX_REPORTED)
+        ]
+    wf = CheckResult(wf_name, n_corrupt == 0, n_corrupt, samples)
+    shape = CheckResult(
+        shape_name, n_shape == 0, n_shape,
+        [f"$.{list_col}: null list"] if n_shape else [],
+    )
+    return wf, shape
+
+
 def quarantine_split(
     df: DataFrame, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:

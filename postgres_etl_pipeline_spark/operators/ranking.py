@@ -52,13 +52,36 @@ class RankedFrame:
     buckets: list[int]                 # non-empty buckets, ascending
 
 
-def _bucket_expr(value_col: str, cuts: list[float]) -> Column:
+def _bucket_expr(value: str | Column, cuts: list) -> Column:
     """Order-consistent bucket id: number of cutpoints strictly below the
     value. Literal comparisons — folded into whole-stage codegen."""
+    v = F.col(value) if isinstance(value, str) else value
     b: Column = F.lit(0)
     for c in cuts:
-        b = b + (F.col(value_col) > F.lit(c)).cast("int")
+        b = b + (v > F.lit(c)).cast("int")
     return b
+
+
+def _assemble(
+    b: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    offsets: dict[int, int],
+    first_keys: dict[int, tuple],
+    n_total: int,
+) -> RankedFrame:
+    if not offsets:  # empty input: rank column still needs a valid plan
+        ranked = b.withColumn("_rank", F.lit(None).cast("long"))
+        return RankedFrame(ranked, 0, {}, [])
+    off_map = F.create_map(
+        *[F.lit(x) for bkt, off in offsets.items() for x in (bkt, off)]
+    )
+    w = Window.partitionBy("_bkt").orderBy(value_col, *tie_cols)
+    ranked = b.withColumn(
+        "_rank",
+        (F.row_number().over(w) + off_map[F.col("_bkt")]).cast("long"),
+    )
+    return RankedFrame(ranked, n_total, first_keys, sorted(offsets))
 
 
 def global_rank(
@@ -68,6 +91,8 @@ def global_rank(
     key_cols: list[str] | None = None,
     n_buckets: int | None = None,
     rel_err: float = 1e-3,
+    coarse: Column | None = None,
+    coarse_max_keys: int = 100_000,
 ) -> RankedFrame:
     """Attach a 1-based global rank under ``ORDER BY value_col, *tie_cols``
     without any single-partition exchange.
@@ -77,9 +102,74 @@ def global_rank(
     The ordering must be total (tie_cols break all ties) — with a total
     order, rank == row_number == dense_rank, and percent_rank/cume_dist
     are pure arithmetic over (rank, n_total).
+
+    Two driver-pass strategies (results identical — rank depends only on
+    the total order, never on bucket placement):
+
+    - default: approxQuantile cutpoints (pass 1) + per-bucket stats
+      (pass 2). Works on any numeric column, guaranteed bucket balance.
+    - ``coarse=<Column>`` (round-4 advice fold): ONE histogram pass.
+      ``coarse`` must be a NON-DECREASING function of ``value_col`` with
+      a bounded number of distinct values (e.g. ``F.floor(col)`` for
+      domain-bounded money columns, a date for timestamps): a single
+      map-side-combined aggregate per coarse key yields counts + first
+      keys, and the driver derives cut values, offsets, and bucket firsts
+      from the histogram alone — halving the pre-passes. Bucket balance
+      is bounded below by the heaviest single coarse key (a hot key makes
+      a fat bucket), which is the trade against the quantile path.
     """
     spark = df.sparkSession
     k = n_buckets or spark.sparkContext.defaultParallelism
+    keys = key_cols if key_cols is not None else list(tie_cols)
+    order_struct = F.struct(value_col, *tie_cols)
+
+    if coarse is not None:
+        hist = (
+            df.groupBy(coarse.alias("_ck"))
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.min_by(F.struct(*keys), order_struct).alias("_first"),
+            )
+            .collect()
+        )
+        if len(hist) > coarse_max_keys:
+            raise ValueError(
+                f"coarse key has {len(hist)} distinct values "
+                f"(> coarse_max_keys={coarse_max_keys}); pick a coarser map"
+            )
+        nulls = [r for r in hist if r["_ck"] is None]
+        rows = sorted(
+            (r for r in hist if r["_ck"] is not None), key=lambda r: r["_ck"]
+        )
+        offsets: dict[int, int] = {}
+        first_keys: dict[int, tuple] = {}
+        acc = 0
+        if nulls:  # NULLS FIRST: the whole null group is bucket -1
+            offsets[-1] = 0
+            first_keys[-1] = tuple(nulls[0]["_first"])
+            acc = nulls[0]["_cnt"]
+        n_nonnull = sum(r["_cnt"] for r in rows)
+        target = max(1, -(-n_nonnull // k))  # ceil
+        cuts: list = []
+        bucket, in_bucket = 0, 0
+        for i, r in enumerate(rows):
+            if in_bucket == 0:
+                offsets[bucket] = acc
+                first_keys[bucket] = tuple(r["_first"])
+            in_bucket += r["_cnt"]
+            acc += r["_cnt"]
+            if in_bucket >= target and i < len(rows) - 1:
+                cuts.append(r["_ck"])
+                bucket += 1
+                in_bucket = 0
+        b = df.withColumn(
+            "_bkt",
+            F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+                _bucket_expr(coarse, cuts)
+            ),
+        )
+        return _assemble(b, value_col, tie_cols, offsets, first_keys, acc)
+
     probs = [i / k for i in range(1, k)]
     cuts = sorted(set(df.stat.approxQuantile(value_col, probs, rel_err)))
     # NULLS FIRST: nulls get bucket -1 (approxQuantile ignores them and the
@@ -90,9 +180,6 @@ def global_rank(
             _bucket_expr(value_col, cuts)
         ),
     )
-
-    keys = key_cols if key_cols is not None else list(tie_cols)
-    order_struct = F.struct(value_col, *tie_cols)
     stats = (
         b.groupBy("_bkt")
         .agg(
@@ -102,26 +189,14 @@ def global_rank(
         .collect()
     )  # ≤ k rows — a driver scalar, same class as approxQuantile itself
     stats.sort(key=lambda r: r["_bkt"])
-    offsets: dict[int, int] = {}
-    first_keys: dict[int, tuple] = {}
+    offsets = {}
+    first_keys = {}
     acc = 0
     for r in stats:
         offsets[r["_bkt"]] = acc
         acc += r["_cnt"]
         first_keys[r["_bkt"]] = tuple(r["_first"])
-    if not offsets:  # empty input: rank column still needs a valid plan
-        ranked = b.withColumn("_rank", F.lit(None).cast("long"))
-        return RankedFrame(ranked, 0, {}, [])
-
-    off_map = F.create_map(
-        *[F.lit(x) for bkt, off in offsets.items() for x in (bkt, off)]
-    )
-    w = Window.partitionBy("_bkt").orderBy(value_col, *tie_cols)
-    ranked = b.withColumn(
-        "_rank",
-        (F.row_number().over(w) + off_map[F.col("_bkt")]).cast("long"),
-    )
-    return RankedFrame(ranked, acc, first_keys, sorted(offsets))
+    return _assemble(b, value_col, tie_cols, offsets, first_keys, acc)
 
 
 def ntile_expr(rank: Column, n_total: int, n_tiles: int) -> Column:

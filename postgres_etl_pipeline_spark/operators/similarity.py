@@ -199,6 +199,8 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
 ) -> DataFrame:
     """IVF-style ANN: cluster the corpus (KMeans), search only the
     ``n_probe`` centroids nearest each query, exact-rerank inside them.
@@ -224,8 +226,18 @@ def ivf_topk(
     # back to exact search (same contract, no index worth building)
     if c.limit(n_centroids).count() < n_centroids:
         return brute_force_topk(corpus, queries, k, id_col, vec_col)
+    # Training cost knobs: centroid QUALITY only moves recall when
+    # n_probe < n_centroids — in probe-all (exact) mode every inverted
+    # list is scanned regardless, so callers there drop to 1-2 Lloyd
+    # iterations + random init (k-means|| init alone is ~5 extra passes)
+    # and keep the identical output for a fraction of the fit time.
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="fv", predictionCol="cid"
+        k=n_centroids,
+        seed=seed,
+        featuresCol="fv",
+        predictionCol="cid",
+        maxIter=kmeans_max_iter,
+        initMode=kmeans_init,
     ).fit(c)
     assigned = model.transform(c).select("neighbor_id", "cv", "cid")
 

@@ -144,9 +144,11 @@ def validate_and_stage(
         bad_lines = bad.select(F.col("_corrupt_record").alias("value"))
         if not bad_lines.isEmpty():
             bad_lines.write.mode("overwrite").text(paths.quarantine)
+        C.enforce(C.payload_shape(payload, "transactions"))
     else:
-        C.enforce(C.no_corrupt_records(payload))
-    C.enforce(C.payload_shape(payload, "transactions"))
+        # V2 + V8 in ONE scan (combined-gate combinator): same results,
+        # one action instead of two on the happy path
+        C.enforce(*C.corrupt_and_shape(payload, "transactions"))
     txns = payload.select(
         F.col("run_id"), F.explode("transactions").alias("t")
     ).select("run_id", "t.*")
@@ -154,9 +156,12 @@ def validate_and_stage(
     txns = txns.withColumn(
         "unit_price_cents", F.coalesce("unit_price_cents", "unit_price")
     ).drop("unit_price")
+    # V1 + V4 in ONE scan
     C.enforce(
-        C.required_fields(txns, REQUIRED_TXN_FIELDS),
-        C.not_null(txns, ["unit_price_cents"], name="drift_resolved"),
+        *C.required_and_not_null(
+            txns, REQUIRED_TXN_FIELDS, ["unit_price_cents"],
+            extra_name="drift_resolved",
+        )
     )
     sinks.write_ndjson(txns, paths.staged)
     # read the staged artifact BACK: downstream jobs re-scan cheap NDJSON
@@ -221,9 +226,11 @@ def build_mart(spark: SparkSession, paths: RunPaths) -> DataFrame:
         qty_col="quantity",
         group_extra=["store_id", "region"],
     )
+    # V4 + V5 in ONE scan (was isEmpty + a null-count agg)
     C.enforce(
-        C.non_empty(mart),
-        C.not_null(mart, ["day", "store_id", "txns", "units", "gross_amount_cents"]),
+        *C.not_null_and_non_empty(
+            mart, ["day", "store_id", "txns", "units", "gross_amount_cents"]
+        )
     )
     return mart
 

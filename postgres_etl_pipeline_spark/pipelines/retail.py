@@ -125,11 +125,13 @@ def mart_daily_sales(stg: DataFrame) -> DataFrame:
 
 def quality_tests(mart: DataFrame) -> list[C.CheckResult]:
     """``dbt test``: not_null on all mart columns (``schema.yml:4-21``) +
-    non-empty (``assert_non_empty_mart.sql``)."""
-    return [
-        C.not_null(mart, ["day", "store_id", "txns", "units", "gross_amount_cents"]),
-        C.non_empty(mart),
-    ]
+    non-empty (``assert_non_empty_mart.sql``) — folded into ONE scan via
+    the combined-gate combinator (dbt runs N tests as N queries; the
+    engine pays one action)."""
+    nn, ne = C.not_null_and_non_empty(
+        mart, ["day", "store_id", "txns", "units", "gross_amount_cents"]
+    )
+    return [nn, ne]
 
 
 def run(spark: SparkSession, scenario: str = "ok", strict: bool = True) -> RetailResult:

@@ -270,7 +270,11 @@ def customer_balance_quartiles(spark, sf_dir):
     from .operators.ranking import global_rank, ntile_expr
 
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    rf = global_rank(c, "c_acctbal", ["c_custkey"])
+    # ONE-pass coarse mode (see supplier_window_stats): floor(acctbal) is
+    # domain-bounded, halving the driver pre-passes
+    rf = global_rank(
+        c, "c_acctbal", ["c_custkey"], coarse=F.floor(F.col("c_acctbal"))
+    )
     if rf.n_total == 0:
         return spark.createDataFrame(
             [], "quartile int, n long, min_bal double, max_bal double"

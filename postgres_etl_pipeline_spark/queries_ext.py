@@ -529,6 +529,10 @@ def embedding_ivf_topk(spark, sf_dir):
         k=5,
         n_centroids=16,
         n_probe=16,
+        # probe-all scans every list — centroid quality cannot change the
+        # output, so train the partition layout as cheaply as possible
+        kmeans_max_iter=1,
+        kmeans_init="random",
     )
 
 

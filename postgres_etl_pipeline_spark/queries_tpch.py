@@ -258,7 +258,16 @@ def supplier_window_stats(spark, sf_dir):
     from .operators.ranking import global_rank
 
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    rf = global_rank(s, "s_acctbal", ["s_suppkey"], key_cols=["s_suppkey"])
+    # ONE-pass coarse mode: acctbal is domain-bounded ([-999.99, 9999.99]
+    # by TPC-H spec at every SF), so floor(acctbal) has ≤ ~11k distinct
+    # values — the histogram replaces the approxQuantile + stats passes
+    rf = global_rank(
+        s,
+        "s_acctbal",
+        ["s_suppkey"],
+        key_cols=["s_suppkey"],
+        coarse=F.floor(F.col("s_acctbal")),
+    )
     if rf.n_total == 0:
         return spark.createDataFrame(
             [],

@@ -16,10 +16,22 @@ the transformation.
 from __future__ import annotations
 
 import contextlib
+import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame
+
+
+def _scratch_checkpoint(prefix: str) -> str:
+    """Checkpoint dir for a BOUNDED drain whose sink is already
+    non-durable (memory table / idempotent keyed upsert): prefer tmpfs
+    (/dev/shm) so the per-batch WAL+offset fsyncs don't pay disk latency —
+    measured ~0.2-0.4s per drain locally. Durable pipelines pass their own
+    ``checkpoint`` on real storage; this default is only for the
+    ephemeral-by-construction case."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def _maybe_state_partitions(spark, state_partitions: int | None):
@@ -61,7 +73,7 @@ def run_to_memory(
     callers own the batch-count semantics (see tests).
     """
     qname = name or f"q_{uuid.uuid4().hex[:12]}"
-    ckpt = checkpoint or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    ckpt = checkpoint or _scratch_checkpoint(f"ckpt_{qname}_")
     with _maybe_state_partitions(stream_df.sparkSession, state_partitions):
         q = (
             stream_df.writeStream.format("memory")
@@ -106,7 +118,7 @@ def run_upsert_sink(
 
     from ..connectors.sinks import upsert_parquet
 
-    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_upsert_")
+    ckpt = checkpoint or _scratch_checkpoint("ckpt_upsert_")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # last-write-wins: order_by columns rank DESCENDING (newest first;

@@ -80,3 +80,49 @@ def test_ngram_udtf_lateral_join(spark):
     ).collect()
     got = {(r.doc_id, r.ngram) for r in rows}
     assert got == {(1, "a b"), (1, "b c"), (2, "x y")}
+
+
+# --- combined single-pass gates (round-4 overhead advice) -------------------
+
+
+def test_required_and_not_null_equals_separate_checks(df):
+    req, nn = C.required_and_not_null(df, ["s", "t"], ["id"], extra_name="ids")
+    req0 = C.required_fields(df, ["s", "t"])
+    nn0 = C.not_null(df, ["id"], name="ids")
+    assert (req.ok, req.violations, req.samples) == (req0.ok, req0.violations, req0.samples)
+    assert (nn.ok, nn.violations, nn.samples) == (nn0.ok, nn0.violations, nn0.samples)
+
+
+def test_required_and_not_null_missing_schema(df):
+    req, nn = C.required_and_not_null(df, ["nope"], ["id"])
+    assert not req.ok and "missing from schema" in req.samples[0]
+
+
+def test_not_null_and_non_empty_equals_separate_checks(spark, df):
+    nn, ne = C.not_null_and_non_empty(df, ["s", "t"])
+    nn0 = C.not_null(df, ["s", "t"])
+    ne0 = C.non_empty(df)
+    assert (nn.ok, nn.violations, nn.samples) == (nn0.ok, nn0.violations, nn0.samples)
+    assert (ne.ok, ne.violations) == (ne0.ok, ne0.violations)
+    empty = df.filter(F.col("id") > 99)
+    nn_e, ne_e = C.not_null_and_non_empty(empty, ["s"])
+    assert nn_e.ok  # vacuous pass on empty, like dbt not_null
+    assert not ne_e.ok and ne_e.samples == ["$: relation is empty"]
+
+
+def test_corrupt_and_shape_happy_and_failure_paths(spark):
+    clean = spark.createDataFrame(
+        [(1, ["a"]), (2, ["b"])], "id int, transactions array<string>"
+    )
+    wf, shape = C.corrupt_and_shape(clean, "transactions")
+    assert wf.ok and shape.ok  # no corrupt col at all
+    dirty = spark.createDataFrame(
+        [(1, ["a"], None), (2, None, '{"broken'), (3, None, "oops}")],
+        "id int, transactions array<string>, _corrupt_record string",
+    )
+    wf2, shape2 = C.corrupt_and_shape(dirty, "transactions")
+    assert not wf2.ok and wf2.violations == 2
+    assert any("unparseable" in s for s in wf2.samples)
+    assert not shape2.ok and shape2.violations == 2
+    wf3, shape3 = C.corrupt_and_shape(dirty.drop("transactions"), "transactions")
+    assert not shape3.ok and "missing from payload schema" in shape3.samples[0]

@@ -50,6 +50,69 @@ class TestGlobalRank:
         # global first row is the minimum under (v, k): k=0 (v=10)
         assert rf.first_keys[rf.buckets[0]] == (0,)
 
+    def test_coarse_mode_matches_exact_window(self, spark):
+        """One-pass coarse mode (round-4 advice fold) must equal the exact
+        global window — duplicates included, any coarse granularity."""
+        vals = [5.5, 1.25, 1.75, 3.0, 3.0, 9.9, 0.1, 5.5, 2.2, 7.0] * 30
+        df = _vals(spark, vals)
+        rf = global_rank(
+            df, "v", ["k"], n_buckets=4, coarse=F.floor(F.col("v"))
+        )
+        got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
+        w = Window.orderBy("v", "k")
+        exp = {
+            (r.k, r.rn)
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+        }
+        assert got == exp
+        assert rf.n_total == len(vals)
+
+    def test_coarse_mode_nulls_and_first_keys(self, spark):
+        rows = [(0, 5.0), (1, None), (2, 1.0), (3, None), (4, 3.5)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(4)
+        rf = global_rank(
+            df, "v", ["k"], n_buckets=2, coarse=F.floor(F.col("v"))
+        )
+        got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "k")
+        exp = {
+            (r.k, r.rn)
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+        }
+        assert got == exp
+        assert rf.buckets[0] == -1
+        assert rf.first_keys[-1] == (1,)  # first null row by tie order
+
+    def test_coarse_mode_bounds_distinct_keys(self, spark):
+        df = _vals(spark, range(1000))
+        with pytest.raises(ValueError, match="coarse_max_keys"):
+            global_rank(
+                df, "v", ["k"], coarse=F.col("v"), coarse_max_keys=10
+            )
+
+    def test_coarse_mode_runs_one_pre_pass_action(self, spark, monkeypatch):
+        """The whole point of coarse mode: ONE driver action (the histogram
+        collect) before the final plan, and NO approxQuantile call — vs
+        the default path's quantile + stats pair."""
+        # patch the CLASSIC implementation class — pyspark.sql.DataFrame is
+        # the abstract facade in Spark 4 and its collect is overridden
+        from pyspark.sql.classic.dataframe import DataFrame as DF
+        from pyspark.sql.classic.dataframe import DataFrameStatFunctions
+
+        collects, quantiles = [], []
+        orig_collect = DF.collect
+        monkeypatch.setattr(
+            DF, "collect", lambda self: (collects.append(1), orig_collect(self))[1]
+        )
+        monkeypatch.setattr(
+            DataFrameStatFunctions,
+            "approxQuantile",
+            lambda self, *a, **kw: quantiles.append(1) or [],
+        )
+        df = _vals(spark, range(500))
+        global_rank(df, "v", ["k"], coarse=F.floor(F.col("v") / 10))
+        assert collects == [1] and quantiles == []
+
     def test_nulls_rank_first_like_exact_window(self, spark):
         """NULL values take the -1 bucket and reproduce ASC NULLS FIRST —
         the exact Window.orderBy semantics (round-4 advice: approxQuantile
