@@ -285,6 +285,60 @@ def jaccard_pairs(
     )
 
 
+def _hash_ngrams(t: Column, n: int) -> Column:
+    """n-gram hashes from a bound token-array lambda variable: one
+    ``xxhash64(tok_i, …, tok_i+n-1)`` per position — the general-n sibling
+    of :func:`_hash_triples` (multi-arg hash, no n-gram string built)."""
+    return F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda x, i: F.xxhash64(
+            x, *[F.element_at(t, i + j + 1) for j in range(1, n)]
+        ),
+    )
+
+
+def ngram_hash_rows(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded DISTINCT n-gram hashes (single-evaluation lambda
+    binding as in :func:`hashed_shingle_rows`)."""
+    hashes = F.flatten(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.array_distinct(_hash_ngrams(t, n)),
+        )
+    )
+    return df.select("doc_id", F.explode(hashes).alias("hs"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_hits`` distinct n-grams with ANY eval-set document — the
+    C4/Dolma-style leakage gate every training pipeline runs before a
+    model sees the corpus. Returns (doc_id, n_hits) for flagged docs;
+    anti-join the result against the corpus to drop them.
+
+    Scale: the EVAL side is small by definition (benchmarks are thousands
+    of docs, the corpus is the 100 TB side), so its distinct n-gram hash
+    set BROADCASTS; the corpus side is one scan → broadcast hash-join →
+    per-doc count. No corpus-sized shuffle of n-grams ever happens — only
+    matching (doc, gram) rows reach the aggregation, and those are
+    bounded by actual contamination. Hashes are 8-byte xxhash64 over the
+    token tuple (collision math as in :func:`jaccard_pairs`)."""
+    eval_grams = ngram_hash_rows(eval_df, n, text_col).select("hs").distinct()
+    corpus_grams = ngram_hash_rows(corpus, n, text_col)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "hs")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def _shingle_hash32(col: Column) -> Column:
     """32-bit shingle hash for MinHash: low 32 bits of xxhash64.
 

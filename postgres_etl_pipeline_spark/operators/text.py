@@ -43,6 +43,52 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+def chunk_documents(
+    df: "DataFrame",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-window prep step of a training pipeline (long docs → model-
+    sized pieces; ``overlap`` tokens of continuity between neighbors).
+
+    Chunk starts are ``0, stride, 2·stride, …`` (stride = chunk_tokens −
+    overlap) for every start ≤ max(n_tokens − overlap − 1, 0), so the
+    tail is always covered and a short doc yields exactly one chunk.
+
+    Scale: pure scan-time ``sequence``+``explode`` — no shuffle, no UDF;
+    output rows ≈ input tokens / stride regardless of document length,
+    and each chunk row re-slices the SAME bound token array (single
+    evaluation via the lambda idiom), never re-tokenizes.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    chunks = F.flatten(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(t) - overlap - 1, F.lit(0)),
+                    F.lit(stride),
+                ),
+                lambda s: F.struct(
+                    (s / stride).cast("long").alias("chunk_idx"),
+                    F.size(F.slice(t, s + 1, chunk_tokens)).alias("chunk_n_tokens"),
+                    F.array_join(F.slice(t, s + 1, chunk_tokens), " ").alias(
+                        "chunk_text"
+                    ),
+                ),
+            ),
+        )
+    )
+    return df.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_n_tokens", "c.chunk_text"
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Document fingerprint: md5 of the lowercased, whitespace-normalized
     text. The canonical exact-dedup key (md5 agrees with DuckDB's)."""

@@ -602,6 +602,100 @@ def dedup_keep_list(spark, sf_dir):
     return dedup_keep_filter(docs, cc).select("doc_id", "lang", "n_chars")
 
 
+@register(
+    "dedup_cc_clusters_star",
+    # Same transitive-closure ground truth as dedup_cc_clusters — the two
+    # entries pin BOTH connected-components algorithms (hash-to-min and
+    # large-star/small-star) to the identical recursive-CTE oracle.
+    f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM cc
+    """,
+    survey="§7 Phase 5: near-dup clustering via alternating large-star/"
+    "small-star contraction (Kiveris et al. SoCC'14, O(log n) rounds — the"
+    " adversarial-diameter path next to hash-to-min)",
+    tags=("ext", "dedup"),
+)
+def dedup_cc_clusters_star(spark, sf_dir):
+    from .operators.graph import connected_components
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: the leakage gate between a training corpus and
+# an eval set (C4/Dolma-style n-gram overlap). The deterministic
+# doc_id % 20 slice of `documents` stands in for the eval benchmark.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+_DECON_CONCAT = " || ' ' || ".join(
+    ["x"] + [f"l[i+{j}]" for j in range(1, _DECON_N)]
+)
+
+
+@register(
+    "decontaminate_vs_eval",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               l[1:len(l)-{_DECON_N - 1}], (x, i) -> {_DECON_CONCAT}))) AS g
+      FROM tok
+    ),
+    eval_g AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT ng.doc_id, count(*) AS n_hits
+      FROM ng JOIN eval_g USING (g)
+      WHERE ng.doc_id % 20 <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits WHERE n_hits >= 1
+    """,
+    survey="§7 Phase 5 extension: benchmark decontamination — corpus docs"
+    " sharing any distinct 8-gram with the eval slice are flagged with"
+    " their hit count (broadcast eval n-gram set, no corpus-sized shuffle)",
+    tags=("ext", "dedup", "text"),
+)
+def decontaminate_vs_eval(spark, sf_dir):
+    docs = spread(t(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.decontaminate(corpus, eval_df, n=_DECON_N, min_hits=1)
+
+
+@register(
+    "doc_chunks_overlap",
+    """
+    WITH tok AS (SELECT doc_id, {toks} AS l FROM documents),
+    starts AS (
+      SELECT doc_id, l,
+             unnest(generate_series(0, greatest(len(l) - {ov} - 1, 0), {stride})) AS s
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(s / {stride} AS BIGINT) AS chunk_idx,
+           CAST(len(l[s+1:s+{chunk}]) AS INT) AS chunk_n_tokens,
+           array_to_string(l[s+1:s+{chunk}], ' ') AS chunk_text
+    FROM starts
+    """.format(toks=_TOKS, ov=16, stride=48, chunk=64),
+    survey="§7 Phase 5 extension: context-window chunking — overlapping"
+    " fixed-token-budget chunks (64 tokens, 16 overlap) via scan-time"
+    " sequence+explode; the long-doc → model-window prep step",
+    tags=("ext", "text"),
+)
+def doc_chunks_overlap(spark, sf_dir):
+    return X.chunk_documents(
+        spread(t(spark, sf_dir, "documents")), chunk_tokens=64, overlap=16
+    )
+
+
 _PACK_SHARDS = 64  # fixed constant: bin layout must not depend on cluster size
 
 

@@ -229,3 +229,65 @@ class TestStopShingleCap:
                        D.jaccard_pairs(docs, 0.5, stop_max_df_frac=0.25,
                                        stop_min_df=64).collect()))
         assert a == b and len(a) > 0
+
+
+class TestDecontaminate:
+    def test_exact_copy_and_clean_doc(self, spark):
+        eval_df = _docs(spark, ["the quick brown fox jumps over the lazy dog today"])
+        corpus = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog today"),  # copy
+                (11, "a completely different sentence with other words here now"),
+                (12, "prefix words then the quick brown fox jumps over the lazy dog today"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.n_hits for r in D.decontaminate(corpus, eval_df, n=8).collect()}
+        # 10-token eval doc has 3 distinct 8-grams; doc 10 shares all 3,
+        # doc 12 contains the full eval text so shares all 3 too
+        assert got == {10: 3, 12: 3}
+
+    def test_min_hits_threshold(self, spark):
+        eval_df = _docs(spark, ["a b c d e f g h i j"])
+        corpus = spark.createDataFrame(
+            [(10, "a b c d e f g h x y")], "doc_id long, text string"
+        )  # shares exactly one 8-gram (a..h)
+        assert D.decontaminate(corpus, eval_df, n=8, min_hits=2).count() == 0
+        one = D.decontaminate(corpus, eval_df, n=8, min_hits=1).collect()
+        assert [(r.doc_id, r.n_hits) for r in one] == [(10, 1)]
+
+
+class TestChunkDocuments:
+    def test_short_doc_single_chunk(self, spark):
+        from postgres_etl_pipeline_spark.operators.text import chunk_documents
+
+        df = _docs(spark, ["a b c"])
+        rows = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_idx == 0
+        assert rows[0].chunk_n_tokens == 3
+        assert rows[0].chunk_text == "a b c"
+
+    def test_overlap_and_tail_coverage(self, spark):
+        from postgres_etl_pipeline_spark.operators.text import chunk_documents
+
+        toks = [f"t{i}" for i in range(10)]
+        df = _docs(spark, [" ".join(toks)])
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # stride 2, starts 0,2,4,6 (<= n - overlap - 1 = 7): tail covered
+        texts = [r.chunk_text.split() for r in rows]
+        assert [t[0] for t in texts] == ["t0", "t2", "t4", "t6"]
+        # consecutive chunks share exactly `overlap` tokens
+        for a, b in zip(texts, texts[1:]):
+            assert a[-2:] == b[:2]
+        # every token appears in some chunk
+        assert set(toks) == {tok for t in texts for tok in t}
+
+    def test_overlap_must_be_smaller_than_chunk(self, spark):
+        from postgres_etl_pipeline_spark.operators.text import chunk_documents
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(_docs(spark, ["x"]), chunk_tokens=4, overlap=4)
