@@ -197,3 +197,24 @@ def test_mixture_sample_is_single_scan_single_shuffle(spark, sf_small):
     df = q("source_mixture_sample", spark, sf_small)
     s = plan_summary(df)
     assert s.scans == 1 and s.joins == 0
+
+
+def test_decontaminate_broadcasts_the_eval_gram_set(spark, sf_small):
+    """The eval side is small by definition; the CORPUS n-gram relation is
+    the 100 TB side and must never shuffle on the gram key — the plan is
+    corpus scan → broadcast hash join → doc-keyed aggregate."""
+    df = q("decontaminate_vs_eval", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    s = plan_summary(df)
+    assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
+
+
+def test_chunking_is_scan_time_only(spark, sf_small):
+    """Context-window chunking is a pure per-row expansion: one scan, no
+    joins; the only exchange is spread()'s local round-robin unlock."""
+    df = q("doc_chunks_overlap", spark, sf_small)
+    s = plan_summary(df)
+    assert s.scans == 1 and s.joins == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
