@@ -232,6 +232,20 @@ def _partition_by_literal_cuts(
     if rf.n_total == 0:
         return df.withColumn("__routed_tok", F.lit(0).cast("int"))
     fid = F.expr(f"CAST(((_rank - 1) * {n_parts}) DIV {rf.n_total} AS INT)")
+    tok_map = _identity_partition_tokens(spark, n_parts)
+    return (
+        rf.df.withColumn("__routed_tok", tok_map[fid].cast("int"))
+        .repartition(n_parts, "__routed_tok")
+        .drop("_bkt", "_rank")
+    )
+
+
+def _identity_partition_tokens(spark: SparkSession, n_parts: int) -> Column:
+    """Literal map ``partition_id → token`` with ``pmod(murmur3(token),
+    n_parts) == partition_id`` — routing a computed id column through
+    ``repartition(n, tok)`` then lands each id on exactly its own
+    partition (``F.hash`` IS the Murmur3Hash HashPartitioning applies).
+    Preimages come from one tiny driver job over candidate ints."""
     cand = spark.range(0, 64 * n_parts).select(
         F.col("id").cast("int").alias("tok"),
         F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_parts)).alias("p"),
@@ -243,14 +257,84 @@ def _partition_by_literal_cuts(
     missing = set(range(n_parts)) - set(toks)
     if missing:  # P(miss) ~ n*e^-64 — defensive, not expected
         raise RuntimeError(f"no murmur preimage found for buckets {missing}")
-    tok_map = F.create_map(
+    return F.create_map(
         *[F.lit(x) for b in range(n_parts) for x in (b, toks[b])]
     )
-    return (
-        rf.df.withColumn("__routed_tok", tok_map[fid].cast("int"))
-        .repartition(n_parts, "__routed_tok")
-        .drop("_bkt", "_rank")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Deterministic sharded export — the LAST step of a dataset-assembly
+    pipeline (split/sample/pack live upstream): every row lands in shard
+    ``pmod(xxhash64(id), n_shards)``, one parquet file per shard, plus a
+    ``manifest.json`` recording per-shard row counts and an
+    order-insensitive content hash.
+
+    Properties a training loader relies on, all tested:
+    - assignment is a pure function of the row id — independent of input
+      partitioning, cluster size, or re-runs (two writes are identical);
+    - shard count is FIXED by the caller (loaders address shards by
+      index), enforced via identity partition routing — exactly
+      ``n_shards`` files regardless of executor count;
+    - the manifest makes partial/corrupt copies detectable without
+      re-reading payloads.
+
+    Scale: one hash exchange on the shard id; the manifest aggregate is
+    map-side combined (n_shards rows to the driver). At 100 TB raise
+    ``n_shards`` so shards stay ~file-sized; the assignment stays stable
+    under ANY n_shards change only for ids, not rows — re-sharding is a
+    rewrite by design (as with every webdataset-style layout).
+    """
+    spark = df.sparkSession
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    tok_map = _identity_partition_tokens(spark, n_shards)
+    routed = (
+        df.withColumn("__shard", shard)
+        .withColumn("__tok", tok_map[F.col("__shard")].cast("int"))
+        .repartition(n_shards, "__tok")
     )
+    if sort_within:
+        routed = routed.sortWithinPartitions(*sort_within)
+    (
+        routed.drop("__tok")
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .parquet(path)
+    )
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("__shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64(F.col(id_col))).alias("content_hash"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "shards": {
+            int(r["__shard"]): {
+                "rows": int(r["rows"]),
+                "content_hash": int(r["content_hash"]),
+            }
+            for r in stats
+        },
+    }
+    import json as _json
+
+    # leading underscore: Spark/Hadoop input listing skips _-prefixed files
+    # (the _SUCCESS convention), so the manifest never shadows data files
+    atomic_write_text(
+        os.path.join(path, "_manifest.json"), _json.dumps(manifest, sort_keys=True)
+    )
+    return manifest
 
 
 def write_range_layout(

@@ -199,3 +199,60 @@ def test_compact_files_reduces_count_and_preserves_data(spark, tmp_path):
     # and rows inside are ordered
     keys = [r.o_orderkey for r in after.select("o_orderkey").collect()]
     assert keys == sorted(keys)
+
+
+class TestTrainingShards:
+    def test_deterministic_across_runs_and_partitionings(self, spark, tmp_path):
+        from postgres_etl_pipeline_spark.connectors.sinks import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        m1 = write_training_shards(docs, str(tmp_path / "a"), n_shards=8)
+        m2 = write_training_shards(
+            docs.repartition(13), str(tmp_path / "b"), n_shards=8
+        )
+        # assignment is a pure function of doc_id: identical manifests no
+        # matter how the input was partitioned
+        assert m1 == m2
+        assert m1["total_rows"] == docs.count()
+        assert set(m1["shards"]) == set(range(8))
+
+    def test_one_file_per_shard_and_readback(self, spark, tmp_path):
+        from postgres_etl_pipeline_spark.connectors.sinks import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "s")
+        m = write_training_shards(docs, path, n_shards=4)
+        for sid in range(4):
+            files = glob.glob(f"{path}/__shard={sid}/*.parquet")
+            assert len(files) == 1  # identity routing: one task owns a shard
+            got = spark.read.parquet(f"{path}/__shard={sid}")
+            assert got.count() == m["shards"][sid]["rows"]
+        # every doc lands in exactly one shard
+        back = spark.read.parquet(path)
+        assert back.select("doc_id").distinct().count() == m["total_rows"]
+
+    def test_manifest_detects_content(self, spark, tmp_path):
+        import json
+
+        from postgres_etl_pipeline_spark.connectors.sinks import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "m")
+        m = write_training_shards(docs, path, n_shards=2)
+        on_disk = json.load(open(f"{path}/_manifest.json"))
+        assert on_disk["total_rows"] == m["total_rows"]
+        assert {int(k) for k in on_disk["shards"]} == {0, 1}
+        # dropping docs changes the content hash of the affected shard
+        m_small = write_training_shards(
+            docs.filter(F.col("doc_id") % 7 != 0), str(tmp_path / "m2"), 2
+        )
+        assert any(
+            m["shards"][s]["content_hash"] != m_small["shards"][s]["content_hash"]
+            for s in m["shards"]
+        )
