@@ -242,3 +242,74 @@ def test_span_dup_coverage_matches_naive(spark, texts, n):
         dup = sum(1 for s in spans if global_counts[s] > 1)
         assert got[i].n_spans == len(spans)
         assert got[i].n_dup_spans == dup
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=40),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_with_exact_overlap(
+    spark, n_tokens, chunk, overlap
+):
+    """For ANY (doc length, chunk size, overlap<chunk): chunks concatenate
+    back to the document (every token covered, in order), consecutive
+    chunks share exactly `overlap` tokens (except a shorter tail), and no
+    chunk exceeds the budget."""
+    from postgres_etl_pipeline_spark.operators.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    stride = chunk - overlap
+    pieces = [r.chunk_text.split(" ") for r in rows]
+    assert all(len(p) <= chunk for p in pieces)
+    assert [r.chunk_n_tokens for r in rows] == [len(p) for p in pieces]
+    # reconstruction: drop each chunk's leading `overlap` tokens after the
+    # first and the concatenation must equal the document
+    rebuilt = pieces[0] + [tok for p in pieces[1:] for tok in p[overlap:]]
+    assert rebuilt == toks
+    # starts advance by exactly stride
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    for a, b in zip(pieces, pieces[1:]):
+        assert a[len(a) - overlap:] == b[: min(overlap, len(b))] or len(b) <= overlap
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-30, max_value=30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_global_rank_coarse_equals_default_and_exact(spark, vals):
+    """Both global_rank strategies must agree with the exact window for
+    arbitrary duplicate-heavy, null-bearing inputs."""
+    from pyspark.sql import Window
+
+    from postgres_etl_pipeline_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        "k long, v double",
+    ).repartition(4)
+    w = Window.orderBy(F.col("v").asc_nulls_first(), "k")
+    exp = {
+        (r.k, r.rn)
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    for kwargs in (
+        {},
+        {"coarse": F.floor(F.col("v") / 7)},
+    ):
+        rf = global_rank(df, "v", ["k"], n_buckets=3, **kwargs)
+        got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
+        assert got == exp
+        assert rf.n_total == len(vals)
