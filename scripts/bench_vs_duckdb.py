@@ -40,11 +40,12 @@ Two regimes are visible:
 
 Round-5 overhead work (single-pass combined validation gates, the
 one-histogram `global_rank` coarse mode, cheap-init KMeans for the
-probe-all IVF entry) cut the Spark total ~25% round-over-round
-(87.5 s → 65.8 s) while the catalog GREW by 5 entries:
-`grocery_pipeline_mart` 4.4→2.1 s, `customer_balance_quartiles`
-1.5→0.7 s, `supplier_window_stats` 1.0→0.7 s, `embedding_ivf_topk`
-(now exact probe-all) 5.1→1.6 s.
+probe-all IVF entry) cut the big per-query rows roughly in half while
+the catalog GREW by 8 entries: `grocery_pipeline_mart` 4.4→~2.1 s,
+`customer_balance_quartiles` 1.5→~0.7 s, `supplier_window_stats`
+1.0→~0.7 s, `embedding_ivf_topk` (now exact probe-all) 5.1→~1.6 s.
+Totals swing ±15% run-to-run with co-tenant load (both engines), so
+compare per-query rows, not grand totals, across rounds.
 """
 
 
