@@ -407,3 +407,34 @@ def test_dedup_bounded_state_evicts_and_reemits(spark, tmp_path):
     assert t1_emissions == 2, "evicted key re-emits on late redelivery"
     # t-1 ×2 + t-9 + t-8; the in-horizon duplicate was dropped
     assert out.count() == 4
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_path):
+    """SCALE.md prescribes the RocksDB state store for production
+    streaming (per-key state off-heap, incremental checkpoints) — prove
+    the engine's stateful ops actually run under that provider and give
+    identical results to the default HDFS-backed store."""
+    from postgres_etl_pipeline_spark.session import scoped_conf
+    from postgres_etl_pipeline_spark.streaming import jobs
+    from postgres_etl_pipeline_spark.streaming.runner import run_to_memory
+    from postgres_etl_pipeline_spark.streaming.sources import stream_ndjson_txns
+
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [
+            _txn("r1", "t-1", "2024-01-01T10:00:00Z", qty=2),
+            _txn("r1", "t-2", "2024-01-01T11:00:00Z", qty=3),
+            _txn("r2", "t-3", "2024-01-02T09:00:00Z", qty=1),
+        ],
+    )
+
+    def drain(qname):
+        stream = stream_ndjson_txns(spark, str(tmp_path))
+        out = jobs.daily_mart_stream(stream)
+        res = run_to_memory(out, qname, "complete", state_partitions=4)
+        return sorted(map(tuple, res.collect()))
+
+    base = drain("rocksdb_base")
+    with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):  # the RocksDB provider
+        rocks = drain("rocksdb_store")
+    assert rocks == base and len(rocks) == 2
