@@ -438,3 +438,77 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_path):
     with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):  # the RocksDB provider
         rocks = drain("rocksdb_store")
     assert rocks == base and len(rocks) == 2
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark_expiry(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join semantics (the capability beyond the
+    catalog's inner interval join): an unmatched left row emits with NULL
+    right columns only once the watermark proves no future match can
+    arrive; until then it waits in state. Documented-by-test: user 1's
+    click matches a view, user 2's click has no view and must surface as
+    a null-view row after a later batch advances the watermark."""
+    _write_ndjson(
+        str(tmp_path / "a.ndjson"),
+        [
+            {"ts": "2024-01-01T09:50:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T10:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01T10:00:00Z", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+        mtime_offset_s=-60,
+    )
+    # later files must advance BOTH branch watermarks (each withWatermark
+    # tracks its own branch's max event time, and the global watermark is
+    # their MIN — views alone would leave the click watermark stuck at
+    # 10:00 and nothing would ever expire). Each advancing click brings
+    # its own matching view so it adds no pending null of its own. TWO
+    # advancing batches because append-mode outer results emit one batch
+    # AFTER the watermark proves expiry — with availableNow there is no
+    # trailing no-data batch, so the eviction must land inside a data
+    # batch (the one-batch delay Spark documents for outer joins).
+    _write_ndjson(
+        str(tmp_path / "b.ndjson"),
+        [
+            {"ts": "2024-01-01T12:55:00Z", "user_id": 9, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T13:00:00Z", "user_id": 9, "event_type": "click", "value": 1.0},
+        ],
+        mtime_offset_s=-30,
+    )
+    _write_ndjson(
+        str(tmp_path / "c.ndjson"),
+        [
+            {"ts": "2024-01-01T15:55:00Z", "user_id": 9, "event_type": "view", "value": 1.0},
+            {"ts": "2024-01-01T16:00:00Z", "user_id": 9, "event_type": "click", "value": 1.0},
+        ],
+    )
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(tmp_path))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "left_outer",
+    )
+    from postgres_etl_pipeline_spark.streaming.runner import run_to_memory
+
+    res = run_to_memory(joined, "ss_left_outer", "append", state_partitions=4)
+    got = {(r.c_user, r.v_user) for r in res.collect()}
+    assert (1, 1) in got          # matched pair emitted as a normal join row
+    assert (2, None) in got       # expired unmatched click -> null right side
+    assert (9, None) not in got   # matched advancing clicks emit no nulls
+    assert (9, 9) in got          # ...they emit as ordinary inner rows
