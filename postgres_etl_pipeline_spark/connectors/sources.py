@@ -89,3 +89,38 @@ def read_jdbc_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    expected: T.StructType | None = None,
+) -> DataFrame:
+    """Schema-evolution parquet read: merge footers across files written
+    by OLD and NEW producers (``mergeSchema`` — per-file footer union, so
+    files written before a column existed surface it as NULL), then
+    optionally conform to an ``expected`` contract: required columns are
+    selected in contract order (missing-from-every-file columns raise, a
+    type mismatch raises at analysis), extra on-disk columns are dropped.
+
+    The 100 TB operational reality this serves: a long-lived table is
+    never rewritten when a column is added — writers upgrade gradually
+    and readers must handle the mix. ``mergeSchema`` is off by default in
+    Spark because footer-merging every file costs a distributed pass;
+    this helper is the explicit opt-in for exactly the tables where that
+    cost is the point.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    from pyspark.sql import functions as F
+
+    missing = [f.name for f in expected.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"columns {missing} absent from every file under {path!r} — "
+            "not schema evolution, a broken contract"
+        )
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in expected.fields]
+    )

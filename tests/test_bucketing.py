@@ -64,3 +64,45 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan, plan
     # pruning is semantic too: counts match the unpartitioned filter
     assert q.count() == ev.filter(F.col("day") == some_day).count()
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_unions_old_and_new_writers(self, spark, tmp_path):
+        from postgres_etl_pipeline_spark.connectors.sources import (
+            read_parquet_evolving,
+        )
+
+        path = str(tmp_path / "evolving")
+        spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(path)
+        spark.range(3, 5).selectExpr(
+            "id", "id * 2 AS a", "'new' AS b"
+        ).write.mode("append").parquet(path)
+        df = read_parquet_evolving(spark, path)
+        assert set(df.columns) == {"id", "a", "b"}
+        rows = {r.id: (r.a, r.b) for r in df.collect()}
+        assert rows[0] == (0, None)      # old files surface b as NULL
+        assert rows[4] == (8, "new")
+        # a plain read without the helper sees ONE footer's schema — the
+        # property that silently drops new columns and motivates the helper
+        plain = spark.read.parquet(path)
+        assert set(plain.columns) <= {"id", "a", "b"}
+
+    def test_expected_contract_conforms_and_fails_loud(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from postgres_etl_pipeline_spark.connectors.sources import (
+            read_parquet_evolving,
+        )
+
+        path = str(tmp_path / "c")
+        spark.range(2).selectExpr("id", "'x' AS extra").write.parquet(path)
+        want = T.StructType([T.StructField("id", T.LongType())])
+        df = read_parquet_evolving(spark, path, want)
+        assert df.columns == ["id"]  # extras dropped, contract order
+        bad = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("nope", T.StringType())]
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="nope"):
+            read_parquet_evolving(spark, path, bad)
