@@ -19,10 +19,12 @@ from .jobs import (
     dedup_within_watermark,
     session_window_agg,
     sliding_counts,
+    stateful_user_profile,
     stateful_user_totals,
+    static_enrich,
     tumbling_counts,
 )
-from .runner import run_to_memory
+from .runner import run_to_memory, run_upsert_sink
 from .sources import stream_events, stream_ndjson_txns, stream_parquet
 
 __all__ = [
@@ -30,9 +32,12 @@ __all__ = [
     "dedup_within_watermark",
     "session_window_agg",
     "sliding_counts",
+    "stateful_user_profile",
     "stateful_user_totals",
+    "static_enrich",
     "tumbling_counts",
     "run_to_memory",
+    "run_upsert_sink",
     "stream_events",
     "stream_ndjson_txns",
     "stream_parquet",
