@@ -862,7 +862,7 @@ def _driver_window() -> tuple[str, ...]:
 
 
 def compute_aged_window(
-    repo_root: str | None = None, size: int = 50
+    repo_root: str | None = None, size: int = 50, upto_round: int | None = None
 ) -> list[str]:
     """The DETERMINISTIC ageing rule for the driver verification window
     (round-4 verdict item 4): the window is a pure function of public
@@ -873,9 +873,17 @@ def compute_aged_window(
     entries age as round 0, i.e. first), ties broken by name. Presence in
     ``CORRECTNESS_r{N}.json`` counts as that round's evidence regardless
     of row type (rows-only entries earn their slot the same way).
+
+    The window for round N is a function of history STRICTLY BEFORE N:
+    with ``upto_round=N``, only ``CORRECTNESS_r{1..N-1}`` are read (r05
+    verdict item 1 — the driver drops ``CORRECTNESS_r{N}.json`` *after*
+    the round-N window was committed, so counting it would make the
+    committed pin self-invalidating every round-end). ``upto_round=None``
+    reads every artifact on disk (i.e. "the next round's window").
     ``scripts/compute_driver_window.py`` writes the config;
     ``tests/test_registry_contract.py`` asserts the committed window
-    equals this rule's output, so an editorial deviation fails CI."""
+    equals this rule's output at the window's own ``round``, so an
+    editorial deviation fails CI."""
     import glob as _glob
     import json
     import re
@@ -889,6 +897,8 @@ def compute_aged_window(
         if not m:
             continue
         rnd = int(m.group(1))
+        if upto_round is not None and rnd >= upto_round:
+            continue
         for name in json.loads(Path(path).read_text()):
             if name in last_seen:
                 last_seen[name] = max(last_seen[name], rnd)

@@ -1,13 +1,21 @@
-"""Regenerate DRIVER_WINDOW.json from the deterministic ageing rule.
+"""Regenerate (or verify) DRIVER_WINDOW.json from the deterministic ageing rule.
 
-Usage: python scripts/compute_driver_window.py [round_number]
+Usage:
+    python scripts/compute_driver_window.py <round_number>          # write
+    python scripts/compute_driver_window.py --check                 # verify, no write
 
-The window is a pure function of the committed CORRECTNESS_r*.json
-artifacts (see queries.compute_aged_window): 3 sentinels + the 47
-least-recently-driver-verified registry entries, ties by name. Run once
-per round after the previous round's CORRECTNESS file lands; the
-registry-contract test fails if the committed config ever deviates from
-the rule's output.
+The window for round N is a pure function of the CORRECTNESS_r*.json
+artifacts STRICTLY BEFORE N (see queries.compute_aged_window): 3 sentinels
++ the 47 least-recently-driver-verified registry entries, ties by name.
+The strict bound means the driver dropping CORRECTNESS_r{N}.json after the
+round-N window was committed can never invalidate the committed pin
+(round-5 verdict item 1). Run once per round with the NEW round number;
+the registry-contract test fails if the committed config ever deviates
+from the rule's output at its own recorded round.
+
+``--check`` recomputes the window at the committed config's own "round"
+and exits 1 on any drift WITHOUT touching the tree — safe for CI and
+judges.
 """
 
 from __future__ import annotations
@@ -24,29 +32,62 @@ from postgres_etl_pipeline_spark.queries import (  # noqa: E402
     compute_aged_window,
 )
 
+OUT = ROOT / "DRIVER_WINDOW.json"
 
-def main() -> None:
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else None
-    window = compute_aged_window(str(ROOT))
+
+def check() -> int:
+    committed = json.loads(OUT.read_text())
+    rnd = committed.get("round")
+    if not isinstance(rnd, int):
+        print("FAIL: committed DRIVER_WINDOW.json has no integer 'round' field")
+        return 1
+    expected = compute_aged_window(str(ROOT), upto_round=rnd)
+    if committed["window"] != expected:
+        drift = [
+            (i, got, want)
+            for i, (got, want) in enumerate(zip(committed["window"], expected))
+            if got != want
+        ]
+        print(
+            f"FAIL: committed window (round {rnd}) deviates from the ageing "
+            f"rule at {len(drift)} slot(s); first: {drift[:3]}"
+        )
+        return 1
+    print(f"OK: committed window matches the ageing rule at round {rnd}")
+    return 0
+
+
+def write(rnd: int) -> None:
+    window = compute_aged_window(str(ROOT), upto_round=rnd)
     payload = {
         "_comment": (
             "Driver verification window (the harness checks "
             "list(queries())[:50]). DETERMINISTIC ageing rule — not an "
             "editorial list: 3 sentinels + the 47 registry entries whose "
-            "latest CORRECTNESS_r*.json appearance is oldest "
-            "(never-checked first), ties by name. Regenerate with "
-            "scripts/compute_driver_window.py; "
+            "latest appearance in CORRECTNESS_r{1..round-1}.json is oldest "
+            "(never-checked first), ties by name; artifacts from rounds >= "
+            "'round' are ignored so later driver drops cannot invalidate "
+            "this pin. Regenerate with scripts/compute_driver_window.py "
+            "<round>; verify with --check; "
             "tests/test_registry_contract.py pins the committed window "
-            "to the rule's output."
+            "to the rule's output at its own round."
         ),
-        **({"round": rnd} if rnd is not None else {}),
-        "rule": "aged-lrv-v1",
+        "round": rnd,
+        "rule": "aged-lrv-v2",
         "sentinels": list(_SENTINELS),
         "window": window,
     }
-    out = ROOT / "DRIVER_WINDOW.json"
-    out.write_text(json.dumps(payload, indent=2) + "\n")
-    print(f"wrote {out} ({len(window)} names)")
+    OUT.write_text(json.dumps(payload, indent=2) + "\n")
+    print(f"wrote {OUT} (round {rnd}, {len(window)} names)")
+
+
+def main() -> None:
+    if len(sys.argv) == 2 and sys.argv[1] == "--check":
+        sys.exit(check())
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        print(__doc__)
+        sys.exit(2)
+    write(int(sys.argv[1]))
 
 
 if __name__ == "__main__":

@@ -56,14 +56,26 @@ def test_driver_window_rotation_contract():
 
 
 def test_window_equals_deterministic_ageing_rule():
-    """Round-4 verdict item 4: the committed DRIVER_WINDOW.json must be
-    the exact output of the public ageing rule (3 sentinels + 47
-    least-recently-verified, ties by name) over the committed
-    CORRECTNESS_r*.json artifacts — the sample a verifier sees is
-    reproducible, never an editorial choice."""
+    """Round-4 verdict item 4 + round-5 item 1: the committed
+    DRIVER_WINDOW.json must be the exact output of the public ageing rule
+    (3 sentinels + 47 least-recently-verified, ties by name) over the
+    CORRECTNESS_r*.json history STRICTLY BEFORE the window's own "round"
+    field. The strict bound makes the pin stable when the driver drops
+    CORRECTNESS_r{N}.json after the round-N window was committed — the
+    sample a verifier sees is reproducible, never an editorial choice,
+    and never invalidated by later artifacts."""
+    import json
+    from pathlib import Path
+
     from postgres_etl_pipeline_spark import queries as Q
 
-    assert list(Q._driver_window()) == Q.compute_aged_window()
+    cfg = json.loads(
+        (Path(__file__).resolve().parent.parent / "DRIVER_WINDOW.json").read_text()
+    )
+    assert isinstance(cfg.get("round"), int), "window config must carry its round"
+    assert list(Q._driver_window()) == Q.compute_aged_window(
+        upto_round=cfg["round"]
+    )
 
 
 def test_unknown_window_name_raises(monkeypatch):
