@@ -229,10 +229,11 @@ def required_and_not_null(
             ),
             CheckResult(extra_name, False, 0, []),
         )
-    any_null = None
+    # An empty `required` list must not crash the combined gate (advice r05):
+    # no required fields ⇒ no row can violate them ⇒ any_null ≡ false.
+    any_null = F.lit(False)
     for f_ in required:
-        c = F.col(f_).isNull()
-        any_null = c if any_null is None else (any_null | c)
+        any_null = any_null | F.col(f_).isNull()
     cols = list(dict.fromkeys(required + extra_cols))
     agg = df.select(
         F.coalesce(F.sum(any_null.cast("long")), F.lit(0)).alias("_rows"),

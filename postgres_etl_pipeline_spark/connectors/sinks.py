@@ -280,7 +280,10 @@ def write_training_shards(
       partitioning, cluster size, or re-runs (two writes are identical);
     - shard count is FIXED by the caller (loaders address shards by
       index), enforced via identity partition routing — exactly
-      ``n_shards`` files regardless of executor count;
+      ``n_shards`` files regardless of executor count; a shard with zero
+      rows writes no ``__shard=K`` directory (parquet has no empty
+      partition dirs) but still appears in the manifest with ``rows: 0``,
+      so loaders can distinguish "empty" from "missing/corrupt";
     - the manifest makes partial/corrupt copies detectable without
       re-reading payloads.
 
@@ -315,16 +318,22 @@ def write_training_shards(
         )
         .collect()
     )
+    present = {
+        int(r["__shard"]): {
+            "rows": int(r["rows"]),
+            "content_hash": int(r["content_hash"]),
+        }
+        for r in stats
+    }
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
         "total_rows": int(sum(r["rows"] for r in stats)),
+        # every index 0..n_shards-1, zero-row shards included (advice r05):
+        # an absent key would be indistinguishable from a lost shard
         "shards": {
-            int(r["__shard"]): {
-                "rows": int(r["rows"]),
-                "content_hash": int(r["content_hash"]),
-            }
-            for r in stats
+            k: present.get(k, {"rows": 0, "content_hash": 0})
+            for k in range(n_shards)
         },
     }
     import json as _json

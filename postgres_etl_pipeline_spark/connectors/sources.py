@@ -100,8 +100,13 @@ def read_parquet_evolving(
     by OLD and NEW producers (``mergeSchema`` — per-file footer union, so
     files written before a column existed surface it as NULL), then
     optionally conform to an ``expected`` contract: required columns are
-    selected in contract order (missing-from-every-file columns raise, a
-    type mismatch raises at analysis), extra on-disk columns are dropped.
+    selected in contract order; missing-from-every-file columns raise; a
+    merged on-disk type that differs from the contract raises ValueError
+    unless it is a SAFE WIDENING (int→long, float→double — the upcasts
+    parquet writers actually evolve through), which is cast up; extra
+    on-disk columns are dropped. Castable-but-incompatible types (e.g.
+    string on disk vs LongType in the contract) are REJECTED, never
+    silently coerced into NULLs/ANSI runtime errors (advice r05).
 
     The 100 TB operational reality this serves: a long-lived table is
     never rewritten when a column is added — writers upgrade gradually
@@ -120,6 +125,26 @@ def read_parquet_evolving(
         raise ValueError(
             f"columns {missing} absent from every file under {path!r} — "
             "not schema evolution, a broken contract"
+        )
+    widenings = {  # on-disk simpleString -> contract types it may upcast to
+        "int": {"bigint"},
+        "smallint": {"int", "bigint"},
+        "tinyint": {"smallint", "int", "bigint"},
+        "float": {"double"},
+    }
+    on_disk = {f.name: f.dataType for f in df.schema.fields}
+    bad = {
+        f.name: (on_disk[f.name].simpleString(), f.dataType.simpleString())
+        for f in expected.fields
+        if on_disk[f.name] != f.dataType
+        and f.dataType.simpleString()
+        not in widenings.get(on_disk[f.name].simpleString(), set())
+    }
+    if bad:
+        raise ValueError(
+            f"incompatible on-disk types under {path!r}: "
+            + ", ".join(f"{c}: {got} vs contract {want}" for c, (got, want) in sorted(bad.items()))
+            + " — only safe widenings (int->long, float->double) are conformed"
         )
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in expected.fields]

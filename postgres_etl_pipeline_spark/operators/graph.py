@@ -179,12 +179,15 @@ def connected_components_star(
         # bit_xor: order-independent AND overflow-free under ANSI mode
         # (sum of 64-bit hashes would raise ARITHMETIC_OVERFLOW); the edge
         # set is distinct, so xor self-cancellation can't mask a change
-        # that count doesn't already catch.
+        # that count doesn't already catch. Two INDEPENDENT hashes (the
+        # literal prefix re-seeds xxhash64's state) square the collision
+        # odds to ~2^-128 (advice r05) — same one-aggregate cost.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h1"),
+            F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "src", "dst")).alias("h2"),
         ).collect()[0]
-        return (row["n"], row["h"])
+        return (row["n"], row["h1"], row["h2"])
 
     sig = _sig(e)
     converged = False

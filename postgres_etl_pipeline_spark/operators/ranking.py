@@ -117,6 +117,9 @@ def global_rank(
       from the histogram alone — halving the pre-passes. Bucket balance
       is bounded below by the heaviest single coarse key (a hot key makes
       a fat bucket), which is the trade against the quantile path.
+      NaN values (which coarse maps mangle — ``floor(NaN)`` is 0) are
+      detected on the value column in the same pass and take a dedicated
+      TOP bucket, matching Spark's NaN-sorts-last total order.
     """
     spark = df.sparkSession
     k = n_buckets or spark.sparkContext.defaultParallelism
@@ -124,8 +127,21 @@ def global_rank(
     order_struct = F.struct(value_col, *tie_cols)
 
     if coarse is not None:
+        # NaN values silently break the non-decreasing-map contract
+        # (advice r05): floor(NaN) is 0 in Spark, which would bucket NaN
+        # rows near the BOTTOM while the window order puts NaN LAST. NaN
+        # is therefore detected on the VALUE column inside the same
+        # histogram pass (the coarse key is masked to NULL for NaN rows)
+        # and routed to a dedicated top bucket, mirroring nulls' bucket -1.
+        vtype = df.schema[value_col].dataType.simpleString()
+        nan_pred = (
+            F.isnan(F.col(value_col)) if vtype in ("float", "double") else F.lit(False)
+        )
         hist = (
-            df.groupBy(coarse.alias("_ck"))
+            df.groupBy(
+                nan_pred.alias("_nan"),
+                F.when(~nan_pred, coarse).alias("_ck"),
+            )
             .agg(
                 F.count(F.lit(1)).alias("_cnt"),
                 F.min_by(F.struct(*keys), order_struct).alias("_first"),
@@ -137,9 +153,11 @@ def global_rank(
                 f"coarse key has {len(hist)} distinct values "
                 f"(> coarse_max_keys={coarse_max_keys}); pick a coarser map"
             )
-        nulls = [r for r in hist if r["_ck"] is None]
+        nulls = [r for r in hist if not r["_nan"] and r["_ck"] is None]
+        nans = [r for r in hist if r["_nan"]]
         rows = sorted(
-            (r for r in hist if r["_ck"] is not None), key=lambda r: r["_ck"]
+            (r for r in hist if not r["_nan"] and r["_ck"] is not None),
+            key=lambda r: r["_ck"],
         )
         offsets: dict[int, int] = {}
         first_keys: dict[int, tuple] = {}
@@ -162,11 +180,16 @@ def global_rank(
                 cuts.append(r["_ck"])
                 bucket += 1
                 in_bucket = 0
+        nan_bucket = len(cuts) + 1  # strictly after every cutpoint bucket
+        if nans:
+            offsets[nan_bucket] = acc
+            first_keys[nan_bucket] = tuple(nans[0]["_first"])
+            acc += sum(r["_cnt"] for r in nans)
         b = df.withColumn(
             "_bkt",
-            F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
-                _bucket_expr(coarse, cuts)
-            ),
+            F.when(F.col(value_col).isNull(), F.lit(-1))
+            .when(nan_pred, F.lit(nan_bucket))
+            .otherwise(_bucket_expr(coarse, cuts)),
         )
         return _assemble(b, value_col, tie_cols, offsets, first_keys, acc)
 

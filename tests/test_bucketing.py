@@ -106,3 +106,32 @@ class TestSchemaEvolution:
 
         with _pytest.raises(ValueError, match="nope"):
             read_parquet_evolving(spark, path, bad)
+
+    def test_incompatible_types_rejected_widenings_conformed(self, spark, tmp_path):
+        """Castable-but-incompatible on-disk types (string vs LongType) are
+        REJECTED, not silently coerced into NULLs (advice r05); safe
+        widenings (int->long) ARE conformed — that's the one type change
+        parquet writers legitimately evolve through."""
+        from pyspark.sql import types as T
+
+        from postgres_etl_pipeline_spark.connectors.sources import (
+            read_parquet_evolving,
+        )
+
+        import pytest as _pytest
+
+        path = str(tmp_path / "ty")
+        spark.range(3).selectExpr(
+            "CAST(id AS INT) AS id", "CAST(id AS STRING) AS v"
+        ).write.parquet(path)
+        # string on disk vs long contract: reject at analysis, never coerce
+        bad = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+        )
+        with _pytest.raises(ValueError, match="v: string vs contract bigint"):
+            read_parquet_evolving(spark, path, bad)
+        # int on disk vs long contract: safe widening, conformed via cast
+        ok = T.StructType([T.StructField("id", T.LongType())])
+        df = read_parquet_evolving(spark, path, ok)
+        assert df.schema["id"].dataType == T.LongType()
+        assert sorted(r.id for r in df.collect()) == [0, 1, 2]

@@ -93,6 +93,16 @@ def test_required_and_not_null_equals_separate_checks(df):
     assert (nn.ok, nn.violations, nn.samples) == (nn0.ok, nn0.violations, nn0.samples)
 
 
+def test_required_and_not_null_empty_required_list(df):
+    """An empty required list is a vacuous pass, not an AttributeError
+    (advice r05): the combined gate must be at least as robust as the
+    separate checks it replaces."""
+    req, nn = C.required_and_not_null(df, [], ["id"], extra_name="ids")
+    assert req.ok and req.violations == 0
+    nn0 = C.not_null(df, ["id"], name="ids")
+    assert (nn.ok, nn.violations) == (nn0.ok, nn0.violations)
+
+
 def test_required_and_not_null_missing_schema(df):
     req, nn = C.required_and_not_null(df, ["nope"], ["id"])
     assert not req.ok and "missing from schema" in req.samples[0]

@@ -83,6 +83,25 @@ class TestGlobalRank:
         assert rf.buckets[0] == -1
         assert rf.first_keys[-1] == (1,)  # first null row by tie order
 
+    def test_coarse_mode_nan_routes_to_top_bucket(self, spark):
+        """NaN breaks Python's sorted() and Spark's cutpoint comparison, so
+        coarse mode routes NaN rows to a dedicated TOP bucket (advice r05)
+        — matching Spark's total order, where NaN sorts after every value
+        (and after +Inf), exactly like nulls get bucket -1 at the front."""
+        nan = float("nan")
+        rows = [(0, 5.0), (1, nan), (2, 1.0), (3, None), (4, nan), (5, 3.5), (6, 9.0)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(4)
+        rf = global_rank(df, "v", ["k"], n_buckets=2, coarse=F.floor(F.col("v")))
+        got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
+        w = Window.orderBy(F.col("v").asc_nulls_first(), "k")
+        exp = {
+            (r.k, r.rn)
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+        }
+        assert got == exp
+        assert rf.buckets[0] == -1          # nulls first
+        assert rf.first_keys[rf.buckets[-1]] == (1,)  # NaN bucket is LAST
+
     def test_coarse_mode_bounds_distinct_keys(self, spark):
         df = _vals(spark, range(1000))
         with pytest.raises(ValueError, match="coarse_max_keys"):

@@ -235,6 +235,26 @@ class TestTrainingShards:
         back = spark.read.parquet(path)
         assert back.select("doc_id").distinct().count() == m["total_rows"]
 
+    def test_empty_shards_present_in_manifest(self, spark, tmp_path):
+        """A zero-row shard writes no __shard=K directory (parquet has no
+        empty partition dirs) but MUST still appear in the manifest with
+        rows=0 (advice r05): loaders address shards by index and need to
+        distinguish 'empty' from 'missing/corrupt'."""
+        from postgres_etl_pipeline_spark.connectors.sinks import (
+            write_training_shards,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(3)
+        )
+        m = write_training_shards(docs, str(tmp_path / "e"), n_shards=64)
+        assert set(m["shards"]) == set(range(64))
+        assert m["total_rows"] == 3
+        empties = [s for s, v in m["shards"].items() if v["rows"] == 0]
+        assert len(empties) >= 61  # 3 rows can occupy at most 3 shards
+        assert all(m["shards"][s] == {"rows": 0, "content_hash": 0} for s in empties)
+
     def test_manifest_detects_content(self, spark, tmp_path):
         import json
 
