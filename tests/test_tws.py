@@ -1,26 +1,17 @@
 """Per-user stateful profile: the applyInPandasWithState twin runs
-UNCONDITIONALLY (pinning the profile semantics against the batch answer in
-this container), while the Spark 4 transformWithStateInPandas leg skips
-where google.protobuf is absent (its state-server protocol requires it; no
-protobuf runtime exists in this container and installs are out of scope).
+UNCONDITIONALLY, pinning the profile semantics against the batch answer in
+this container. The transformWithStateInPandas legs live in
+test_tws_protocol.py behind ONE module-level environmental skip
+(google.protobuf absent; see that module's docstring for the adjudication).
 On a standard Spark 4 cluster all three tests run and TWS must equal both
 the twin and the batch answer."""
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from postgres_etl_pipeline_spark.queries import read_events
-from postgres_etl_pipeline_spark.session import scoped_conf
 from postgres_etl_pipeline_spark.streaming import jobs, runner, sources
-
-tws_missing = pytest.mark.skipif(
-    not jobs.tws_available(),
-    reason="google.protobuf not installed (TWS state-server protocol)",
-)
-
 
 def _batch_profile(spark, sf_small):
     batch = read_events(spark, sf_small)
@@ -66,31 +57,3 @@ def test_profile_twin_matches_batch(spark, sf_small):
         state_partitions=4,
     )
     assert _final_emission_per_user(res) == _batch_profile(spark, sf_small)
-
-
-@tws_missing
-def test_tws_profile_matches_batch(spark, sf_small):
-    with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):
-        ev = sources.stream_events(spark, sf_small).select(
-            "user_id", "event_type", "value"
-        )
-        out = jobs.stateful_user_profile_tws(ev)
-        res = runner.run_to_memory(out, "tws_profile", "update")
-        got = _final_emission_per_user(res)
-    assert got == _batch_profile(spark, sf_small)
-
-
-@tws_missing
-def test_tws_equals_twin(spark, sf_small):
-    """The two state APIs must express identical semantics."""
-    ev = sources.stream_events(spark, sf_small).select(
-        "user_id", "event_type", "value"
-    )
-    twin = runner.run_to_memory(
-        jobs.stateful_user_profile(ev), "twin_cmp", "update", state_partitions=4
-    )
-    with scoped_conf(spark, jobs.TWS_PROVIDER_CONF):
-        tws = runner.run_to_memory(
-            jobs.stateful_user_profile_tws(ev), "tws_cmp", "update"
-        )
-    assert _final_emission_per_user(twin) == _final_emission_per_user(tws)
