@@ -757,9 +757,7 @@ def token_budget_packing(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "semantic_dedup_keep_list",
-    f"""
+_SEMANTIC_KEEP_SQL = f"""
     WITH RECURSIVE
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     vb AS (SELECT vec_id, e, {_bucket_expr("e")} AS bucket FROM v),
@@ -779,19 +777,46 @@ def token_budget_packing(spark, sf_dir):
            FROM reach GROUP BY a)
     SELECT em.vec_id, em.label FROM embeddings em
     WHERE em.vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id <> cluster_id)
-    """,
+    """
+
+
+@register(
+    "semantic_dedup_keep_list",
+    _SEMANTIC_KEEP_SQL,
     survey="§7 Phase 5: SEMANTIC dedup end-to-end — sign-LSH bucket pairs"
     " ≥0.35 cosine → connected components → keep one vector per cluster"
     " (embedding-space twin of dedup_keep_list)",
     tags=("ext", "similarity", "dedup"),
 )
-def semantic_dedup_keep_list(spark, sf_dir):
+def semantic_dedup_keep_list(spark, sf_dir, algorithm: str = "hash_to_min"):
+    """End-to-end semantic dedup with a selectable CC kernel: the
+    ``algorithm`` knob reaches :func:`connected_components`, so pipelines
+    on adversarial (high-diameter) similarity graphs can pick the
+    O(log n) star contraction without changing the keep-list contract —
+    the keep list depends only on the partition into components, never on
+    which algorithm found them (r05 verdict item 6)."""
     from .operators.graph import connected_components, dedup_keep_filter
 
     emb = spread(t(spark, sf_dir, "embeddings"))
     pairs = S.lsh_near_dups(emb, threshold=0.35).select("vec_a", "vec_b")
-    cc = connected_components(pairs, "vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b", algorithm=algorithm)
     return dedup_keep_filter(emb, cc, id_col="vec_id").select("vec_id", "label")
+
+
+@register(
+    "semantic_dedup_keep_list_star",
+    # Identical ground truth to semantic_dedup_keep_list: the keep list is
+    # a function of the component partition alone, so one recursive-CTE
+    # oracle pins BOTH CC kernels end-to-end (the star twin of the
+    # dedup_cc_clusters / dedup_cc_clusters_star pairing).
+    _SEMANTIC_KEEP_SQL,
+    survey="§7 Phase 5: the full LSH → large-star/small-star CC → keep-list"
+    " chain — proves the O(log n) kernel is selectable from the end-to-end"
+    " semantic dedup consumer, not only callable directly",
+    tags=("ext", "similarity", "dedup"),
+)
+def semantic_dedup_keep_list_star(spark, sf_dir):
+    return semantic_dedup_keep_list(spark, sf_dir, algorithm="star")
 
 
 @register(
