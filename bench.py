@@ -16,6 +16,29 @@ import os
 import time
 
 
+def _streaming_floor(spark) -> float:
+    """Best-of-2 wall time of draining an empty single-column file stream —
+    the irreducible startup/checkpoint/drain cost every streaming entry
+    carries on top of its plan."""
+    import tempfile
+
+    from postgres_etl_pipeline_spark.streaming import runner
+
+    d = tempfile.mkdtemp(prefix="stream_floor_")
+    spark.createDataFrame([], "id long").write.mode("overwrite").parquet(d)
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        runner.run_to_memory(
+            spark.readStream.schema("id long").parquet(d),
+            f"floor_probe_{i}",
+            "append",
+            state_partitions=1,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from postgres_etl_pipeline_spark.queries import REGISTRY, queries as _load_all
@@ -54,6 +77,13 @@ def main() -> None:
         timings[name] = round(b, 3)
         total += b
 
+    # Structured Streaming fixed-cost floor (r05 verdict item 8): drain an
+    # EMPTY file-source stream (availableNow -> memory sink). Every
+    # stream_* catalog entry pays at least this much in startup/drain
+    # regardless of its plan, so readers of BENCH_VS_DUCKDB can separate
+    # the capability's fixed cost from actual plan cost.
+    floor = _streaming_floor(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -62,6 +92,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "streaming_floor_sec": round(floor, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # Methodology marker (round-4 advice): r01-r03 were
                 # single-shot cold ("cold-single"); r04+ are per-query

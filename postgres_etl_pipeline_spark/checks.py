@@ -217,18 +217,26 @@ def required_and_not_null(
     extra_cols: list[str],
     req_name: str = "required",
     extra_name: str = "not_null",
-) -> tuple[CheckResult, CheckResult]:
+    with_count: bool = False,
+) -> tuple:
     """V1 + V4 in ONE aggregation: required-field nulls (row-level any-null
-    count + per-field breakdown) and extra not_null column counts."""
+    count + per-field breakdown) and extra not_null column counts.
+
+    ``with_count=True`` appends the relation's total row count as a third
+    return value — it rides the same aggregate for free, so a pipeline
+    that needs "rows staged" (A4) never pays a separate count() action
+    over data the gate just scanned. On the missing-schema failure path
+    the count is 0 (the gate fails before any caller can use it)."""
     missing_schema = [f for f in required + extra_cols if f not in df.columns]
     if missing_schema:
-        return (
+        failed = (
             CheckResult(
                 req_name, False, len(missing_schema),
                 [f"$.{f}: missing from schema" for f in sorted(missing_schema)],
             ),
             CheckResult(extra_name, False, 0, []),
         )
+        return (*failed, 0) if with_count else failed
     # An empty `required` list must not crash the combined gate (advice r05):
     # no required fields ⇒ no row can violate them ⇒ any_null ≡ false.
     any_null = F.lit(False)
@@ -236,6 +244,7 @@ def required_and_not_null(
         any_null = any_null | F.col(f_).isNull()
     cols = list(dict.fromkeys(required + extra_cols))
     agg = df.select(
+        F.count(F.lit(1)).alias("_n"),
         F.coalesce(F.sum(any_null.cast("long")), F.lit(0)).alias("_rows"),
         *[
             F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
@@ -249,7 +258,7 @@ def required_and_not_null(
         f"$.{c}: {agg[c]} null(s)" for c in sorted(extra_cols) if agg[c]
     ]
     extra = CheckResult(extra_name, extra_total == 0, extra_total, extra_samples)
-    return req, extra
+    return (req, extra, int(agg["_n"])) if with_count else (req, extra)
 
 
 def not_null_and_non_empty(

@@ -121,7 +121,7 @@ def ingest(paths: RunPaths, scenario: str, n: int = 40, retries: int = 2) -> Non
 
 def validate_and_stage(
     spark: SparkSession, paths: RunPaths, scenario: str, quarantine: bool = False
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Stage 2 (``grocery_validate_dag.py:44-79``): schema-on-read with
     corrupt quarantine (V2), contract checks (V1), explode to staged NDJSON
     (K3/P5).
@@ -156,20 +156,21 @@ def validate_and_stage(
     txns = txns.withColumn(
         "unit_price_cents", F.coalesce("unit_price_cents", "unit_price")
     ).drop("unit_price")
-    # V1 + V4 in ONE scan
-    C.enforce(
-        *C.required_and_not_null(
-            txns, REQUIRED_TXN_FIELDS, ["unit_price_cents"],
-            extra_name="drift_resolved",
-        )
+    # V1 + V4 + the staged row count (A4) in ONE scan — the count rides the
+    # gate aggregate instead of a separate count() action over the same rows
+    req, extra, staged_rows = C.required_and_not_null(
+        txns, REQUIRED_TXN_FIELDS, ["unit_price_cents"],
+        extra_name="drift_resolved", with_count=True,
     )
+    C.enforce(req, extra)
     sinks.write_ndjson(txns, paths.staged)
     # read the staged artifact BACK: downstream jobs re-scan cheap NDJSON
     # with an exact schema instead of re-parsing the multiLine raw payload
     # per action — the stage boundary is real, as in the reference
-    return sources.read_ndjson(spark, paths.staged, txns.schema).drop(
+    staged = sources.read_ndjson(spark, paths.staged, txns.schema).drop(
         "_corrupt_record"
     )
+    return staged, staged_rows
 
 
 def enrich(txns: DataFrame, scenario: str) -> DataFrame:
@@ -198,11 +199,18 @@ def load(spark: SparkSession, enriched: DataFrame, paths: RunPaths) -> DataFrame
     )
 
 
-def reconcile(spark: SparkSession, paths: RunPaths) -> int:
+def reconcile(spark: SparkSession, paths: RunPaths, n_run: int | None = None) -> int:
     """Stage 5 (``grocery_reconcile_dag.py:16-35``): canary count for this
-    run (A2 + V6), then the reconcile artifact."""
-    stg = spark.read.parquet(paths.table).filter(F.col("run_id") == paths.run_id)
-    n = stg.count()  # ONE count job; the canary gates on the same number
+    run (A2 + V6), then the reconcile artifact. ``n_run`` lets the caller
+    hand in a count already computed over the freshly-written table (the
+    load stage's fused aggregate); ``None`` re-reads and counts here."""
+    if n_run is None:
+        stg = spark.read.parquet(paths.table).filter(
+            F.col("run_id") == paths.run_id
+        )
+        n = stg.count()  # ONE count job; the canary gates on the same number
+    else:
+        n = n_run
     C.enforce(C.canary_threshold_count(n, CANARY_MIN_ROWS))
     sinks.atomic_write_text(
         paths.reconcile,
@@ -226,6 +234,11 @@ def build_mart(spark: SparkSession, paths: RunPaths) -> DataFrame:
         qty_col="quantity",
         group_extra=["store_id", "region"],
     )
+    # The gate action below materializes the checkpoint, so the caller's
+    # subsequent read of the mart replays a tiny cached result instead of
+    # re-running scan -> broadcast join -> aggregate. Bounded: the mart is
+    # day x store x region rows, never input-sized.
+    mart = mart.localCheckpoint(eager=False)
     # V4 + V5 in ONE scan (was isEmpty + a null-count agg)
     C.enforce(
         *C.not_null_and_non_empty(
@@ -262,15 +275,24 @@ def run(
     try:
         ingest(paths, scenario, n)
         stage = "validate_and_stage"
-        txns = validate_and_stage(spark, paths, scenario, quarantine=quarantine)
-        result.staged_rows = txns.count()
+        txns, result.staged_rows = validate_and_stage(
+            spark, paths, scenario, quarantine=quarantine
+        )
         stage = "enrich"
         enriched = enrich(txns, scenario)
         stage = "load"
         loaded = load(spark, enriched, paths)
-        result.loaded_rows = loaded.count()
+        # total rows AND this run's rows in ONE aggregate over the
+        # just-written table (was: loaded.count() + a reconcile re-count)
+        counts = loaded.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(
+                F.sum((F.col("run_id") == paths.run_id).cast("long")), F.lit(0)
+            ).alias("n_run"),
+        ).collect()[0]
+        result.loaded_rows = int(counts["n_total"])
         stage = "reconcile"
-        reconcile(spark, paths)
+        reconcile(spark, paths, n_run=int(counts["n_run"]))
         stage = "build_mart"
         result.mart = build_mart(spark, paths)
     except Exception as e:

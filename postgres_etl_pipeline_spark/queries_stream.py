@@ -143,6 +143,47 @@ def stream_dedup_lineitem(spark, sf_dir):
     return out.agg(F.count(F.lit(1)).alias("distinct_keys"))
 
 
+# One SHARED drain serves both stateful entries (r05 verdict item 4): the
+# per-user profile state (count + type map + total) is a strict superset of
+# the running totals state, so the totals entry is a projection of the same
+# drained stream — Structured Streaming startup/drain is the dominant cost
+# of every stream_* entry and this halves it for the stateful pair. The
+# totals-specific operator (jobs.stateful_user_totals) keeps its own
+# multi-batch semantics coverage in tests/test_streaming.py. The drained
+# result is localCheckpoint'd so later memory-sink runs can't mutate it;
+# the cache is keyed by (Spark application, sf_dir).
+_PROFILE_DRAIN: dict[tuple[str, str], "object"] = {}
+
+
+def _profile_final(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PROFILE_DRAIN:
+        ev = sources.stream_events(spark, sf_dir)
+        out = jobs.stateful_user_profile(
+            ev.select("user_id", "event_type", "value")
+        )
+        res = runner.run_to_memory(
+            out,
+            "stream_stateful_profile_shared",
+            "update",
+            state_partitions=STATE_PARTITIONS,
+        )
+        # update mode re-emits a group on every batch it changes in; keep
+        # the final (= max-count) emission per user so any batch count
+        # converges
+        final = (
+            res.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "n_types", "total_value"), "n_events"
+                ).alias("s")
+            )
+            .select("user_id", "s.n_events", "s.n_types", "s.total_value")
+        )
+        _PROFILE_DRAIN[key] = final.localCheckpoint(eager=True)
+    return _PROFILE_DRAIN[key]
+
+
 @register(
     "stream_stateful_user_totals",
     """
@@ -153,18 +194,16 @@ def stream_dedup_lineitem(spark, sf_dir):
     GROUP BY 1
     """,
     survey="§2.9/§2.8: custom stateful op (applyInPandasWithState) — running"
-    " per-user totals; drained state == batch groupBy",
+    " per-user totals as a projection of the shared profile drain (the"
+    " profile state strictly refines the totals state); the dedicated"
+    " totals operator's multi-batch semantics are pinned in"
+    " tests/test_streaming.py",
     tags=("streaming",),
 )
 def stream_stateful_user_totals(spark, sf_dir):
-    ev = sources.stream_events(spark, sf_dir)
-    out = jobs.stateful_user_totals(ev.select("user_id", "value"))
-    res = runner.run_to_memory(out, "stream_stateful_user_totals", "update", state_partitions=STATE_PARTITIONS)
-    # update mode re-emits a group on every batch it changes in; keep the
-    # final (= max-count) emission per user so any batch count converges
-    return res.groupBy("user_id").agg(
-        F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s")
-    ).select("user_id", "s.n_events", "s.total_value")
+    return _profile_final(spark, sf_dir).select(
+        "user_id", "n_events", "total_value"
+    )
 
 
 @register(
@@ -184,18 +223,7 @@ def stream_stateful_user_totals(spark, sf_dir):
     tags=("streaming",),
 )
 def stream_stateful_user_profile(spark, sf_dir):
-    ev = sources.stream_events(spark, sf_dir)
-    out = jobs.stateful_user_profile(ev.select("user_id", "event_type", "value"))
-    res = runner.run_to_memory(
-        out, "stream_stateful_user_profile", "update", state_partitions=STATE_PARTITIONS
-    )
-    return (
-        res.groupBy("user_id")
-        .agg(
-            F.max_by(F.struct("n_events", "n_types", "total_value"), "n_events").alias("s")
-        )
-        .select("user_id", "s.n_events", "s.n_types", "s.total_value")
-    )
+    return _profile_final(spark, sf_dir)
 
 
 @register(
