@@ -105,6 +105,15 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
+            # shuffle accounting reads cumulative stage metrics from the UI
+            # API; the default retention (1000 stages) evicts early stages
+            # mid-run and makes deltas go negative
+            "spark.ui.retainedStages": "100000",
+            # local-mode default is a 1g JVM — the sf1 measurement runs 10×
+            # the data through one process, so size the heap like the
+            # per-executor memory a real cluster run would get (SCALE.md
+            # deployment sketch), not like a unit test.
+            "spark.driver.memory": "48g",
         },
     )
     ui = spark.sparkContext.uiWebUrl
@@ -121,17 +130,20 @@ def main() -> None:
         for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)):
             clear_stage_caches()
             spec.fn(spark, sf_dir).count()  # warm this plan
-            clear_stage_caches()
-            sh0, _ = shuffle_bytes(ui)
-            best = float("inf")
-            t0 = time.perf_counter()
-            n_rows = spec.fn(spark, sf_dir).count()
-            best = time.perf_counter() - t0
-            sh1, _ = shuffle_bytes(ui)
+            best, shuffle_mb, n_rows = float("inf"), 0.0, 0
+            for _ in range(2):  # best-of-2, shuffle from the best run
+                clear_stage_caches()
+                sh0, _ = shuffle_bytes(ui)
+                t0 = time.perf_counter()
+                n_rows = spec.fn(spark, sf_dir).count()
+                sec = time.perf_counter() - t0
+                sh1, _ = shuffle_bytes(ui)
+                if sec < best:
+                    best, shuffle_mb = sec, (sh1 - sh0) / 1e6
             row[label] = {
                 "sec": round(best, 3),
                 "rows": n_rows,
-                "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+                "shuffle_mb": round(shuffle_mb, 1),
             }
         row["x"] = round(row["sf1"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 1)
         results["queries"][name] = row
