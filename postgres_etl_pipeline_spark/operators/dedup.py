@@ -132,25 +132,52 @@ def shingle_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def stop_shingle_hashes(
-    sh: DataFrame, n_docs_df: DataFrame, max_df_frac: float, min_df: int
+    sh: DataFrame,
+    n_docs_df: DataFrame,
+    max_df_frac: float | None,
+    min_df: int,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Shingle hashes whose document frequency exceeds the cap — the
     "stop shingles" (boilerplate shared across a large fraction of the
     corpus) that would otherwise quadratically explode an inverted-index
     self-join.
 
-    cap = max(min_df, ceil(max_df_frac * n_docs)).  The result is provably
-    SMALL: sum of document frequencies ≤ total shingle instances S, so at
-    most S / cap shingles can exceed it — broadcastable at any corpus size
-    (e.g. 10^12 instances / (0.25 · 10^9 docs) = 4000 hashes).
+    Two cap flavors, usable together (a shingle is hot if it crosses the
+    TIGHTER one):
+
+    - fractional: ``max(min_df, ceil(max_df_frac * n_docs))`` — "df above
+      x% of the corpus is boilerplate". Assumes df fractions are
+      scale-invariant; a corpus whose diversity grows with size dilutes
+      fractions and lets yesterday's stop shingles back under the cap
+      (the measured adversary in SCALE.md: 19 GB of revived postings).
+    - absolute (``max_df``): "a posting list longer than K rows carries no
+      discriminating signal at ANY corpus size" — the scale-robust guard,
+      since each surviving key's join fan-out is bounded by K² regardless
+      of corpus growth.
+
+    The result is provably SMALL under either: sum of document
+    frequencies ≤ total shingle instances S, so at most S / cap shingles
+    can exceed it — broadcastable at any corpus size (e.g. 10^12
+    instances / (0.25 · 10^9 docs) = 4000 hashes).
 
     ``sh`` must be (doc_id, hs) rows with one row per DISTINCT shingle per
     doc; ``n_docs_df`` a 1-row (n_docs) aggregate (kept as a plan node and
     broadcast so the whole computation stays lazy/distributed).
     """
-    cap = F.greatest(
-        F.lit(int(min_df)), F.ceil(F.lit(float(max_df_frac)) * F.col("n_docs"))
-    )
+    if max_df_frac is None and max_df is None:
+        raise ValueError("set max_df_frac, max_df, or both")
+    caps = []
+    if max_df_frac is not None:
+        caps.append(
+            F.greatest(
+                F.lit(int(min_df)),
+                F.ceil(F.lit(float(max_df_frac)) * F.col("n_docs")),
+            )
+        )
+    if max_df is not None:
+        caps.append(F.lit(int(max_df)))
+    cap = F.least(*caps) if len(caps) > 1 else caps[0]
     return (
         sh.groupBy("hs")
         .agg(F.count(F.lit(1)).alias("df_ct"))
@@ -211,6 +238,7 @@ def jaccard_pairs(
     text_col: str = "text",
     stop_max_df_frac: float | None = None,
     stop_min_df: int = 64,
+    stop_max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -230,7 +258,11 @@ def jaccard_pairs(
     Jaccard. Because of that, the LIBRARY default is ``stop_max_df_frac=
     None`` (exact n-gram Jaccard, what the function name promises); scale
     call sites — including the registered catalog entry — opt INTO the cap
-    explicitly. On corpora where no shingle crosses the cap (all sf
+    explicitly. ``stop_max_df`` is the ABSOLUTE variant (posting lists
+    longer than K rows are dropped regardless of corpus size) — the
+    scale-robust guard for corpora whose df fractions dilute as they grow
+    (SCALE.md "measured adversary"); both caps may be set, the tighter
+    one wins per shingle. On corpora where no shingle crosses the cap (all sf
     testdata tiers — asserted by the oracle harness) the capped result is
     bit-identical to the exact join. Beyond the cap,
     :func:`minhash_lsh_candidates` is the sub-quadratic path. Jaccard itself is exact integer arithmetic + one
@@ -254,10 +286,14 @@ def jaccard_pairs(
     # shingles; at 10^12-shingle scale switch to a 128-bit variant (two
     # seeded hashes) or the raw string key.
     sh = hashed_shingle_rows(df, text_col)
-    if stop_max_df_frac is not None:
+    if stop_max_df_frac is not None or stop_max_df is not None:
         n_docs_df = df.agg(F.count(F.lit(1)).alias("n_docs"))
         hot = stop_shingle_hashes(
-            sh.select("doc_id", "hs"), n_docs_df, stop_max_df_frac, stop_min_df
+            sh.select("doc_id", "hs"),
+            n_docs_df,
+            stop_max_df_frac,
+            stop_min_df,
+            stop_max_df,
         )
         sh = sh.join(F.broadcast(hot), "hs", "left_anti")
     a = sh.select(
@@ -461,7 +497,12 @@ def _token_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 60,
+    distinct_tokens: bool = False,
+) -> DataFrame:
     """SimHash document fingerprints (60-bit, md5-portable).
 
     Per doc: for each bit j, sum ±1 over tokens (by token's hash bit j);
@@ -469,13 +510,25 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     explode(bit positions) → two hash-aggregations. Near-dup docs differ in
     few bits (hamming distance).
 
+    ``distinct_tokens=True`` is the set-of-words variant: each distinct
+    token contributes ONCE regardless of its in-doc frequency. Default
+    (bag-of-words) signatures collapse on repetition-dominated documents —
+    a token making up half of every doc's mass drags all signatures
+    together and band buckets then hold entire corpora (measured:
+    112M candidate pairs on the SCALE.md boilerplate-adversary corpus).
+    The distinct variant caps any single token's pull at 1/|vocab(doc)|.
+    The default stays bag-of-words = the classic Charikar weighting.
+
     Scale: rows = docs × tokens × bits — at 100 TB use fewer bits per pass
     or pack the per-token contribution into an array and aggregate
     element-wise; the shuffle is still linear in input tokens.
     """
     tok = df.select(
         "doc_id", F.explode(tokens(text_col)).alias("token")
-    ).withColumn("h", _token_hash60("token"))
+    )
+    if distinct_tokens:
+        tok = tok.distinct()
+    tok = tok.withColumn("h", _token_hash60("token"))
     bit = tok.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
@@ -504,6 +557,7 @@ def simhash_near_dups(
     text_col: str = "text",
     bits: int = 60,
     bands: int = 4,
+    distinct_tokens: bool = False,
 ) -> DataFrame:
     """Dedup tier 4 complete: SimHash near-dup pairs within a hamming
     radius, via band-bucketed candidates + exact bit_count verify.
@@ -520,7 +574,7 @@ def simhash_near_dups(
     if bits % bands:
         raise ValueError("bands must divide bits")
     width = bits // bands
-    sig = simhash(df, text_col, bits)
+    sig = simhash(df, text_col, bits, distinct_tokens)
     stacked = sig.select(
         "doc_id",
         "simhash",

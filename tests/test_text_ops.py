@@ -215,6 +215,46 @@ class TestStopShingleCap:
         # boilerplate no longer contributes intersections -> no pairs at all
         assert capped.count() == 0
 
+    def test_absolute_cap_survives_df_dilution(self, spark):
+        """SCALE.md "measured adversary" in miniature: 4 sub-corpora of 60
+        docs, each with its OWN boilerplate. Per-boilerplate-shingle df
+        stays 60 while the corpus grows to 240, so the df FRACTION dilutes
+        to exactly the 0.25 cap — the fractional guard stops firing and
+        the inverted index pays every within-group pair again. The
+        absolute cap keys on posting-list LENGTH and is immune."""
+        texts = []
+        for r in range(4):
+            boiler = " ".join(f"w{r}t{j}" for j in range(12))
+            texts += [f"{boiler} u{r}x{i}a u{r}x{i}b u{r}x{i}c u{r}x{i}d"
+                      for i in range(60)]
+        df = _docs(spark, texts)
+        diluted = D.jaccard_pairs(
+            df, threshold=0.5, stop_max_df_frac=0.25, stop_min_df=8
+        )
+        # cap = ceil(0.25*240) = 60, filter is df > 60: boilerplate (df=60)
+        # survives -> all 4 * C(60,2) boilerplate-only pairs come back
+        assert diluted.count() == 4 * (60 * 59 // 2)
+        absolute = D.jaccard_pairs(
+            df, threshold=0.5, stop_max_df_frac=0.25, stop_min_df=8,
+            stop_max_df=15,
+        )
+        assert absolute.count() == 0
+
+    def test_tighter_cap_wins_and_args_validated(self, spark):
+        df = self._corpus(spark)
+        sh = D.doc_shingles(df).withColumn("hs", F.xxhash64("shingle"))
+        n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        both = D.stop_shingle_hashes(
+            sh, n_docs, max_df_frac=0.9, min_df=8, max_df=15
+        )
+        alone = D.stop_shingle_hashes(
+            sh, n_docs, max_df_frac=None, min_df=8, max_df=15
+        )
+        # frac cap would be ceil(0.9*60)=54; absolute 15 is tighter and wins
+        assert both.count() == alone.count() == 10
+        with pytest.raises(ValueError, match="max_df"):
+            D.stop_shingle_hashes(sh, n_docs, max_df_frac=None, min_df=8)
+
     @pytest.mark.parametrize("tier", ["sf_small", "sf_med"])
     def test_catalog_cap_is_identity_on_testdata(self, spark, tier, request):
         """On the sf corpora no shingle crosses the catalog's opt-in cap
@@ -229,6 +269,45 @@ class TestStopShingleCap:
                        D.jaccard_pairs(docs, 0.5, stop_max_df_frac=0.25,
                                        stop_min_df=64).collect()))
         assert a == b and len(a) > 0
+
+
+class TestSimhashDistinctTokens:
+    """Set-of-words simhash (SCALE.md measured adversary #2): a token
+    dominating every doc's mass drags default bag-of-words signatures
+    together; counting each distinct token once restores separation."""
+
+    def _padded(self, spark):
+        # two docs with fully disjoint real content, each padded so the
+        # SAME boilerplate token is ~90% of its token mass
+        pad = " ".join(["bp"] * 90)
+        return _docs(
+            spark,
+            [
+                "alpha beta gamma delta epsilon zeta eta theta " + pad,
+                "one two three four five six seven eight " + pad,
+            ],
+        )
+
+    def test_bag_of_words_collapses_distinct_separates(self, spark):
+        df = self._padded(spark)
+        default_pairs = D.simhash_near_dups(df, max_hamming=3)
+        assert default_pairs.count() == 1  # signature collapse: false pair
+        distinct_pairs = D.simhash_near_dups(df, max_hamming=3,
+                                             distinct_tokens=True)
+        assert distinct_pairs.count() == 0
+
+    def test_distinct_keeps_true_dups(self, spark):
+        # same distinct-token SET (repetition differs) -> identical
+        # set-of-words signatures; a disjoint third doc stays out
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = _docs(
+            spark,
+            [base, base + " alpha alpha beta", "totally different words here"],
+        )
+        pairs = D.simhash_near_dups(df, max_hamming=3, distinct_tokens=True)
+        assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()] == [
+            (0, 1, 0)
+        ]
 
 
 class TestDecontaminate:
