@@ -201,6 +201,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     kmeans_max_iter: int = 20,
     kmeans_init: str = "k-means||",
+    fit_sample: int = 16384,
 ) -> DataFrame:
     """IVF-style ANN: cluster the corpus (KMeans), search only the
     ``n_probe`` centroids nearest each query, exact-rerank inside them.
@@ -212,36 +213,77 @@ def ivf_topk(
     partitioned by centroid id (partition pruning ≙ probing), and n_probe
     trades recall for scan fraction — here it is a cid-IN-list join.
 
+    The coarse quantizer is trained DRIVER-SIDE on a deterministic
+    hash-ordered sample of ≤ ``fit_sample`` vectors (numpy Lloyd,
+    ``kmeans_init='k-means||'``/anything-but-'random' → D²-weighted
+    k-means++ seeding). This is the FAISS/ScaNN production shape: even at
+    10^11 corpus vectors the quantizer sees ~10^5–10^6 sampled rows, so a
+    distributed Lloyd pays per-iteration job scheduling on a
+    driver-sized problem (pyspark.ml's fit measured 2.9 s FIXED overhead
+    on a cached 2k-row input, vs ~10 ms for the same math in-process).
+    Only the centroid ASSIGNMENT streams over the corpus — one
+    ``mapInPandas`` pass, BLAS distance matmul per Arrow batch, same
+    sanctioned vectorized path as :func:`brute_force_topk`.
+
     Recall is data-dependent (no pigeonhole guarantee, unlike the SimHash
     bands) — tests assert measured recall against brute force.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    ).withColumn("fv", array_to_vector("cv"))
+    )
     # degenerate corpora: KMeans needs ≥ k points; tiny/empty inputs fall
     # back to exact search (same contract, no index worth building)
     if c.limit(n_centroids).count() < n_centroids:
         return brute_force_topk(corpus, queries, k, id_col, vec_col)
-    # Training cost knobs: centroid QUALITY only moves recall when
-    # n_probe < n_centroids — in probe-all (exact) mode every inverted
-    # list is scanned regardless, so callers there drop to 1-2 Lloyd
-    # iterations + random init (k-means|| init alone is ~5 extra passes)
-    # and keep the identical output for a fraction of the fit time.
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        featuresCol="fv",
-        predictionCol="cid",
-        maxIter=kmeans_max_iter,
-        initMode=kmeans_init,
-    ).fit(c)
-    assigned = model.transform(c).select("neighbor_id", "cv", "cid")
 
-    cents = np.array([ctr for ctr in model.clusterCenters()], dtype=np.float64)
+    # deterministic pseudo-random sample: top-N by id hash (TakeOrdered —
+    # no full sort), invariant to partitioning and executor count
+    sample = (
+        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(int(fit_sample))
+        .collect()
+    )
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    if kmeans_init == "random":
+        cents = X[rng.choice(len(X), n_centroids, replace=False)].copy()
+    else:  # k-means++ style D²-weighted seeding
+        cents = X[rng.integers(len(X))][None, :]
+        for _ in range(n_centroids - 1):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents = np.vstack([cents, X[rng.choice(len(X), p=p)]])
+    for _ in range(max(1, int(kmeans_max_iter))):
+        lab = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        new = np.vstack(
+            [
+                X[lab == j].mean(0) if (lab == j).any() else cents[j]
+                for j in range(n_centroids)
+            ]
+        )
+        if np.array_equal(new, cents):
+            break
+        cents = new
+
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["cv"]), dtype=np.float64)
+            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["cid"] = d2.argmin(axis=1).astype("int32")
+            yield out
+
+    assigned = c.mapInPandas(
+        assign, "neighbor_id long, cv array<double>, cid int"
+    )
     q_rows = queries.select(id_col, vec_col).collect()
     probes = []
     for r in q_rows:
