@@ -124,13 +124,17 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred)
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Quality-scoring features: token count, mean token length, punctuation
     ratio, digit ratio, and a composite [0,1] quality score.
 
     All row-level double arithmetic (deterministic regardless of
     partitioning). The score formula is a simple interpretable heuristic:
     long-enough docs with low punctuation/digit noise score high.
+    ``keep`` carries extra input columns (e.g. ``source``) through the
+    projection so downstream grouping doesn't need a join back.
     """
     txt = normalize_ws(text_col)
     toks = tokens(text_col)
@@ -147,11 +151,47 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = length_score * (1 - punct_ratio) * (1 - digit_ratio)
     return df.select(
         "doc_id",
+        *keep,
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(digit_ratio, 4).alias("digit_ratio"),
         F.round(score, 4).alias("quality"),
+    )
+
+
+def per_source_quota(
+    df: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain balancing: keep at most ``quota`` documents per source,
+    ranked by composite quality (ties broken by doc_id — total order).
+
+    The corpus-assembly step between filtering and mixing: rate-based
+    sampling (:data:`source_mixture_sample`) cannot stop one enormous
+    domain from dominating the corpus NOR guarantee small domains
+    survive; a hard quality-ranked cap does both (the C4/RefinedWeb-style
+    per-domain limit).
+
+    Scale: quality is computed scan-side (row-local expressions, no
+    pre-pass), then ONE shuffle keyed by source for the ranking window.
+    Spark 3.5+ plans the ``row_number() <= quota`` filter as
+    WindowGroupLimit: each map task forwards at most ``quota`` rows per
+    source, so the exchange carries O(sources × quota × tasks), not the
+    corpus — and a hot domain costs what every domain costs.
+    """
+    from pyspark.sql import Window
+
+    feat = quality_features(df, text_col, keep=(source_col,))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        feat.select("doc_id", source_col, "quality")
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= int(quota))
     )
 
 

@@ -348,6 +348,50 @@ def doc_quality_scores(spark, sf_dir):
     return X.quality_features(spread(t(spark, sf_dir, "documents")))
 
 
+@register(
+    "per_source_quality_quota",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tokens,
+             CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS DOUBLE)
+               AS n_chars,
+             CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+               - length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                        '[.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+               - length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                        '[0-9]', '', 'g')) AS DOUBLE) AS digits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(least(n_tokens / 20.0, 1.0)
+                   * (1 - punct / n_chars) * (1 - digits / n_chars), 4)
+               AS quality
+      FROM feat
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id)
+                  AS INTEGER) AS src_rank
+      FROM scored
+    )
+    SELECT doc_id, source, quality, src_rank FROM ranked WHERE src_rank <= 10
+    """,
+    survey="§7 Phase 5 extension: domain balancing — hard quality-ranked"
+    " per-source cap (keep the 10 best docs per source; the"
+    " C4/RefinedWeb-style per-domain limit that rate-based"
+    " source_mixture_sample cannot provide). Scan-side quality + ONE"
+    " source-keyed shuffle; WindowGroupLimit forwards <=quota rows per"
+    " source per map task, so a hot domain costs what every domain costs",
+    tags=("ext", "text", "assembly"),
+)
+def per_source_quality_quota(spark, sf_dir):
+    return X.per_source_quota(spread(t(spark, sf_dir, "documents")), quota=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

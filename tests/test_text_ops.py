@@ -271,6 +271,40 @@ class TestStopShingleCap:
         assert a == b and len(a) > 0
 
 
+class TestPerSourceQuota:
+    """Domain balancing: top-quota docs per source by composite quality,
+    doc_id tie-break; small sources survive whole."""
+
+    def test_quota_keeps_best_and_small_sources_survive(self, spark):
+        clean20 = " ".join(f"tok{i}" for i in range(20))   # quality 1.0
+        clean10 = " ".join(f"tok{i}" for i in range(10))   # quality 0.5
+        clean5 = " ".join(f"tok{i}" for i in range(5))     # quality 0.25
+        df = spark.createDataFrame(
+            [
+                (1, clean5, "A"),
+                (2, clean20, "A"),
+                (3, clean10, "A"),
+                (4, clean10, "B"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = X.per_source_quota(df, quota=2).collect()
+        got = {(r.doc_id, r.source, r.src_rank) for r in out}
+        assert got == {(2, "A", 1), (3, "A", 2), (4, "B", 1)}
+
+    def test_tie_breaks_by_doc_id(self, spark):
+        same = " ".join(f"x{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(7, same, "A"), (3, same, "A"), (5, same, "A")],
+            "doc_id long, text string, source string",
+        )
+        out = X.per_source_quota(df, quota=2)
+        assert [(r.doc_id, r.src_rank) for r in out.collect()] == [
+            (3, 1),
+            (5, 2),
+        ]
+
+
 class TestSimhashDistinctTokens:
     """Set-of-words simhash (SCALE.md measured adversary #2): a token
     dominating every doc's mass drags default bag-of-words signatures
