@@ -138,6 +138,34 @@ def props_redaction_audit(spark, sf_dir):
     return X.redaction_stats(spread(ev), col="props", group_by="event_type")
 
 
+def _gated_docs(docs):
+    """Per-doc gate frame: (doc_id, lang, source, n_tokens,
+    top_token_fraction, keep) — the composed lang-id-agreement + min-length
+    + repetition gate, shared by the rollup entry and the end-to-end
+    assembly composition."""
+    scored = X.language_id(docs).select(
+        "doc_id", "lang", "source", "pred_lang",
+        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    # only the top-token share is gated on — skip repetition_stats' bigram
+    # pass and aggregate the token counts directly
+    rep = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_token_fraction")
+        )
+    )
+    keep = (
+        (F.col("n_tokens") >= 30)
+        & (F.col("top_token_fraction") <= 0.12)
+        & (F.col("lang") == F.col("pred_lang"))
+    )
+    return scored.join(rep, "doc_id").withColumn("keep", keep)
+
+
 @register(
     "corpus_quality_gate",
     f"""
@@ -180,27 +208,7 @@ def props_redaction_audit(spark, sf_dir):
 )
 def corpus_quality_gate(spark, sf_dir):
     docs = spread(t(spark, sf_dir, "documents"))
-    scored = X.language_id(docs).select(
-        "doc_id", "lang", "source", "pred_lang",
-        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
-    )
-    # only the top-token share is gated on — skip repetition_stats' bigram
-    # pass and aggregate the token counts directly
-    rep = (
-        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_token_fraction")
-        )
-    )
-    keep = (
-        (F.col("n_tokens") >= 30)
-        & (F.col("top_token_fraction") <= 0.12)
-        & (F.col("lang") == F.col("pred_lang"))
-    )
-    gated = scored.join(rep, "doc_id").withColumn("keep", keep)
+    gated = _gated_docs(docs)
     return gated.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
@@ -320,3 +328,146 @@ def incremental_dedup_new_docs(spark, sf_dir):
     index_fps = docs.filter(src_n < 10).select(fingerprint("text").alias("fp"))
     new_docs = docs.filter(src_n >= 10)
     return D.incremental_exact_dedup(new_docs, index_fps)
+
+
+# ---------------------------------------------------------------------------
+# The capstone composition: the full corpus-assembly pipeline a training
+# run actually ships — quality gate → near-dup removal → per-source quota
+# → deterministic split — as ONE lazy DataFrame with ONE cross-engine
+# oracle over the whole chain.
+# ---------------------------------------------------------------------------
+
+
+def _assembly_oracle() -> str:
+    from .queries_ext import _JACCARD_ORACLE
+
+    gate_case = """
+                CASE WHEN e >= s AND e >= f AND e >= d AND e > 0 THEN 'en'
+                     WHEN s >= f AND s >= d AND s > 0 THEN 'es'
+                     WHEN f >= d AND f > 0 THEN 'fr'
+                     WHEN d > 0 THEN 'de'
+                     ELSE 'und' END"""
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH RECURSIVE
+    l AS ({_L}),
+    scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             {_HITS_T['en']} AS e, {_HITS_T['es']} AS s,
+             {_HITS_T['fr']} AS f, {_HITS_T['de']} AS d
+      FROM l
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
+            FROM tc GROUP BY 1),
+    gated AS (
+      SELECT scored.doc_id FROM scored JOIN rep USING (doc_id)
+      WHERE scored.n_tokens >= 30
+        AND rep.top_frac <= 0.12
+        AND scored.lang = ({gate_case})
+    ),
+    pairs AS ({_JACCARD_ORACLE.format(thr=0.5)}),
+    gp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE doc_a IN (SELECT doc_id FROM gated)
+        AND doc_b IN (SELECT doc_id FROM gated)
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM gp
+              UNION
+              SELECT doc_b, doc_a FROM gp),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a),
+    surv AS (
+      SELECT doc_id FROM gated
+      WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    ),
+    feat AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_toks,
+             CAST(length({norm}) AS DOUBLE) AS n_chars,
+             CAST(length({norm})
+               - length(regexp_replace({norm},
+                        '[.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(length({norm})
+               - length(regexp_replace({norm},
+                        '[0-9]', '', 'g')) AS DOUBLE) AS digits
+      FROM documents d JOIN surv USING (doc_id)
+    ),
+    qual AS (
+      SELECT doc_id, source,
+             round(least(n_toks / 20.0, 1.0)
+                   * (1 - punct / n_chars) * (1 - digits / n_chars), 4)
+               AS quality
+      FROM feat
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM qual
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 52429 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) AS bucket
+          FROM ranked WHERE rk <= 10)
+    """
+
+
+@register(
+    "corpus_assembly_end_to_end",
+    _assembly_oracle(),
+    survey="§7 Phase 5 capstone: the WHOLE corpus-assembly pipeline as one"
+    " lazy plan — quality gate (lang-id agreement + min length +"
+    " repetition) → near-dup removal (shared minhash pair stage filtered"
+    " to gated endpoints, CC keep-one-per-cluster) → per-source quality"
+    " quota (10) → deterministic md5 train/val/test split. One oracle"
+    " checks the composed chain end to end, so a semantics drift in ANY"
+    " stage breaks the hash",
+    tags=("ext", "text", "dedup", "assembly"),
+)
+def corpus_assembly_end_to_end(spark, sf_dir):
+    """Stage composition notes (scale): the gate is scan-side + one
+    token aggregation; pairs come from the shared minhash stage (mined
+    once per session, exactly how a production pipeline fans one
+    pair-mining pass out to consumers) and restricting them to gated
+    endpoints AFTER mining is sound because Jaccard(a, b) does not
+    depend on the rest of the corpus — pairs-among-gated == gated-join
+    of global pairs; CC keep-list, quota window (WindowGroupLimit), and
+    the md5 split are each one linear shuffle or scan-side."""
+    from .operators.graph import connected_components, dedup_keep_filter
+    from .queries_ext import _minhash_pair_stage
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    gated_ids = _gated_docs(docs).filter("keep").select("doc_id")
+    gated = docs.join(gated_ids, "doc_id")
+    pairs = _minhash_pair_stage(spark, sf_dir)
+    gp = (
+        pairs.join(
+            gated_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).join(gated_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    cc = connected_components(gp, "doc_a", "doc_b")
+    surviving = dedup_keep_filter(gated, cc)
+    capped = X.per_source_quota(surviving, quota=10)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return capped.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 52429, "train")
+        .when(bucket < 58982, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

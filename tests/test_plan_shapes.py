@@ -210,6 +210,25 @@ def test_decontaminate_broadcasts_the_eval_gram_set(spark, sf_small):
     assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
 
 
+def test_source_quota_group_limit_is_pushed_map_side(spark, sf_small):
+    """per_source_quality_quota: quality is scan-side, the ranking window
+    runs behind a PARTIAL WindowGroupLimit that sits BEFORE the
+    source-keyed exchange — each map task forwards ≤ quota rows per
+    source, so the shuffle is O(sources × quota × tasks), not the
+    corpus. If the partial limit disappears, a hot domain ships whole."""
+    df = q("per_source_quality_quota", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit") != -1 and "Partial" in plan
+    assert partial, plan
+    # the Partial group-limit must appear BELOW (after, in toString order)
+    # the source-hash exchange it feeds
+    exch = plan.find("Exchange hashpartitioning(source")
+    part_idx = plan.find(", Partial")
+    assert exch != -1 and part_idx > exch, plan
+    s = plan_summary(df)
+    assert s.joins == 0
+
+
 def test_chunking_is_scan_time_only(spark, sf_small):
     """Context-window chunking is a pure per-row expansion: one scan, no
     joins; the only exchange is spread()'s local round-robin unlock."""
