@@ -95,7 +95,14 @@ def chain_rounds(spark, n: int) -> int:
 
 
 def main() -> None:
+    # Usage: scale_run.py [sf1_dir] [--only name1,name2]
+    # --only measures just the listed entries (appended to an existing
+    # results.json) and skips the chain-rounds sweep — for adding rows
+    # without re-measuring the whole family.
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale/sf1"
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all
     from postgres_etl_pipeline_spark.session import build_session
 
@@ -117,9 +124,14 @@ def main() -> None:
         },
     )
     ui = spark.sparkContext.uiWebUrl
-    names = [n for n, s in REGISTRY.items() if "bench" in s.tags] + FAMILY
+    names = only or (
+        [n for n, s in REGISTRY.items() if "bench" in s.tags] + FAMILY
+    )
 
     results: dict = {"queries": {}, "chain_rounds": {}}
+    if only and os.path.exists("/tmp/sfscale/results.json"):
+        with open("/tmp/sfscale/results.json") as f:
+            results = json.load(f)
     # engine warm-up
     REGISTRY["daily_sales_mart"].fn(spark, "/root/testdata/sf0.1").count()
     spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").count()
@@ -155,7 +167,7 @@ def main() -> None:
             flush=True,
         )
 
-    for n in (10_000, 100_000, 1_000_000):
+    for n in () if only else (10_000, 100_000, 1_000_000):
         r = chain_rounds(spark, n)
         results["chain_rounds"][n] = r
         print(f"star-CC chain n={n}: {r} rounds", flush=True)
