@@ -20,23 +20,27 @@ def _streaming_floor(spark) -> float:
     """Best-of-2 wall time of draining an empty single-column file stream —
     the irreducible startup/checkpoint/drain cost every streaming entry
     carries on top of its plan."""
+    import shutil
     import tempfile
 
     from postgres_etl_pipeline_spark.streaming import runner
 
     d = tempfile.mkdtemp(prefix="stream_floor_")
-    spark.createDataFrame([], "id long").write.mode("overwrite").parquet(d)
-    best = float("inf")
-    for i in range(2):
-        t0 = time.perf_counter()
-        runner.run_to_memory(
-            spark.readStream.schema("id long").parquet(d),
-            f"floor_probe_{i}",
-            "append",
-            state_partitions=1,
-        )
-        best = min(best, time.perf_counter() - t0)
-    return best
+    try:
+        spark.createDataFrame([], "id long").write.mode("overwrite").parquet(d)
+        best = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            runner.run_to_memory(
+                spark.readStream.schema("id long").parquet(d),
+                f"floor_probe_{i}",
+                "append",
+                state_partitions=1,
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main() -> None:

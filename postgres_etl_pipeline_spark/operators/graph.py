@@ -139,6 +139,67 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_edges(e0: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (greatest, least) orientation,
+    self-loops dropped, distinct, checkpointed."""
+    return (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _edge_signature(df: DataFrame) -> tuple:
+    """(count, hash, hash) convergence signature of a distinct edge set.
+
+    bit_xor: order-independent AND overflow-free under ANSI mode (sum of
+    64-bit hashes would raise ARITHMETIC_OVERFLOW); the edge set is
+    distinct, so xor self-cancellation can't mask a change that count
+    doesn't already catch. Two INDEPENDENT hashes (the literal prefix
+    re-seeds xxhash64's state) square the collision odds to ~2^-128
+    (advice r05) — same one-aggregate cost.
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h1"),
+        F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "src", "dst")).alias("h2"),
+    ).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
+def _star_fixed_point(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge signature is stable;
+    returns (fixed-point edges, rounds taken). Raises on non-convergence."""
+    sig = _edge_signature(e)
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            return e, rounds
+        sig = new_sig
+    raise RuntimeError(
+        f"star connected-components did not converge in {max_iter} rounds"
+    )
+
+
+def star_convergence_rounds(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 100
+) -> int:
+    """Rounds the star contraction needs on ``edges`` — the O(log n)
+    measurement surface (SCALE.md chain-rounds table) sharing the exact
+    production loop and signature, so a semantics change can't diverge
+    from what the measurement reports."""
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    _, rounds = _star_fixed_point(_canonical_edges(e0), max_iter)
+    return rounds
+
+
 def connected_components_star(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
 ) -> DataFrame:
@@ -165,43 +226,8 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = (
-        e0.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    def _sig(df: DataFrame):
-        # bit_xor: order-independent AND overflow-free under ANSI mode
-        # (sum of 64-bit hashes would raise ARITHMETIC_OVERFLOW); the edge
-        # set is distinct, so xor self-cancellation can't mask a change
-        # that count doesn't already catch. Two INDEPENDENT hashes (the
-        # literal prefix re-seeds xxhash64's state) square the collision
-        # odds to ~2^-128 (advice r05) — same one-aggregate cost.
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("src", "dst")).alias("h1"),
-            F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "src", "dst")).alias("h2"),
-        ).collect()[0]
-        return (row["n"], row["h1"], row["h2"])
-
-    sig = _sig(e)
-    converged = False
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_sig = _sig(e)
-        if new_sig == sig:
-            converged = True
-            break
-        sig = new_sig
-    if not converged:
-        raise RuntimeError(
-            f"star connected-components did not converge in {max_iter} rounds"
-        )
+    e = _canonical_edges(e0)
+    e, _rounds = _star_fixed_point(e, max_iter)
     # Fixed point is a star forest: every non-root appears once as src
     # pointing at its component root. Re-attach nodes whose edges were
     # dropped as self-loops (and roots) via the saved node set.

@@ -616,7 +616,16 @@ _CC_CTES = f"""
 _PAIR_STAGE_CACHE: dict = {}
 
 
+def _evict_stale_stages(cache: dict, app_id: str) -> None:
+    """Drop cache entries from previous Spark applications: their
+    checkpointed frames are unusable in the new session, and keeping the
+    references pins dead checkpoint blocks for the process lifetime."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 def _minhash_pair_stage(spark, sf_dir):
+    _evict_stale_stages(_PAIR_STAGE_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir, "minhash")
     if key not in _PAIR_STAGE_CACHE:
         docs = spread(t(spark, sf_dir, "documents"))
@@ -629,6 +638,7 @@ def _minhash_pair_stage(spark, sf_dir):
 
 
 def _semantic_pair_stage(spark, sf_dir):
+    _evict_stale_stages(_PAIR_STAGE_CACHE, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir, "sign-lsh")
     if key not in _PAIR_STAGE_CACHE:
         emb = spread(t(spark, sf_dir, "embeddings"))

@@ -156,6 +156,9 @@ _PROFILE_DRAIN: dict[tuple[str, str], "object"] = {}
 
 
 def _profile_final(spark, sf_dir):
+    from .queries_ext import _evict_stale_stages
+
+    _evict_stale_stages(_PROFILE_DRAIN, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PROFILE_DRAIN:
         ev = sources.stream_events(spark, sf_dir)

@@ -96,6 +96,19 @@ def main() -> None:
     floor = _bench._streaming_floor(spark)
     print(f"streaming fixed-cost floor: {floor:.3f}s", flush=True)
 
+    # The two stateful rows replay ONE shared checkpointed drain (the
+    # production fan-out pattern) — measure the fill explicitly so the
+    # drain cost is visible somewhere instead of vanishing under
+    # best-of-2 (review r06): this is the one-per-session cost the
+    # replay rows amortize.
+    from postgres_etl_pipeline_spark import queries_stream as _qs
+
+    _qs._PROFILE_DRAIN.clear()
+    t0 = time.perf_counter()
+    _qs._profile_final(spark, sf_dir)
+    profile_fill = time.perf_counter() - t0
+    print(f"shared profile drain fill: {profile_fill:.3f}s", flush=True)
+
     rows, s_total, d_total = [], 0.0, 0.0
     for name, spec in sorted(REGISTRY.items()):
         if not spec.oracle:
@@ -122,18 +135,26 @@ def main() -> None:
     for name, s, d in rows:
         ratio = s / d if d > 0 else float("inf")
         lines.append(f"| {name} | {s:.3f} | {d:.3f} | {ratio:.1f}× |")
-    n_stream = sum(1 for name, _, _ in rows if name.startswith("stream_"))
-    s_adj = s_total - n_stream * floor
+    # clamp to min(floor, s): the two shared-drain rows replay a
+    # checkpoint and legitimately cost LESS than the drain floor —
+    # subtracting the full floor there would fabricate negative plan cost
+    stream_rows = [(s, name) for name, s, _ in rows if name.startswith("stream_")]
+    s_adj = s_total - sum(min(floor, s) for s, _ in stream_rows)
     lines += [
         f"| **total ({len(rows)} queries)** | **{s_total:.3f}** |"
         f" **{d_total:.3f}** | **{s_total / d_total:.1f}×** |",
         "",
         f"Streaming fixed-cost floor this run (empty-stream drain, "
-        f"best-of-2): **{floor:.3f} s** — the minimum any `stream_*` row "
-        "can cost on the Spark side. Subtracting it once per `stream_*` "
-        f"row ({n_stream} rows) isolates plan cost from the "
-        "start/drain capability cost: floor-adjusted Spark total "
-        f"**{s_adj:.3f} s** = **{s_adj / d_total:.1f}×** DuckDB.",
+        f"best-of-2): **{floor:.3f} s** — the minimum a `stream_*` row "
+        "that drains its OWN stream can cost on the Spark side. The two "
+        "stateful rows instead replay one shared checkpointed drain "
+        "(the production fan-out pattern), so they sit below the floor; "
+        "the drain they amortize was measured at fill this run: "
+        f"**{profile_fill:.3f} s**, paid once per session. Subtracting "
+        f"min(floor, row) per `stream_*` row ({len(stream_rows)} rows) "
+        "isolates plan cost from the start/drain capability cost: "
+        f"floor-adjusted Spark total **{s_adj:.3f} s** = "
+        f"**{s_adj / d_total:.1f}×** DuckDB.",
         FRAMING,
     ]
     with open("BENCH_VS_DUCKDB.md", "w") as f:

@@ -43,9 +43,15 @@ def check() -> int:
         return 1
     expected = compute_aged_window(str(ROOT), upto_round=rnd)
     if committed["window"] != expected:
+        from itertools import zip_longest
+
+        # zip_longest so a pure length drift (append/drop at the tail)
+        # still reports the deviating slots instead of "0 slot(s)"
         drift = [
             (i, got, want)
-            for i, (got, want) in enumerate(zip(committed["window"], expected))
+            for i, (got, want) in enumerate(
+                zip_longest(committed["window"], expected)
+            )
             if got != want
         ]
         print(

@@ -60,38 +60,19 @@ def clear_stage_caches() -> None:
 
 def chain_rounds(spark, n: int) -> int:
     """Star-CC rounds to converge on a length-n chain (diameter n-1) —
-    the adversarial shape hash-to-min degrades to O(n) on."""
+    the adversarial shape hash-to-min degrades to O(n) on. Delegates to
+    graph.star_convergence_rounds so the measurement shares the exact
+    production loop + signature."""
     from pyspark.sql import functions as F
 
-    from postgres_etl_pipeline_spark.operators import graph as G
+    from postgres_etl_pipeline_spark.operators.graph import (
+        star_convergence_rounds,
+    )
 
     edges = spark.range(n - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
-    e = (
-        edges.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    def sig(df):
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("src", "dst")).alias("h1"),
-            F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "src", "dst")).alias("h2"),
-        ).collect()[0]
-        return (row["n"], row["h1"], row["h2"])
-
-    s = sig(e)
-    for rounds in range(1, 100):
-        e = G._small_star(G._large_star(e)).localCheckpoint(eager=True)
-        ns = sig(e)
-        if ns == s:
-            return rounds
-        s = ns
-    raise RuntimeError("no convergence in 100 rounds")
+    return star_convergence_rounds(edges)
 
 
 def main() -> None:
