@@ -313,3 +313,74 @@ def test_global_rank_coarse_equals_default_and_exact(spark, vals):
         got = {(r.k, r._rank) for r in rf.df.select("k", "_rank").collect()}
         assert got == exp
         assert rf.n_total == len(vals)
+
+
+@given(texts=_texts, cap=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_absolute_capped_jaccard_is_conservative_subset(spark, texts, cap):
+    """stop_max_df drops intersections (never set sizes), so per-pair
+    capped Jaccard ≤ exact Jaccard and the thresholded capped pair set is
+    a SUBSET of the exact one — the cap can only be conservative, never
+    invent a pair (SCALE.md measured-adversary mitigation)."""
+    from postgres_etl_pipeline_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(
+            df, threshold=0.1, stop_max_df=cap, stop_min_df=1
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(_words, min_size=1, max_size=25).map(" ".join),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    quota=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_per_source_quota_invariants(spark, rows, quota):
+    """Per source: exactly min(quota, n_source) docs survive, ranks are
+    contiguous 1..k, and the kept set is the quality-then-id top-k the
+    naive reference computes from quality_features itself."""
+    from postgres_etl_pipeline_spark.operators.text import (
+        per_source_quota,
+        quality_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    qual = {
+        r.doc_id: r.quality for r in quality_features(df).collect()
+    }
+    out = per_source_quota(df, quota=quota).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    n_per_src: dict[str, list[int]] = {}
+    for i, (s, _) in enumerate(rows):
+        n_per_src.setdefault(s, []).append(i)
+    for s, ids in n_per_src.items():
+        expect_k = min(quota, len(ids))
+        got = sorted(by_src.get(s, []), key=lambda r: r.src_rank)
+        assert len(got) == expect_k
+        assert [r.src_rank for r in got] == list(range(1, expect_k + 1))
+        naive = sorted(ids, key=lambda d: (-qual[d], d))[:expect_k]
+        assert [r.doc_id for r in got] == naive
