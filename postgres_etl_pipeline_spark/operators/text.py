@@ -195,6 +195,50 @@ def per_source_quota(
     )
 
 
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean token log-probability under the corpus's own unigram
+    MLE distribution — the CCNet/Dolma-style LM-quality signal: docs full
+    of corpus-typical tokens score high (closer to 0), gibberish and
+    out-of-register docs score low (more negative). No smoothing is
+    needed because the model is estimated on the scored corpus itself, so
+    every token has freq ≥ 1.
+
+    Output: (doc_id, n_tokens, mean_logprob) — mean over token INSTANCES
+    of ln(freq(token) / total_tokens), rounded to 4 dp (engine-portable).
+
+    Scale (same skew-safe shape as :func:`tf_idf_top_terms`): one
+    (doc, token) explode aggregated to per-doc term counts (map-side
+    combined), global term frequencies reduced from that compact relation
+    and BROADCAST back — the instance-level relation is never shuffled by
+    token, so 'the'/'of' never pile onto one reducer. If the vocabulary
+    outgrows broadcast, drop the hint and AQE plans a skew-split join.
+    """
+    tok = df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    gfreq = tf.groupBy("token").agg(F.sum("tf").alias("gf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    return (
+        tf.join(F.broadcast(gfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("gf").cast("double") / F.col("total"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k TF-IDF terms per document.
 

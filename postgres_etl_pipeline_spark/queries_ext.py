@@ -349,6 +349,35 @@ def doc_quality_scores(spark, sf_dir):
 
 
 @register(
+    "doc_unigram_logprob",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    gf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS gf FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * ln(CAST(gf.gf AS DOUBLE)
+                 / CAST((SELECT sum(tf) FROM tf) AS DOUBLE)))
+                 / sum(tf.tf), 4) AS mean_logprob
+    FROM tf JOIN gf USING (tok)
+    GROUP BY 1
+    """,
+    survey="§7 Phase 5 extension: CCNet/Dolma-style LM-quality signal —"
+    " per-doc mean token log-prob under the corpus's own unigram MLE"
+    " (corpus-typical docs near 0, gibberish very negative). Skew-safe"
+    " tf_idf shape: per-doc term counts map-side combined, global"
+    " frequencies broadcast back — the instance relation is never"
+    " shuffled by token",
+    tags=("ext", "text"),
+)
+def doc_unigram_logprob(spark, sf_dir):
+    return X.unigram_logprob_scores(spread(t(spark, sf_dir, "documents")))
+
+
+@register(
     "per_source_quality_quota",
     f"""
     WITH feat AS (

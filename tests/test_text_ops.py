@@ -271,6 +271,22 @@ class TestStopShingleCap:
         assert a == b and len(a) > 0
 
 
+class TestUnigramLogprob:
+    def test_crafted_distribution(self, spark):
+        import math
+
+        df = _docs(spark, ["a a b", "c"])
+        got = {r.doc_id: r for r in X.unigram_logprob_scores(df).collect()}
+        # corpus: a:2, b:1, c:1, total 4
+        d0 = (2 * math.log(2 / 4) + 1 * math.log(1 / 4)) / 3
+        d1 = math.log(1 / 4)
+        assert got[0].n_tokens == 3 and got[1].n_tokens == 1
+        assert got[0].mean_logprob == pytest.approx(round(d0, 4))
+        assert got[1].mean_logprob == pytest.approx(round(d1, 4))
+        # corpus-typical doc scores HIGHER (closer to 0) than the one-off
+        assert got[0].mean_logprob > got[1].mean_logprob
+
+
 class TestPerSourceQuota:
     """Domain balancing: top-quota docs per source by composite quality,
     doc_id tie-break; small sources survive whole."""
