@@ -1,0 +1,260 @@
+"""Extension catalog, batch 3 (round 7): product-analytics kernels over the
+events stream (ordered funnel, retention cohorts), an IR-style inverted
+index over documents, the O10 perf-drill artifact relation, and
+embedding-space semantic dedup (SemDeDup-shaped cluster-then-prune).
+
+Same registry/oracle conventions as queries_ext.py: exact-integer parts
+with one final double division, dates formatted to strings on both sides,
+BIGINT casts on every aggregate DuckDB would widen to HUGEINT, total
+window orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .queries import read_events, register, spread, t
+from .queries_ext import _TOKS
+
+# ---------------------------------------------------------------------------
+# Ordered funnel — view → click → purchase (events)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ),
+    s AS (
+      SELECT (SELECT count(*) FROM v) AS s1,
+             (SELECT count(*) FROM c) AS s2,
+             (SELECT count(*) FROM p) AS s3
+    )
+    SELECT stage, step, CAST(users AS BIGINT) AS users,
+           round(users / nullif(CAST(s1 AS DOUBLE), 0), 6) AS conversion
+    FROM (
+      SELECT 1 AS stage, 'view' AS step, s1 AS users, s1 FROM s
+      UNION ALL SELECT 2, 'click', s2, s1 FROM s
+      UNION ALL SELECT 3, 'purchase', s3, s1 FROM s
+    )
+    """
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    survey="§7 north-star: ordered event funnel (view→click→purchase) — "
+    "ONE user-keyed shuffle, chained window mins (no per-step re-scan)",
+    tags=("ext", "analytics"),
+)
+def funnel_conversion(spark, sf_dir):
+    """Strictly-ordered funnel: a user reaches step k only via an event of
+    type k strictly after their step-(k-1) timestamp.
+
+    Plan shape: one hash exchange on ``user_id``, then THREE chained
+    ``Window.partitionBy(user_id)`` min aggregations (each step's min must
+    reference the previous step's column, and window arguments cannot nest
+    window expressions — chaining selects keeps it one exchange because
+    every window asks for the same HashPartitioning). Per-user results
+    collapse to one row via a same-key groupBy (again no new exchange),
+    the three counts reduce to ONE global row, and ``stack`` unpivots it
+    to the 3-stage output — so the funnel costs exactly one data-sized
+    shuffle regardless of step count, where the naive per-step
+    filter-join-aggregate chain costs 2 per step. At 100 TB: events
+    pre-filtered to funnel types at the scan (pushed IN-filter), state per
+    user is 3 timestamps.
+    """
+    ev = read_events(spark, sf_dir).filter(
+        F.col("event_type").isin(*_FUNNEL_STEPS)
+    ).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    ev = ev.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("s1"),
+        F.count("t2").alias("s2"),
+        F.count("t3").alias("s3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 1, 'view', s1, 2, 'click', s2, 3, 'purchase', s3) "
+            "AS (stage, step, users)"
+        ),
+        F.col("s1"),
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "step",
+        F.col("users").cast("long").alias("users"),
+        F.round(
+            F.col("users") / F.nullif(F.col("s1").cast("double"), F.lit(0.0)), 6
+        ).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — first-seen day × activity-day offset (events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(day) AS cohort FROM d GROUP BY 1
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM d JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey="§7 north-star: retention cohort matrix (first-seen day × "
+    "day-offset distinct actives) — distinct collapses events first, so "
+    "the join and both aggregates run on (user, day), not raw events",
+    tags=("ext", "analytics"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Classic D0/D1/…-retention triangle. The raw event stream collapses
+    to distinct (user, day) BEFORE anything else (one shuffle on the pair,
+    map-side combined), so per-user cohort mins, the cohort join, and the
+    final matrix all run on rows bounded by users × active-days — at
+    100 TB of events that's the difference between shuffling the firehose
+    and shuffling a user-activity calendar. count(*) == distinct users by
+    construction (the input is already distinct on (user, day))."""
+    ev = read_events(spark, sf_dir)
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        d.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — token postings with df and top-3 docs by tf (documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_topdocs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT token, doc_id, tf,
+             CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+             row_number() OVER (
+               PARTITION BY token ORDER BY tf DESC, doc_id
+             ) AS rank
+      FROM tf
+    )
+    SELECT token, df, doc_id, tf, rank FROM ranked WHERE rank <= 3
+    """,
+    survey="§7 north-star: inverted-index postings (token → df + top-3 "
+    "docs by tf) — tf pre-aggregation bounds the token shuffle; df and "
+    "rank share ONE token-keyed exchange (WindowGroupLimit pushes the "
+    "top-3 cut map-side)",
+    tags=("ext", "text"),
+)
+def inverted_index_topdocs(spark, sf_dir):
+    """Search-index build kernel: per-token document frequency plus the
+    top-3 postings by term frequency (ties to the lowest doc_id — total
+    order). The (token, doc) tf aggregate runs first so the token-keyed
+    exchange carries postings, not raw token occurrences; df (unordered
+    count window) and the rank window both require HashPartitioning(token)
+    and therefore share that single exchange, and Spark ≥3.5 plans the
+    rank filter as a WindowGroupLimit so each map task forwards at most 3
+    candidate postings per token."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    wd = Window.partitionBy("token")
+    wr = Window.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id")
+    return (
+        tf.withColumn("df", F.count("*").over(wd))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("token", "df", "doc_id", "tf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O10 — perf-drill artifact relation (pipelines/drill.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "perf_drill_artifact",
+    """
+    SELECT CAST(r.range AS BIGINT) AS id,
+           substr(md5(CAST(r.range AS VARCHAR)) ||
+                  md5(CAST(r.range AS VARCHAR) || ':1'), 1, 64) AS value
+    FROM range(5000) r
+    """,
+    survey="§2.7 O10: perf/scale drill artifact — the reference's "
+    "5,000×64-char payload (validation_perf_scale_dag.py:37) as a "
+    "shuffle-free Range→project plan; full drill (fanout + atomic write + "
+    "20k log line + deterministic failure event) in pipelines/drill.py",
+    tags=("o10", "pipeline"),
+)
+def perf_drill_artifact(spark, sf_dir):
+    """The drill payload relation (independent of sf_dir by design — the
+    reference drill generates its artifact, it doesn't read the lake)."""
+    from .pipelines.drill import artifact_rows
+
+    return artifact_rows(spark)
