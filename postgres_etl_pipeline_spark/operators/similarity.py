@@ -344,3 +344,84 @@ def group_centroids(df: DataFrame, group_col: str = "label", vec_col: str = "emb
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: coarse-cluster the embedding space,
+    then prune near-duplicate vectors WITHIN each cluster (Abbas et al.,
+    "SemDeDup", 2023 — cluster-then-pairwise is the whole trick: pairwise
+    cosine is quadratic, so it is only ever run inside a bounded cluster,
+    never across the corpus).
+
+    Stages, all deterministic and engine-portable:
+
+    1. **Centroids** — exact per-``cluster_col`` means via
+       :func:`group_centroids` (decimal accumulation). Any bounded
+       coarse-quantizer source slots in here (e.g. :func:`ivf_topk`'s
+       sample-trained KMeans); the catalog entry uses the label groups so
+       a SQL oracle can recompute the centroids bit-for-bit.
+    2. **Assignment** — every vector goes to its nearest centroid by
+       cosine (NOT its own label: assignment is a real argmax over the
+       centroid set). The ≤ |clusters|·dims centroid table is collected
+       (driver-sized by contract, the IVF quantizer shape) and unrolled
+       into a codegen struct-array argmax: ``array_max`` over
+       ``(round(cos, 6), -cid)`` structs picks the highest similarity,
+       ties to the LOWEST cid. One corpus scan, no shuffle.
+    3. **Prune** — self-join within cluster id: a vector is dropped when
+       a LOWER-id vector in its cluster has ``round(cos, 4) ≥
+       threshold`` (keep-lowest-id, the same deterministic survivor rule
+       the MinHash/SimHash keep-lists use). The cid-keyed shuffle is
+       linear; the pairwise work is quadratic only within a cluster —
+       at scale the cluster count k is the knob (k ≈ N/target_size
+       bounds every cluster, exactly as in the paper's k-means setting).
+
+    Returns the KEPT vectors as ``(vec_id, cid)``.
+    """
+    v = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double_vec(vec_col).alias("e"),
+    )
+    cents = group_centroids(df, cluster_col, vec_col).collect()
+    dims = max((r["pos"] for r in cents), default=-1) + 1
+    by_cid: dict[int, list[float]] = {
+        int(r[cluster_col]): [0.0] * dims for r in cents
+    }
+    for r in cents:
+        by_cid[int(r[cluster_col])][r["pos"]] = float(r["centroid"])
+    if not by_cid:  # empty input: keep nothing, schema intact
+        return v.select("vec_id", F.lit(None).cast("int").alias("cid")).limit(0)
+
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col("e"), F.array(*[F.lit(x) for x in vec])), 6
+                ).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, vec in sorted(by_cid.items())
+        ]
+    )
+    assigned = v.select(
+        "vec_id", "e", (-F.array_max(sims)["nc"]).cast("int").alias("cid")
+    )
+    lo = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("lo_id"), F.col("e").alias("lo_e")
+    )
+    hi = assigned.select("cid", "vec_id", "e")
+    dropped = (
+        hi.join(lo, "cid")
+        .filter(
+            (F.col("lo_id") < F.col("vec_id"))
+            & (F.round(cosine(F.col("lo_e"), F.col("e")), 4) >= F.lit(threshold))
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")

@@ -258,3 +258,69 @@ def perf_drill_artifact(spark, sf_dir):
     from .pipelines.drill import artifact_rows
 
     return artifact_rows(spark)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — embedding-space cluster-then-prune semantic dedup (embeddings)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.35  # the testdata's near-dup cosine band (same as
+# embedding_lsh_near_dups); production corpora run 0.95+.
+
+_SEMDEDUP_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cx AS (
+      SELECT label AS cid,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                    (x, i) -> {{'pos': i - 1, 'x': x}}), recursive := true)
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cid, list(c ORDER BY pos) AS ce FROM (
+        SELECT cid, pos,
+               CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+        FROM cx GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    sims AS (
+      SELECT v.vec_id, cent.cid,
+             round(list_cosine_similarity(v.e, cent.ce), 6) AS s
+      FROM v, cent
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    asg AS (SELECT b.vec_id, b.cid, v.e FROM best b JOIN v USING (vec_id)),
+    drops AS (
+      SELECT DISTINCT hi.vec_id
+      FROM asg lo JOIN asg hi
+        ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+      WHERE round(list_cosine_similarity(lo.e, hi.e), 4)
+            >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT asg.vec_id, CAST(asg.cid AS INT) AS cid
+    FROM asg WHERE asg.vec_id NOT IN (SELECT vec_id FROM drops)
+    """
+
+
+@register(
+    "semdedup_keep_list",
+    _SEMDEDUP_ORACLE,
+    survey="§7 north-star: SemDeDup (cluster-then-prune semantic dedup) — "
+    "exact decimal centroids, codegen argmax assignment (one scan, no "
+    "shuffle), within-cluster-only pairwise (the quadratic stays bounded "
+    "by cluster size; k is the scale knob)",
+    tags=("ext", "similarity", "dedup"),
+)
+def semdedup_keep_list(spark, sf_dir):
+    from .operators.similarity import semdedup
+
+    return semdedup(
+        spread(t(spark, sf_dir, "embeddings")), threshold=_SEMDEDUP_THRESHOLD
+    )
