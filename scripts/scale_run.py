@@ -34,6 +34,11 @@ FAMILY = [
     "decontaminate_vs_eval",
     "doc_chunks_overlap",
     "incremental_dedup_new_docs",
+    # round 7
+    "funnel_conversion",
+    "retention_cohorts",
+    "inverted_index_topdocs",
+    "semdedup_keep_list",
 ]
 
 

@@ -237,3 +237,50 @@ def test_chunking_is_scan_time_only(spark, sf_small):
     assert s.scans == 1 and s.joins == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_row_level_pruning(spark, sf_small):
+    """Engine capability pin: Catalyst's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*) injects a bloom_filter_agg
+    subquery on the selective build side and a might_contain row filter on
+    the probe side of a shuffle join. At 100 TB this is the difference
+    between shuffling every probe-side row and shuffling only rows whose
+    key can exist on the other side; the size thresholds (default 10 MB
+    creation side) make it self-gating on a cluster — here they are
+    lowered to exercise the path on test data, with results asserted
+    identical to the plain plan."""
+    from postgres_etl_pipeline_spark.session import scoped_conf
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_small}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    join = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plain = {(r.o_orderpriority, r.n) for r in join.collect()}
+
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        },
+    ):
+        li2 = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        od2 = spark.read.parquet(f"{sf_small}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        bloomed = (
+            li2.join(od2, li2.l_orderkey == od2.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = bloomed._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan.lower()
+        assert {(r.o_orderpriority, r.n) for r in bloomed.collect()} == plain
