@@ -249,3 +249,85 @@ def dedup_keep_filter(
     return docs.join(
         losers, docs[id_col] == F.col("__loser"), "left_anti"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+    scale: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list — the
+    centrality kernel next to :func:`connected_components` (e.g. ranking
+    representatives inside near-dup clusters, or importance-weighting a
+    citation/link graph before sampling).
+
+    Engine-portable determinism, same discipline as the decimal money
+    sums: ranks live as DECIMAL(28,``scale``). Each iteration computes
+    contribution = round(rank/outdeg, scale) in double, re-casts to
+    decimal, and SUMs exactly — so the per-node aggregation is
+    partition-order-invariant and a SQL engine unrolling the same
+    iterations reproduces every rank bit-for-bit (float summation order
+    never enters; the only float ops are single divisions/multiplies of
+    identical inputs). Fixed ``iterations`` rather than an epsilon stop
+    keeps the result a pure function of the graph.
+
+    Scale shape: per iteration ONE src-keyed join (ranks ⋈ edges, both
+    sides hash-partitioned by node id — near-unique keys, no skew) and one
+    dst-keyed map-side-combined sum; ranks are localCheckpoint'd per
+    round so the plan stays flat (the CC loop's rule). Dangling nodes
+    cannot exist under symmetrization (outdeg ≥ 1), so no global dangling-
+    mass term is needed; nodes receive the teleport floor via a left join
+    from the node list.
+    """
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    # symmetrize; dedupe so a pair listed twice doesn't double an edge
+    e = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dec = f"decimal(28,{int(scale)})"
+    nodes = (
+        e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank")).limit(0)
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), scale).cast(dec).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iterations)):
+        contribs = (
+            ranks.join(nodes, "node")
+            .join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.col("r").cast("double") / F.col("outdeg"), scale
+                ).cast(dec).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.select("node")
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0)).cast("double"),
+                    scale,
+                ).cast(dec).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").cast("double").alias("pagerank"))

@@ -324,3 +324,201 @@ def semdedup_keep_list(spark, sf_dir):
     return semdedup(
         spread(t(spark, sf_dir, "embeddings")), threshold=_SEMDEDUP_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse lexical similarity — TF-IDF cosine top-k via the inverted index
+# ---------------------------------------------------------------------------
+
+_TFIDF_COSINE_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    docfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(round(tf.tf * ln(CAST((SELECT count(DISTINCT doc_id)
+                                         FROM documents) AS DOUBLE)
+                                   / docfreq.df), 4)
+                  AS DECIMAL(18,4)) AS w
+      FROM tf JOIN docfreq USING (token)
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    num AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+             SUM(a.w * b.w) AS num
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+      WHERE a.doc_id < 20
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(CAST(num AS DOUBLE) /
+                   nullif(na.nrm * nb.nrm, 0), 4) AS cos_sim
+      FROM num
+      JOIN norms na ON na.doc_id = query_id
+      JOIN norms nb ON nb.doc_id = neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "tfidf_cosine_topk",
+    _TFIDF_COSINE_ORACLE,
+    survey="§7 north-star: sparse lexical top-k similarity (TF-IDF cosine "
+    "via inverted-index token join) — the lexical twin of "
+    "embedding_cosine_topk; weights rounded to DECIMAL(18,4) BEFORE "
+    "summation so every dot product is exact and partition-order-"
+    "invariant",
+    tags=("ext", "similarity", "text"),
+)
+def tfidf_cosine_topk(spark, sf_dir):
+    """Sparse cosine top-5 over TF-IDF term vectors for the first-20-doc
+    probe slice, computed entirely through the inverted index: the probe
+    side's postings join the corpus postings on token, so cost is
+    Σ_token (probe_df × df) — never |docs|² — and the per-pair dot product
+    is a decimal-exact SUM of pre-rounded weights (float summation order
+    never enters; ln() agreement at 4 dp is the same cross-engine contract
+    tfidf_top_terms already pins). At 100 TB the probe side is a broadcast
+    query workload and hot tokens get df-capped exactly like
+    jaccard_pairs' stop-shingle cap."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tok = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    w = (
+        tf.join(df_tok, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 4
+            ).cast("decimal(18,4)").alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wa")
+    )
+    num = (
+        a.join(w.withColumnRenamed("doc_id", "neighbor_id"), "token")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("wa") * F.col("w")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("na"))
+    nb = norms.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        num.join(F.broadcast(na), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("num").cast("double")
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup similarity graph (documents)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iterations: int = 5, scale: int = 12) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain — the SQL twin of
+    operators/graph.pagerank (decimal-exact contribution sums, float ops
+    only on identical inputs; teleport spelled (1.0 - 0.85)/n in BOTH
+    engines so the IEEE value is bit-identical)."""
+    from .queries_ext import _JACCARD_ORACLE
+
+    dec = f"DECIMAL(28,{scale})"
+    ctes = [
+        f"pairs AS ({_JACCARD_ORACLE.format(thr=0.5)})",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        f"r0 AS (SELECT node, CAST(round(1.0 / (SELECT n FROM nn), {scale})"
+        f" AS {dec}) AS r FROM deg)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT deg.node,
+             CAST(round((1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE),
+                        {scale}) AS {dec}) AS r
+      FROM deg LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(round(CAST(p.r AS DOUBLE) / dg.outdeg, {scale})
+                    AS {dec}) AS c
+        FROM r{k - 1} p
+        JOIN deg dg ON dg.node = p.node
+        JOIN edges e ON e.src = p.node
+      ) c USING (node)
+      GROUP BY deg.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS doc_id, CAST(r AS DOUBLE) AS pagerank"
+        f" FROM r{iterations}"
+    )
+
+
+@register(
+    "pagerank_near_dup_graph",
+    _pagerank_oracle(),
+    survey="§7 north-star: fixed-iteration PageRank over the near-dup "
+    "similarity graph — the iterative-centrality kernel next to CC; "
+    "decimal-exact contribution sums make every iteration partition-"
+    "order-invariant and SQL-replayable; one node-keyed join + one "
+    "map-side-combined sum per round, ranks localCheckpoint'd",
+    tags=("ext", "dedup", "graph"),
+)
+def pagerank_near_dup_graph(spark, sf_dir):
+    from .operators.graph import pagerank
+    from .queries_ext import _minhash_pair_stage
+
+    pairs = _minhash_pair_stage(spark, sf_dir)
+    return pagerank(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "pagerank"
+    )

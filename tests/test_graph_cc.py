@@ -108,3 +108,62 @@ def test_keep_filter_drops_non_representatives(spark):
     assert {r.doc_id for r in kept.collect()} == {1, 9}
     # isolated doc 9 (no edges) passes through untouched
     assert kept.filter(F.col("doc_id") == 9).count() == 1
+
+
+class TestPageRank:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_star_center_ranks_highest_and_mass_conserved(self, spark):
+        from postgres_etl_pipeline_spark.operators.graph import pagerank
+
+        # star: 0 connected to 1..4 — center must dominate
+        e = self._edges(spark, [(0, i) for i in range(1, 5)])
+        ranks = {r.node: r.pagerank for r in pagerank(e).collect()}
+        assert max(ranks, key=ranks.get) == 0
+        leaf = {v for k, v in ranks.items() if k != 0}
+        assert len(leaf) == 1  # symmetric leaves, identical rank
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling mass loss
+
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        from postgres_etl_pipeline_spark.operators.graph import pagerank
+
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+        e = self._edges(spark, pairs)
+        got = {r.node: r.pagerank for r in pagerank(e, iterations=5).collect()}
+
+        # full-precision numpy twin (rounding in the operator is 1e-12;
+        # compare within 1e-9)
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        n = len(nodes)
+        r = np.full(n, 1.0 / n)
+        for _ in range(5):
+            nxt = np.full(n, 0.15 / n)
+            for i, u in enumerate(nodes):
+                for v in adj[u]:
+                    nxt[nodes.index(v)] += 0.85 * r[i] / len(adj[u])
+            r = nxt
+        for i, u in enumerate(nodes):
+            assert abs(got[u] - r[i]) < 1e-9
+
+    def test_partitioning_invariant(self, spark):
+        from postgres_etl_pipeline_spark.operators.graph import pagerank
+
+        pairs = [(i, (i + 1) % 20) for i in range(20)] + [(0, 10), (5, 15)]
+        e1 = self._edges(spark, pairs).repartition(1)
+        e7 = self._edges(spark, pairs).repartition(7)
+        r1 = sorted((r.node, r.pagerank) for r in pagerank(e1).collect())
+        r7 = sorted((r.node, r.pagerank) for r in pagerank(e7).collect())
+        assert r1 == r7  # decimal-exact sums: bit-identical, not just close
+
+    def test_empty_edges(self, spark):
+        from postgres_etl_pipeline_spark.operators.graph import pagerank
+
+        e = self._edges(spark, []).filter("src > 0")
+        assert pagerank(e).collect() == []
