@@ -703,3 +703,81 @@ def incremental_exact_dedup(
     keeper = new_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     idx = index_fps.select("fp").distinct()
     return keeper.join(idx, "fp", "left_anti").select("doc_id", "fp")
+
+
+def _lex_prefix_num(k: Column, width: int = 7) -> Column:
+    """Pack the first ``width`` chars of an ASCII string into one BIGINT
+    whose numeric order is NON-DECREASING w.r.t. the string's lexicographic
+    order (byte 0 pads short strings, so a prefix sorts before its
+    extensions — exactly like the strings themselves). 7 × 8 bits = 2^56
+    stays far inside BIGINT under ANSI. This is the numeric proxy that
+    lets the global-ranking kernel (approxQuantile cutpoints) order a
+    STRING key without a single-partition sort; full-string ties are
+    broken by the kernel's tie columns."""
+    parts = [
+        F.ascii(F.substring(k, i + 1, 1)).cast("long") * F.lit(256 ** (width - 1 - i))
+        for i in range(width)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup mining: sort the corpus by a
+    blocking key (normalized text), slide a ``window``-row comparison
+    window down the GLOBAL order, and exact-Jaccard-verify only the
+    ≤ (window−1)·N adjacent candidate pairs (Hernández & Stolfo's classic
+    blocking method — the third candidate-generation strategy next to the
+    inverted-index join and MinHash banding).
+
+    Scale shape: the global order comes from the ranking kernel
+    (:func:`~..ranking.global_rank` over a lexicographic prefix packed
+    into a BIGINT — no ``Exchange SinglePartition`` anywhere, pinned in
+    tests); neighbors materialize via ONE rank-keyed self-join (offset
+    explode, integer keys, no skew); verification reuses the same
+    shingle-array intersect as the MinHash path on a candidate set that is
+    linear in N by construction. Recall is limited to duplicates whose
+    blocking keys land within ``window`` ranks — SNM's documented
+    trade-off (multi-pass with different keys is the classic remedy);
+    exact and prefix-identical duplicates always qualify.
+    """
+    from .ranking import global_rank
+
+    d = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lower(normalize_ws(F.col(text_col))).alias("_k"),
+    ).withColumn("_knum", _lex_prefix_num(F.col("_k")))
+    rf = global_rank(d, "_knum", ["_k", "doc_id"])
+    empty = df.sparkSession.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    )
+    if rf.n_total == 0:
+        return empty
+    ranked = rf.df.select("doc_id", "_rank")
+    offs = F.explode(F.array(*[F.lit(o) for o in range(1, int(window))]))
+    nb = (
+        ranked.select(F.col("doc_id").alias("nb_id"), F.col("_rank").alias("r"))
+        .withColumn("off", offs)
+        .select("nb_id", (F.col("r") - F.col("off")).alias("_rank"))
+    )
+    cand = ranked.join(nb, "_rank").select(
+        F.least("doc_id", "nb_id").alias("doc_a"),
+        F.greatest("doc_id", "nb_id").alias("doc_b"),
+    )
+    arr = shingle_arrays(df, text_col).filter(F.size("shs") > 0)
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
+    return joined.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

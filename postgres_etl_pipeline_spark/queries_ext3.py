@@ -522,3 +522,63 @@ def pagerank_near_dup_graph(spark, sf_dir):
     return pagerank(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "pagerank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood near-dup mining (documents)
+# ---------------------------------------------------------------------------
+
+
+def _snm_oracle(window: int = 3, thr: float = 0.5) -> str:
+    from .queries_ext import _NORM, _SHINGLES, _TOKS
+
+    offsets = ", ".join(str(o) for o in range(1, window))
+    return f"""
+    WITH nd AS (
+      SELECT doc_id, {_NORM} AS k FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn FROM nd
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM ranked a JOIN ranked b ON b.rn - a.rn IN ({offsets})
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(CAST(i.inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - i.inter), 4) >= {thr}
+    """
+
+
+@register(
+    "snm_near_dups",
+    _snm_oracle(),
+    survey="§7 north-star: sorted-neighborhood dedup (global sort blocking "
+    "+ sliding window + exact-Jaccard verify) — the third candidate "
+    "strategy next to inverted-index join and MinHash banding; global "
+    "order via the ranking kernel (no SinglePartition), candidates linear "
+    "in N by construction",
+    tags=("ext", "dedup"),
+)
+def snm_near_dups(spark, sf_dir):
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        spread(t(spark, sf_dir, "documents")), window=3, threshold=0.5
+    )

@@ -420,3 +420,65 @@ class TestChunkDocuments:
 
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(_docs(spark, ["x"]), chunk_tokens=4, overlap=4)
+
+
+class TestSortedNeighborhood:
+    """SNM (sorted-neighborhood) near-dup mining semantics."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_adjacent_dups_found(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, base),
+            (1, base),  # exact dup — adjacent after sort, jaccard 1.0
+            (2, "zz completely different words here now ok"),
+        ]
+        pairs = sorted_neighborhood_pairs(self._docs(spark, rows)).collect()
+        assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(0, 1, 1.0)]
+
+    def test_window_bounds_recall(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        # near-dups separated by TWO interleaving sort keys: window=3
+        # (offsets 1-2) misses the pair, window=4 reaches offset 3
+        d = "mm nn oo pp qq rr"
+        rows = [
+            (0, "aa " + d),
+            (1, "ab novel tokens one two three four"),
+            (2, "ac other tokens five six seven eight"),
+            (3, "ad " + d),  # near-dup of 0 (shares the d-shingles)
+        ]
+        w3 = sorted_neighborhood_pairs(self._docs(spark, rows), window=3,
+                                       threshold=0.3).collect()
+        w4 = sorted_neighborhood_pairs(self._docs(spark, rows), window=4,
+                                       threshold=0.3).collect()
+        assert (0, 3) not in {(p.doc_a, p.doc_b) for p in w3}
+        assert (0, 3) in {(p.doc_a, p.doc_b) for p in w4}
+
+    def test_no_single_partition_exchange(self, spark, sf_small):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.read.parquet(f"{sf_small}/documents.parquet")
+        plan = (
+            sorted_neighborhood_pairs(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange SinglePartition" not in plan
+
+    def test_empty_input(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = self._docs(spark, []).filter("doc_id > 0")
+        assert sorted_neighborhood_pairs(df).collect() == []
