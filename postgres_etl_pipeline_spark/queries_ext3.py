@@ -582,3 +582,88 @@ def snm_near_dups(spark, sf_dir):
     return sorted_neighborhood_pairs(
         spread(t(spark, sf_dir, "documents")), window=3, threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly z-scores over event values (events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_zscores",
+    """
+    WITH m AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER w AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s,
+             SUM(CAST(value * value AS DECIMAL(18,4))) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    ),
+    v AS (
+      SELECT event_id, user_id, value,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n AS var,
+             CAST(s AS DOUBLE) / n AS mean
+      FROM m
+    )
+    SELECT event_id, user_id,
+           round((value - mean)
+                 / (CASE WHEN var > 0 THEN sqrt(var) END), 4) AS z,
+           CASE WHEN var > 0
+                THEN abs((value - mean) / sqrt(var)) >= 2.5 END AS is_outlier
+    FROM v
+    """,
+    survey="§7 north-star: per-key anomaly z-scores — exact decimal "
+    "moments in ONE user-partitioned window (no second pass, no join "
+    "back); variance assembled from exact parts with identical IEEE ops "
+    "on both engines",
+    tags=("ext", "analytics", "timeseries"),
+)
+def events_value_zscores(spark, sf_dir):
+    """Population z-score of every event's value against its user's own
+    distribution — the standard per-entity anomaly screen. Moments (n, Σv
+    as DECIMAL(18,2), Σv² as DECIMAL(18,4)) accumulate exactly in ONE
+    unordered window over user_id, so the whole query is a single hash
+    exchange; mean/var/σ are then pure row-local arithmetic from exact
+    parts (cross-engine determinism: every float op runs on bit-identical
+    inputs — the decimal sums — in the same order). σ==0 or a
+    numerically-negative variance yields NULL z (undefined), not NaN. At
+    100 TB per-user state is three accumulators regardless of event
+    count, and a hot user costs a bigger window partition, never a
+    replan."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)"))
+        .over(w)
+        .alias("s2"),
+    )
+    v = m.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / F.col("n")
+        ).alias("var"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+    )
+    std = F.when(F.col("var") > 0, F.sqrt(F.col("var")))
+    return v.select(
+        "event_id",
+        "user_id",
+        F.round((F.col("value") - F.col("mean")) / std, 4).alias("z"),
+        F.when(
+            F.col("var") > 0,
+            F.abs((F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))) >= 2.5,
+        ).alias("is_outlier"),
+    )
