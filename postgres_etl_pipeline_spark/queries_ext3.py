@@ -1,4 +1,4 @@
-"""Extension catalog, batch 3 (round 7): product-analytics kernels over the
+"""Extension catalog, batch 3 (round 6): product-analytics kernels over the
 events stream (ordered funnel, retention cohorts), an IR-style inverted
 index over documents, the O10 perf-drill artifact relation, and
 embedding-space semantic dedup (SemDeDup-shaped cluster-then-prune).

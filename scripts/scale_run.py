@@ -34,7 +34,7 @@ FAMILY = [
     "decontaminate_vs_eval",
     "doc_chunks_overlap",
     "incremental_dedup_new_docs",
-    # round 7
+    # round 6
     "funnel_conversion",
     "retention_cohorts",
     "inverted_index_topdocs",
