@@ -425,3 +425,152 @@ def semdedup(
         .distinct()
     )
     return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")
+
+
+def sq8_scales(
+    corpus: DataFrame, vec_col: str = "embedding", levels: int = 127
+) -> list[float]:
+    """Per-dimension symmetric int8 scales: ``s_j = max|x_j| / levels``.
+
+    One posexplode aggregate — dim-count rows to the driver (the same
+    bounded-metadata contract as the IVF centroids). A dimension that is
+    identically zero gets scale 1.0 (its codes are all 0 either way).
+    """
+    rows = (
+        corpus.select(F.posexplode(as_double_vec(vec_col)).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.max(F.abs(F.col("x"))).alias("m"))
+        .collect()
+    )
+    by_dim = {r["j"]: r["m"] for r in rows}
+    return [
+        (by_dim[j] / levels) if by_dim.get(j) else 1.0
+        for j in range(len(by_dim))
+    ]
+
+
+def sq8_codes(vec: Column, scales: list[float], levels: int = 127) -> Column:
+    """Quantize a double vector to int8-range codes with per-dim scales.
+
+    Pure codegen expression (``zip_with`` + ``floor`` + clamp) — the
+    quantizer adds no shuffle and no Python to the corpus scan.
+    """
+    lit_scales = F.array(*[F.lit(s) for s in scales])
+    return F.zip_with(
+        vec,
+        lit_scales,
+        lambda x, s: F.greatest(
+            F.lit(-levels), F.least(F.lit(levels), F.floor(x / s))
+        ).cast("int"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN: integer-dot candidate generation over
+    4×-compressed codes, exact cosine re-rank of ``k·rerank`` candidates.
+
+    The third ANN tier next to sign-LSH (data-independent buckets) and IVF
+    (adaptive partition pruning): scalar quantization attacks the MEMORY
+    side of 100 TB similarity search. Codes are 1 byte/dim instead of 4
+    (float32 on disk) or 8 (double in flight), so a 64-dim corpus streams
+    4–8× more vectors per Arrow batch and a cached code table holds 4–8×
+    more of the corpus per executor — the FAISS ``SQ8`` / ScaNN
+    ``asymmetric hashing`` production shape.
+
+    Candidate scoring is an INTEGER dot product of codes (int64 matmul per
+    Arrow batch, broadcast query codes — the sanctioned vectorized path of
+    :func:`brute_force_topk`). Integer scores are EXACT, so the candidate
+    cut (score desc, id) is reproducible on any engine — no float-boundary
+    flake in the approximate stage by construction. Re-rank joins the
+    ≤ ``Q·k·rerank`` candidate ids back to the original vectors and scores
+    exact double cosine JVM-side (tiny input — HOF fold, no Python).
+
+    Recall vs brute force is data-dependent (tests measure it); precision
+    of the final ordering is exact by the re-rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    scales = sq8_scales(corpus, vec_col)
+    if not scales:
+        return spark.createDataFrame([], empty_schema)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+        sq8_codes(as_double_vec(vec_col), scales).alias("qc"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qcodes = np.array([r["qc"] for r in q_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, qcodes))
+
+    def iscore(batches):
+        b_qids, b_qc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cc = np.array(list(pdf["cd"]), dtype=np.int64)
+            idot = cc @ b_qc.T  # exact integer dot — (n, q)
+            n, q = idot.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(b_qids, n),
+                    "neighbor_id": np.repeat(cids, q),
+                    "idot": idot.ravel(),
+                }
+            )
+
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_codes(as_double_vec(vec_col), scales).alias("cd"),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("idot").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        coded.mapInPandas(iscore, "query_id long, neighbor_id long, idot long")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), list(r["qv"])) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        cands.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_vec(vec_col).alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv"))
+                / (norm(F.col("cv")) * norm(F.col("qv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

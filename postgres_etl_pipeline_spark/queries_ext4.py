@@ -1,0 +1,374 @@
+"""Extension catalog, batch 4 (round 6): the ETL/scale kernels that round
+out the reference surface — CDC changelog application (the delete-capable
+half of K5 upsert, ``grocery_lib/pg.py:33-60``), explicit skew-salted
+aggregation parity, overlapping-interval union (user active-time), scalar-
+quantized (int8) ANN with exact re-rank, and deterministic weighted
+sampling for corpus mixing (Efraimidis–Spirakis with hash uniforms).
+
+Same registry/oracle conventions as queries_ext.py: exact-integer or
+exact-decimal parts wherever an aggregate crosses engines, one final
+double division/round, BIGINT casts on DuckDB counts, total window
+orderings, no raw DATE/TIMESTAMP outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import cdc as C
+from .operators import relational as R
+from .operators import similarity as S
+from .queries import read_events, register, spread, t
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — the delete-capable K5 (orders as the base table)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic changelog derived from orders (no new fixtures):
+# every order is inserted (seq 1); every 3rd key is re-priced by an update
+# (seq 2, +100.00 — one exact IEEE add, engine-portable); every 7th key is
+# deleted (seq 3). Keys divisible by 21 exercise update-then-delete; the
+# final state must contain no deleted key and exactly the updated price for
+# surviving updated keys.
+_CDC_ORACLE = """
+    WITH log AS (
+      SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
+             o_totalprice AS totalprice, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT status, op AS last_op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM latest
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "cdc_apply_orders",
+    _CDC_ORACLE,
+    survey="§2.2 K5 extension (pg.py:33-60): WAL-style I/U/D changelog "
+    "collapsed to final state in ONE key-partitioned window — the "
+    "delete-capable upsert plain ON CONFLICT cannot express",
+    tags=("ext", "cdc"),
+)
+def cdc_apply_orders(spark, sf_dir):
+    """Apply a deterministic insert/update/delete changelog over orders and
+    audit the surviving state (count + exact-decimal price mass by status
+    and last op).
+
+    Plan shape: three scans of one cached-sized source union to the log
+    (at 100 TB the log arrives as a stream/table, not a derivation); then
+    ONE shuffle keyed by ``okey`` drives the row_number collapse. The
+    status aggregate on the survivors is a second, output-sized shuffle.
+    """
+    o = t(spark, sf_dir, "orders")
+    ins = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("totalprice"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    final = C.apply_changelog(log, keys=["okey"], order_by=[F.col("seq")])
+    return final.groupBy("status", F.col("op").alias("last_op")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        R.dsum("totalprice", "total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation — 5 event types over 100k+ rows = hot keys
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_event_type_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+    survey="§2.5/§2.9 scale: two-phase SALTED aggregation over hot group "
+    "keys (5 event types ← the whole stream) == plain GROUP BY; the "
+    "explicit fix for agg skew AQE only covers on joins",
+    tags=("ext", "scale"),
+)
+def salted_event_type_agg(spark, sf_dir):
+    """Hot-key aggregate via ``operators.relational.salted_agg``: phase 1
+    shuffles on (event_type, salt) so no reducer owns a whole event type;
+    phase 2 merges ≤ ``salt_buckets`` partials per key.
+
+    The decomposable pieces (count / decimal-sum / min / max) are exactly
+    the ones salting preserves; the decimal accumulator keeps the sum
+    order-independent so the salted result is bit-equal to the plain
+    group-by on ANY engine — which is precisely what the oracle checks.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.col("value"),
+        F.col("value").cast("decimal(18,6)").alias("dval"),
+    )
+    out = R.salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_type"),
+            "dtotal": ("sum", "dval"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("dtotal").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-interval union — user active time from 5-minute activity spans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS start_s,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 300 AS end_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, start_s, end_s,
+             CASE WHEN max(end_s) OVER (
+                    PARTITION BY user_id ORDER BY start_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR start_s > max(end_s) OVER (
+                    PARTITION BY user_id ORDER BY start_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, start_s, end_s,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY start_s, end_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             min(start_s) AS s, max(end_s) AS e
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(e - s) AS BIGINT) AS covered_s
+    FROM merged
+    GROUP BY 1
+    """,
+    survey="§2.5/§2.8 extension: overlapping-interval UNION (running-max "
+    "island merge) — activity coverage per user, the overlap-merge twin "
+    "of gap-based sessionization",
+    tags=("ext", "analytics"),
+)
+def interval_union_coverage(spark, sf_dir):
+    """Merge each user's overlapping 5-minute activity intervals and
+    report interval count + exact covered seconds.
+
+    The classic running-max island algorithm: ONE shuffle keyed by
+    ``user_id`` feeds every window (the new-island flag, the running
+    island id) and the island aggregate — per-key window state is a single
+    max, bounded at any event volume. Equal-start duplicates (the testdata
+    plants duplicate timestamps) merge into the same island regardless of
+    their relative order, because a twin's end always covers its sibling's
+    start — the grouped result is permutation-invariant even though the
+    tie order itself is not total.
+    """
+    iv = read_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("start_s"),
+        (F.unix_timestamp(F.date_trunc("second", "ts")) + 300).alias("end_s"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("start_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("start_s", "end_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("end_s").over(w_prev)
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("start_s") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("start_s").alias("s"), F.max("end_s").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN — integer-dot candidates, exact re-rank
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT j, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127
+                     ELSE 1.0 END AS s
+      FROM (SELECT unnest(e) AS x, unnest(range(1, 65)) AS j FROM v)
+      GROUP BY j
+    ),
+    scales AS (SELECT list(s ORDER BY j) AS sl FROM dims),
+    coded AS (
+      SELECT vec_id, e,
+             list_transform(e, (x, j) ->
+               greatest(-127.0, least(127.0, floor(x / sl[j])))) AS cd
+      FROM v, scales
+    ),
+    cands AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.e AS qe, c.e AS ce,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.cd, c.cd) DESC, c.vec_id
+             ) AS crank
+      FROM coded q JOIN coded c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qe, ce), 4) AS cos_sim
+      FROM cands WHERE crank <= 20
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM exact
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "sq8_quantized_topk",
+    _SQ8_ORACLE,
+    survey="§7 Phase 5: scalar-quantized (int8) ANN — per-dim symmetric "
+    "scales, EXACT integer-dot candidate cut (engine-portable by "
+    "construction), k·4 candidates re-ranked with exact cosine; the "
+    "memory-side scale lever next to LSH buckets and IVF pruning",
+    tags=("ext", "similarity"),
+)
+def sq8_quantized_topk(spark, sf_dir):
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return S.sq8_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 20), k=5, rerank=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus sampling — Efraimidis–Spirakis with deterministic uniforms
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             round(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967296.0)
+               * 1000000.0 / n_chars, 6) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, weight, sample_key,
+           row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+    FROM keyed
+    QUALIFY rank <= 100
+    """
+
+
+@register(
+    "weighted_doc_sample",
+    _WSAMPLE_ORACLE,
+    survey="§7 Phase 5: weighted sampling WITHOUT replacement "
+    "(Efraimidis–Spirakis A-Res, key = ln(u)/w) with DETERMINISTIC "
+    "md5 uniforms — quality-weighted corpus subsampling that is "
+    "reproducible across runs, partitionings, and engines",
+    tags=("ext", "assembly"),
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Top-100 weighted sample of documents, weight = ``n_chars``.
+
+    A-Res reduces weighted sampling to a TOP-N over per-row keys
+    ``ln(u_i)/w_i`` — and top-n is exactly what Spark distributes well:
+    ``orderBy(...).limit(n)`` plans as ``TakeOrderedAndProject`` (each map
+    task forwards its local top 100; no global sort, no single-partition
+    exchange). The uniform is hash-derived (md5 of the stable id, first 8
+    hex nibbles → (0,1]), never ``rand()`` — the sample is a pure function
+    of the row, so re-runs, retries, and other engines reproduce it
+    bit-for-bit. Keys are scaled ×1e6 and rounded to 6 dp so the stored
+    key column is robust to last-ulp ``ln`` differences across libms;
+    ordering ties broken by doc_id.
+    """
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.round(F.log(u) * 1000000.0 / F.col("n_chars"), 6).alias("sample_key"),
+    )
+    top = keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(100)
+    w = Window.orderBy(F.col("sample_key").desc(), "doc_id")
+    # the rank window runs AFTER the top-100 cut — 100 rows, not a
+    # data-sized single-partition exchange
+    return top.withColumn("rank", F.row_number().over(w))

@@ -40,3 +40,41 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_small):
         S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
     )
     assert full == exact
+
+
+def test_sq8_recall_vs_brute_force(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    sq8 = _topk_sets(S.sq8_topk(emb, queries, k=5, rerank=4))
+    assert set(sq8) == set(exact)
+    recalls = [len(sq8[q] & exact[q]) / 5 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # int8 with exact re-rank of k*4 candidates is a much tighter
+    # approximation than partition pruning — expect near-perfect recall
+    assert mean_recall >= 0.9, f"mean recall {mean_recall}"
+    # determinism: pure function of the data
+    assert sq8 == _topk_sets(S.sq8_topk(emb, queries, k=5, rerank=4))
+
+
+def test_sq8_full_rerank_equals_brute_force(spark, sf_small):
+    # candidates = whole corpus → the quantizer can't lose anything
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    full = _topk_sets(S.sq8_topk(emb, queries, k=5, rerank=(n + 4) // 5 + 1))
+    assert full == exact
+
+
+def test_sq8_codes_are_int8_range(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    scales = S.sq8_scales(emb)
+    assert len(scales) == 64 and all(s > 0 for s in scales)
+    coded = emb.select(
+        S.sq8_codes(S.as_double_vec("embedding"), scales).alias("cd")
+    )
+    mx = coded.select(
+        F.max(F.array_max("cd")).alias("hi"), F.min(F.array_min("cd")).alias("lo")
+    ).collect()[0]
+    assert -127 <= mx.lo and mx.hi <= 127
