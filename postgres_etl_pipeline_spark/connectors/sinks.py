@@ -148,6 +148,85 @@ def upsert_sql(table: str, cols: list[str], keys: list[str]) -> str:
     )
 
 
+def cdc_merge_parquet(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """K5+CDC — apply an insert/update/delete changelog batch onto a
+    parquet-backed table, WITH tombstone retention.
+
+    The delete-capable sibling of :func:`upsert_parquet` (the reference's
+    ``pg.py:33-60`` upsert has no delete path at all). Per batch:
+
+    - the current table unions with the incoming changes and collapses via
+      ``operators.cdc.apply_changelog`` in ONE key-partitioned window —
+      ordering is (``order_by`` …, incoming-beats-stored) so a REDELIVERED
+      old change can never regress a newer stored state (same contract as
+      upsert_parquet, which makes at-least-once delivery effectively-once);
+    - a key's terminal delete is STORED as a tombstone row (op = D, its
+      sequence retained) instead of being dropped: a late redelivery of a
+      pre-delete insert loses to the tombstone by sequence and cannot
+      resurrect the key. Tombstone GC (dropping tombstones older than the
+      redelivery horizon) is a compaction concern, same bucket as
+      :func:`compact_files`;
+    - the merged state writes to a sibling temp dir and swaps in — the
+      target stays intact and readable during the whole merge.
+
+    Readers consume :func:`read_cdc_table`, which filters tombstones.
+    The stored schema is the change schema (keys + order columns + op +
+    payload); ``order_by`` names ascending sequence columns.
+    """
+    from ..operators.cdc import apply_changelog
+
+    inc = changes.withColumn("__src", F.lit(1))
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    # explicit existence check, NEVER except-and-overwrite (see
+    # upsert_parquet: a transient read failure must not destroy the table)
+    if fs.exists(jvm_path):
+        merged = (
+            spark.read.parquet(target_path)
+            .withColumn("__src", F.lit(0))
+            .unionByName(inc)  # schema mismatch PROPAGATES
+        )
+    else:
+        merged = inc
+    final = apply_changelog(
+        merged,
+        keys,
+        [F.col(c) for c in order_by] + [F.col("__src")],
+        op_col=op_col,
+        delete_op=delete_op,
+        keep_deletes=True,
+    ).drop("__src")
+    tmp_path = target_path.rstrip("/") + f".__cdc_{uuid.uuid4().hex[:8]}"
+    final.write.mode("overwrite").parquet(tmp_path)
+    tmp_jvm = spark._jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs.delete(jvm_path, True)
+    if not fs.rename(tmp_jvm, jvm_path):
+        raise IOError(
+            f"rename {tmp_path} -> {target_path} failed; merged data at {tmp_path}"
+        )
+    return spark.read.parquet(target_path)
+
+
+def read_cdc_table(
+    spark: SparkSession,
+    target_path: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Live rows of a :func:`cdc_merge_parquet` table (tombstones filtered,
+    bookkeeping op column dropped)."""
+    df = spark.read.parquet(target_path)
+    return df.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+
+
 def overwrite_partitions(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:

@@ -37,6 +37,7 @@ def apply_changelog(
     order_by: list[Column],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Collapse an insert/update/delete changelog to final table state.
 
@@ -45,18 +46,26 @@ def apply_changelog(
     the survivor partition-dependent). Ascending columns are expected —
     the latest (greatest) change wins; pass e.g. ``[F.col("seq")]``.
 
+    ``keep_deletes=True`` retains a key's terminal delete as a TOMBSTONE
+    row instead of dropping it — the shape an incremental CDC sink stores
+    (Kafka log compaction / Delta CDF style) so that a re-delivered
+    pre-delete change can never resurrect the key (see
+    ``connectors.sinks.cdc_merge_parquet``).
+
     Returns the surviving rows minus the bookkeeping columns (``op_col``
     stays — callers often audit it; drop it at the call site if not).
     """
     if not keys:
         raise ValueError("apply_changelog requires at least one key column")
     w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
-    return (
+    latest = (
         changelog.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != F.lit(delete_op))
         .drop("__rn")
     )
+    if keep_deletes:
+        return latest
+    return latest.filter(F.col(op_col) != F.lit(delete_op))
 
 
 def snapshot_as_inserts(

@@ -24,7 +24,7 @@ from .jobs import (
     static_enrich,
     tumbling_counts,
 )
-from .runner import run_to_memory, run_upsert_sink
+from .runner import run_cdc_sink, run_to_memory, run_upsert_sink
 from .sources import stream_events, stream_ndjson_txns, stream_parquet
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "stateful_user_totals",
     "static_enrich",
     "tumbling_counts",
+    "run_cdc_sink",
     "run_to_memory",
     "run_upsert_sink",
     "stream_events",

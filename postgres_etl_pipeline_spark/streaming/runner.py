@@ -146,3 +146,55 @@ def run_upsert_sink(
     finally:
         if q.isActive:
             q.stop()
+
+
+def run_cdc_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a bounded I/U/D changelog stream into a tombstone-retaining
+    CDC parquet target via ``foreachBatch`` — the streaming twin of
+    ``connectors.sinks.cdc_merge_parquet`` (the delete-capable K5).
+
+    Debezium-shaped pipelines land here: at-least-once delivery upstream +
+    the sequence-ordered keyed merge per micro-batch = effectively-once
+    state, including deletes (a redelivered pre-delete change loses to the
+    stored tombstone by sequence). Read the live table with
+    ``connectors.sinks.read_cdc_table``.
+    """
+    from ..connectors.sinks import cdc_merge_parquet
+
+    ckpt = checkpoint or _scratch_checkpoint("ckpt_cdc_")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_merge_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys,
+            order_by,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"cdc drain to '{target_path}' did not finish within {timeout_s}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

@@ -78,3 +78,96 @@ def test_result_is_partitioning_invariant(spark):
     a = _state(C.apply_changelog(log.repartition(1), ["k"], [F.col("seq")]))
     b = _state(C.apply_changelog(log.repartition(13, "val"), ["k"], [F.col("seq")]))
     assert a == b and len(a) == 20
+
+
+# ---------------------------------------------------------------------------
+# cdc_merge_parquet / run_cdc_sink — the delete-capable K5 sink
+# ---------------------------------------------------------------------------
+
+
+def _live(spark, path):
+    from postgres_etl_pipeline_spark.connectors.sinks import read_cdc_table
+
+    return {r.k: r.val for r in read_cdc_table(spark, path).collect()}
+
+
+def test_cdc_merge_batches_and_tombstones(spark, tmp_path):
+    from postgres_etl_pipeline_spark.connectors.sinks import cdc_merge_parquet
+
+    target = str(tmp_path / "cdc_table")
+    b1 = _log(spark, [(1, 1, "I", "a"), (2, 2, "I", "b"), (3, 3, "I", "c")])
+    cdc_merge_parquet(spark, b1, target, ["k"], ["seq"])
+    assert _live(spark, target) == {1: "a", 2: "b", 3: "c"}
+
+    b2 = _log(spark, [(1, 4, "U", "a2"), (2, 5, "D", None)])
+    cdc_merge_parquet(spark, b2, target, ["k"], ["seq"])
+    assert _live(spark, target) == {1: "a2", 3: "c"}
+    # the delete is STORED as a tombstone, not dropped
+    stored = {r.k: r.op for r in spark.read.parquet(target).collect()}
+    assert stored == {1: "U", 2: "D", 3: "I"}
+
+
+def test_cdc_merge_redelivery_is_noop_and_no_resurrection(spark, tmp_path):
+    from postgres_etl_pipeline_spark.connectors.sinks import cdc_merge_parquet
+
+    target = str(tmp_path / "cdc_table")
+    b1 = _log(spark, [(1, 1, "I", "old"), (2, 1, "I", "x")])
+    b2 = _log(spark, [(1, 2, "U", "new"), (2, 2, "D", None)])
+    cdc_merge_parquet(spark, b1, target, ["k"], ["seq"])
+    cdc_merge_parquet(spark, b2, target, ["k"], ["seq"])
+    assert _live(spark, target) == {1: "new"}
+
+    # redeliver the OLD batch after the new one: the stored seq-2 states
+    # (including the tombstone for k=2) must win — no regression, no
+    # resurrection
+    cdc_merge_parquet(spark, b1, target, ["k"], ["seq"])
+    assert _live(spark, target) == {1: "new"}
+    # and re-applying the newest batch is idempotent
+    cdc_merge_parquet(spark, b2, target, ["k"], ["seq"])
+    assert _live(spark, target) == {1: "new"}
+
+
+def test_cdc_stream_sink_multi_batch(spark, tmp_path):
+    import json
+
+    from postgres_etl_pipeline_spark.streaming.runner import run_cdc_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = [{"k": 1, "seq": 1, "op": "I", "val": "a"},
+         {"k": 2, "seq": 2, "op": "I", "val": "b"}]
+    b = [{"k": 1, "seq": 3, "op": "U", "val": "a2"},
+         {"k": 2, "seq": 4, "op": "D", "val": None},
+         {"k": 3, "seq": 5, "op": "I", "val": "c"}]
+    for name, rows, off in (("a.ndjson", a, -60), ("b.ndjson", b, 0)):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        import os, time
+
+        t = time.time() + off
+        os.utime(p, (t, t))
+
+    target = str(tmp_path / "cdc_stream_table")
+    stream = (
+        spark.readStream.schema("k long, seq long, op string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    run_cdc_sink(
+        stream, target, keys=["k"], order_by=["seq"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert _live(spark, target) == {1: "a2", 3: "c"}
+
+    # fresh-checkpoint replay of the whole stream: keyed sequence merge
+    # makes it a no-op (effectively-once), deletes stay deleted
+    stream2 = (
+        spark.readStream.schema("k long, seq long, op string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    run_cdc_sink(
+        stream2, target, keys=["k"], order_by=["seq"],
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert _live(spark, target) == {1: "a2", 3: "c"}
