@@ -284,3 +284,54 @@ def test_runtime_bloom_filter_row_level_pruning(spark, sf_small):
         assert "might_contain" in plan, "runtime bloom filter not injected"
         assert "bloom_filter_agg" in plan.lower()
         assert {(r.o_orderpriority, r.n) for r in bloomed.collect()} == plain
+
+
+def test_interval_union_single_user_exchange(spark, sf_small):
+    # the new-island flag window, the running island-id window, the island
+    # aggregate AND the per-user rollup must all reuse ONE hash exchange on
+    # user_id (HashPartitioning(user_id) satisfies every downstream
+    # clustering) — step count never multiplies the shuffles
+    df = q("interval_union_coverage", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 1
+    assert s.joins == 0
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark, sf_small):
+    # A-Res top-n must plan as TakeOrderedAndProject (each map task forwards
+    # its local top 100) — no global sort, no data-sized shuffle; the rank
+    # window runs on the 100 surviving rows only
+    df = q("weighted_doc_sample", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_apply_one_key_window_one_agg_exchange(spark, sf_small):
+    # changelog collapse = one okey-keyed exchange; survivor audit = one
+    # output-sized agg exchange; the update/delete scans push their
+    # modulo predicates into the parquet reader
+    df = q("cdc_apply_orders", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 2
+    assert s.joins == 0
+    assert s.scans_with_pushed_filters >= 2
+
+
+def test_salted_agg_is_two_phase(spark, sf_small):
+    # phase 1 shuffles on (key, salt), phase 2 on key — exactly two
+    # exchanges, no reducer ever owns a whole hot key's raw rows
+    df = q("salted_event_type_agg", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 2
+    assert s.joins == 0
+
+
+def test_sq8_rerank_joins_are_broadcast(spark, sf_small):
+    # candidate ids and the query matrix are both tiny by construction —
+    # the re-rank must never plan a corpus-sized sort-merge join
+    df = q("sq8_quantized_topk", spark, sf_small)
+    s = plan_summary(df)
+    assert s.sort_merge_joins == 0
+    assert s.broadcast_joins >= 1
