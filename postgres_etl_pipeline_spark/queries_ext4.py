@@ -372,3 +372,91 @@ def weighted_doc_sample(spark, sf_dir):
     # the rank window runs AFTER the top-100 cut — 100 rows, not a
     # data-sized single-partition exchange
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style) — recall 1 by theorem
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import text as X  # noqa: E402
+from .queries_ext import _JACCARD_ORACLE, _TOKS  # noqa: E402
+
+
+@register(
+    "jaccard_prefix_filter_dups",
+    # oracle = the exact-Jaccard pair set: prefix filtering has recall 1
+    # BY THEOREM (two sets with Jaccard >= t must share a prefix element
+    # under any global canonical order), and verification is exact — so
+    # unlike the LSH entry (empirical recall) this equality is guaranteed
+    _JACCARD_ORACLE.format(thr=0.5),
+    survey="§7 Phase 5: PPJoin-style prefix-filtered exact Jaccard join — "
+    "candidates only from each doc's (1-t)·|S|+1 RAREST shingles "
+    "(ascending-df canonical order), recall 1 by theorem, exact "
+    "array-intersect verify; the deterministic candidate-reduction "
+    "tier between the full inverted index and MinHash+LSH",
+    tags=("ext", "dedup"),
+)
+def jaccard_prefix_filter_dups(spark, sf_dir):
+    return D.prefix_filter_pairs(
+        spread(t(spark, sf_dir, "documents")), threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counting — the frequency table a merge step eats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_bigram_pair_counts",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(2, len(l) + 1),
+                    i -> l[i-1] || ' ' || l[i])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+    FROM bg GROUP BY 1
+    QUALIFY rank <= 50
+    """,
+    survey="§7 Phase 5: adjacent-pair frequency table over whitespace "
+    "pre-tokens — the count table each BPE merge iteration consumes "
+    "(vocabulary induction); map-side-combined agg + top-50 cut",
+    tags=("ext", "text"),
+)
+def bpe_bigram_pair_counts(spark, sf_dir):
+    """Corpus-wide adjacent token-pair counts, top 50.
+
+    The hot loop of BPE vocabulary training is "count all adjacent symbol
+    pairs, merge the winner" — this is that count step, distributed: the
+    pair stream is a scan-time array expression (token array bound ONCE
+    via the transform(array(x)) idiom, no per-row re-tokenization), the
+    aggregate is map-side combined (the shuffle carries one row per
+    distinct pair per task), and the top-50 cut is TakeOrdered — each map
+    task forwards 50 rows, no global sort. The rank window runs on the 50
+    survivors only.
+    """
+    toks_bound = F.transform(
+        F.array(X.tokens("text")),
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(tk)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i - 1), F.element_at(tk, i)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    docs = spread(t(spark, sf_dir, "documents"))
+    counted = (
+        docs.select(F.explode(F.flatten(toks_bound)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counted.orderBy(F.col("n_occurrences").desc(), "bigram").limit(50)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "bigram")
+    return top.withColumn("rank", F.row_number().over(w))

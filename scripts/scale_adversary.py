@@ -21,7 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["minhash_lsh_near_dups", "simhash_near_dups", "jaccard_near_dups"]
+QUERIES = [
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "jaccard_near_dups",
+    "jaccard_prefix_filter_dups",
+]
 
 
 def main() -> None:

@@ -165,3 +165,36 @@ def test_salted_agg_equals_plain_agg(spark):
         .collect()
     }
     assert got == want
+
+
+def test_prefix_filter_pairs_equal_full_inverted_index(spark, sf_small):
+    """Prefix filtering is EXACT (recall 1 by theorem): the pair set must
+    equal the full inverted-index join's, not just approximate it."""
+    from pyspark.sql import functions as F
+
+    from postgres_etl_pipeline_spark.operators import dedup as D
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    docs = spread(t(spark, sf_small, "documents"))
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    assert pref == full and len(full) > 0
+
+    # and the candidate-generation index is genuinely smaller: the prefix
+    # keeps floor((1-t)|S|)+1 of each doc's shingles
+    sh = D.hashed_shingle_rows(docs)
+    n_full = sh.count()
+    n_prefix = (
+        sh.groupBy("doc_id")
+        .agg(F.first("set_size").alias("sz"))
+        .select((F.floor(0.5 * F.col("sz")) + 1).alias("p"))
+        .agg(F.sum("p"))
+        .collect()[0][0]
+    )
+    assert n_prefix < n_full * 0.6

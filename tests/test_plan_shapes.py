@@ -335,3 +335,24 @@ def test_sq8_rerank_joins_are_broadcast(spark, sf_small):
     s = plan_summary(df)
     assert s.sort_merge_joins == 0
     assert s.broadcast_joins >= 1
+
+
+def test_bpe_bigram_single_shuffle_take_ordered(spark, sf_small):
+    # pair counting = one map-side-combined agg exchange; the top-50 cut is
+    # TakeOrdered (no global sort); rank window runs on 50 rows
+    df = q("bpe_bigram_pair_counts", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_filter_join_never_sort_merge_or_nested_loop(spark, sf_small):
+    # the prefix self-join must stay a hash join on the shingle key (the
+    # post-Generate broadcast-estimator trap pinned for jaccard_pairs);
+    # every shuffle in the plan is linear in corpus shingle volume
+    df = q("jaccard_prefix_filter_dups", spark, sf_small)
+    s = plan_summary(df)
+    assert s.sort_merge_joins == 0
+    assert s.nested_loop_joins == 0
+    assert s.shuffled_hash_joins >= 1
