@@ -349,3 +349,102 @@ def stream_static_enrich(spark, sf_dir):
     return runner.run_to_memory(
         out, "stream_static_enrich", "append", state_partitions=STATE_PARTITIONS
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply — the delete-capable K5 as a drained changelog stream
+# ---------------------------------------------------------------------------
+
+_ORDERS_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "stream_cdc_apply",
+    # same final state as the batch entry: the drained changelog stream
+    # must converge to exactly what one batch collapse computes
+    """
+    WITH log AS (
+      SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
+             o_totalprice AS totalprice, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM latest
+    GROUP BY 1
+    """,
+    survey="§2.8/§2.2 K5+CDC: an I/U/D changelog STREAM drained through "
+    "foreachBatch cdc_merge_parquet (tombstone-retaining keyed merge) — "
+    "the drained target equals the batch changelog collapse",
+    tags=("streaming", "cdc"),
+)
+def stream_cdc_apply(spark, sf_dir):
+    """Stream the orders-derived changelog (same deterministic I/U/D
+    derivation as ``cdc_apply_orders``) into a CDC parquet target via
+    ``run_cdc_sink``, then audit the live table.
+
+    The three op branches are three streaming scans of the same source
+    unioned into one changelog stream — exactly how a WAL tail merges
+    concurrent op kinds. Effectively-once semantics (redelivery, replay,
+    out-of-order batches) are pinned in tests/test_cdc.py with
+    maxFilesPerTrigger-controlled multi-batch replays; here the driver
+    checks end-state parity against the batch oracle.
+    """
+    import tempfile
+
+    from .connectors.sinks import read_cdc_table
+    from .operators.relational import dsum
+
+    def branch(op, seq, price_col, status_col, extra_filter=None):
+        s = sources.stream_parquet(
+            spark, f"{sf_dir}/orders.parquet", _ORDERS_CDC_SCHEMA
+        )
+        if extra_filter is not None:
+            s = s.filter(extra_filter)
+        return s.select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            price_col.alias("totalprice"),
+            status_col.alias("status"),
+        )
+
+    ins = branch("I", 1, F.col("o_totalprice"), F.col("o_orderstatus"))
+    upd = branch(
+        "U",
+        2,
+        F.col("o_totalprice") + F.lit(100.0),
+        F.col("o_orderstatus"),
+        extra_filter=F.col("o_orderkey") % 3 == 0,
+    )
+    dels = branch(
+        "D",
+        3,
+        F.lit(None).cast("double"),
+        F.lit(None).cast("string"),
+        extra_filter=F.col("o_orderkey") % 7 == 0,
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    target = tempfile.mkdtemp(prefix="stream_cdc_") + "/orders_cdc"
+    runner.run_cdc_sink(log, target, keys=["okey"], order_by=["seq"])
+    return read_cdc_table(spark, target).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("totalprice", "total")
+    )

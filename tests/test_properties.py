@@ -384,3 +384,49 @@ def test_per_source_quota_invariants(spark, rows, quota):
         assert [r.src_rank for r in got] == list(range(1, expect_k + 1))
         naive = sorted(ids, key=lambda d: (-qual[d], d))[:expect_k]
         assert [r.doc_id for r in got] == naive
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering == full inverted-index join (recall-1 theorem, randomized)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _doc_corpus(draw):
+    """Tiny high-collision corpora: an 8-word vocabulary forces duplicate
+    and near-duplicate docs, empty docs, and sub-shingle (<3 token) docs."""
+    n_docs = draw(st.integers(min_value=2, max_value=7))
+    vocab = [f"w{i}" for i in range(8)]
+    return [
+        (
+            i,
+            " ".join(
+                draw(
+                    st.lists(
+                        st.sampled_from(vocab), min_size=0, max_size=12
+                    )
+                )
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+@given(corpus=_doc_corpus(), thr=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**_SETTINGS)
+def test_prefix_filter_equals_full_join(spark, corpus, thr):
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(df, threshold=thr).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=thr).collect()
+    }
+    assert pref == full
