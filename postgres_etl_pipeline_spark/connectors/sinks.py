@@ -70,6 +70,54 @@ def create_view(df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
 
 
+def _union_with_target(
+    spark: SparkSession, incoming: DataFrame, target_path: str
+) -> DataFrame:
+    """Tag ``incoming`` with ``__src = 1`` and union the existing target
+    beneath it (``__src = 0``) — the shared front half of every
+    merge-by-rewrite sink.
+
+    "First write" is decided by an explicit existence check, NEVER by
+    catching read/union errors: a schema-drifted batch or transient IO
+    failure inside a blanket except would silently overwrite the target
+    with only the incoming rows (destroying the table). A schema mismatch
+    in the union PROPAGATES for the same reason.
+    """
+    inc = incoming.withColumn("__src", F.lit(1))
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        current = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
+        return current.unionByName(inc)
+    return inc
+
+
+def _swap_into_place(
+    spark: SparkSession, df: DataFrame, target_path: str, tag: str
+) -> DataFrame:
+    """Write ``df`` BESIDE the target, then swap — the shared back half of
+    every merge-by-rewrite sink.
+
+    Writing directly over ``target_path`` would destroy the table if the
+    job died mid-write (and would recompute from a half-overwritten source
+    without a checkpoint). With the sibling write, the target stays intact
+    and readable for the whole merge; the swap is two metadata ops, and a
+    crash between them leaves the complete merged copy at the temp path
+    for recovery.
+    """
+    tmp_path = target_path.rstrip("/") + f".__{tag}_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp_jvm = spark._jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs.delete(jvm_path, True)
+    if not fs.rename(tmp_jvm, jvm_path):
+        raise IOError(
+            f"rename {tmp_path} -> {target_path} failed; merged data at {tmp_path}"
+        )
+    return spark.read.parquet(target_path)
+
+
 def upsert_parquet(
     spark: SparkSession,
     incoming: DataFrame,
@@ -96,36 +144,14 @@ def upsert_parquet(
     which shuffles only matched files) or the JDBC staging merge below. The
     row-at-a-time loop of the reference is the one pattern we never copy.
     """
-    inc = incoming.withColumn("__src", F.lit(1))
-    # "first write" is decided by an explicit existence check, NEVER by
-    # catching read/union errors: a schema-drifted batch or transient IO
-    # failure inside a blanket except would silently overwrite the target
-    # with only the incoming rows (destroying the table)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jvm_path):
-        current = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
-        merged = current.unionByName(inc)  # schema mismatch PROPAGATES
-    else:
-        merged = inc
+    merged = _union_with_target(spark, incoming, target_path)
     w = Window.partitionBy(*keys).orderBy(*(list(order_by) + [F.col("__src").desc()]))
     deduped = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    # write the merged result BESIDE the target, then swap. Writing directly
-    # over target_path would destroy the table if the job died mid-write
-    # (and would recompute from a half-overwritten source without a
-    # checkpoint). With the sibling write, the target stays intact and
-    # readable for the whole merge; the swap below is two metadata ops.
-    tmp_path = target_path.rstrip("/") + f".__merge_{uuid.uuid4().hex[:8]}"
-    deduped.write.mode("overwrite").parquet(tmp_path)
-    tmp_jvm = spark._jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs.delete(jvm_path, True)
-    if not fs.rename(tmp_jvm, jvm_path):  # crash-safe: merged copy persists at tmp
-        raise IOError(f"rename {tmp_path} -> {target_path} failed; merged data at {tmp_path}")
-    return spark.read.parquet(target_path)
+    return _swap_into_place(spark, deduped, target_path, "merge")
 
 
 def upsert_sql(table: str, cols: list[str], keys: list[str]) -> str:
@@ -183,19 +209,7 @@ def cdc_merge_parquet(
     """
     from ..operators.cdc import apply_changelog
 
-    inc = changes.withColumn("__src", F.lit(1))
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    # explicit existence check, NEVER except-and-overwrite (see
-    # upsert_parquet: a transient read failure must not destroy the table)
-    if fs.exists(jvm_path):
-        merged = (
-            spark.read.parquet(target_path)
-            .withColumn("__src", F.lit(0))
-            .unionByName(inc)  # schema mismatch PROPAGATES
-        )
-    else:
-        merged = inc
+    merged = _union_with_target(spark, changes, target_path)
     final = apply_changelog(
         merged,
         keys,
@@ -204,15 +218,7 @@ def cdc_merge_parquet(
         delete_op=delete_op,
         keep_deletes=True,
     ).drop("__src")
-    tmp_path = target_path.rstrip("/") + f".__cdc_{uuid.uuid4().hex[:8]}"
-    final.write.mode("overwrite").parquet(tmp_path)
-    tmp_jvm = spark._jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs.delete(jvm_path, True)
-    if not fs.rename(tmp_jvm, jvm_path):
-        raise IOError(
-            f"rename {tmp_path} -> {target_path} failed; merged data at {tmp_path}"
-        )
-    return spark.read.parquet(target_path)
+    return _swap_into_place(spark, final, target_path, "cdc")
 
 
 def read_cdc_table(

@@ -795,8 +795,9 @@ def prefix_filter_pairs(
 
     Prefix-filtering principle (Chaudhuri/Ganti/Kaushik's SSJoin, Xiao et
     al.'s PPJoin): order every document's distinct shingles by one GLOBAL
-    canonical order and keep only the first ``⌊(1−t)·|S|⌋ + 1`` — if two
-    sets have Jaccard ≥ t, their prefixes MUST share at least one element
+    canonical order and keep only the first ``⌊(1−t)·|S|⌋ + 1`` (computed
+    with recall-safe slack — see the inline note on the prefix bound) — if
+    two sets have Jaccard ≥ t, their prefixes MUST share at least one element
     (fewer than that many misses cannot push the overlap below the
     threshold). Candidates therefore come from a self-join over prefix
     rows only, with recall 1 **by theorem**, not by tuning — unlike the
@@ -835,7 +836,23 @@ def prefix_filter_pairs(
         sh = sh.localCheckpoint(eager=False)
     dfreq = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("dfreq"))
     w = Window.partitionBy("doc_id").orderBy("dfreq", "hs")
-    prefix_len = F.floor((1.0 - threshold) * F.col("set_size")).cast("int") + 1
+    # Prefix bound, with two deliberate slack terms (each can only LENGTHEN
+    # the prefix — always recall-safe, at worst a few extra candidates):
+    # 1. the candidate threshold is lowered by half of the output's 4-dp
+    #    rounding ulp: the final filter keeps pairs whose ROUNDED jaccard
+    #    >= t, i.e. true jaccard >= t - 0.00005, and the theorem must cover
+    #    those too (review finding r06);
+    # 2. +1e-6 before floor() absorbs IEEE error in (1-t)·|S| — e.g.
+    #    (1-0.8)*5 evaluates to 0.9999999999999998 and would floor to 0,
+    #    silently shortening the prefix below the theorem's bound for
+    #    every |S| divisible by 5 at t=0.8 (review finding r06; double
+    #    error here is ~|S|·1e-16, far below the 1e-6 slack for any
+    #    realistic set size).
+    gen_threshold = threshold - 0.00005
+    prefix_len = (
+        F.floor((1.0 - gen_threshold) * F.col("set_size") + 1e-6).cast("int")
+        + 1
+    )
     prefix = (
         sh.join(dfreq, "hs")
         .withColumn("rn", F.row_number().over(w))

@@ -31,8 +31,13 @@ from .queries import read_events, register, spread, t
 # deleted (seq 3). Keys divisible by 21 exercise update-then-delete; the
 # final state must contain no deleted key and exactly the updated price for
 # surviving updated keys.
-_CDC_ORACLE = """
-    WITH log AS (
+#
+# The derivation exists ONCE on each side: _CDC_LATEST_SQL is the shared
+# oracle CTE chain (batch + streaming entries select different audits over
+# it), and build_orders_changelog is the shared Spark-side builder (batch
+# passes a batch scan thunk, the streaming twin passes a readStream thunk).
+_CDC_LATEST_SQL = """
+    log AS (
       SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
              o_totalprice AS totalprice, o_orderstatus AS status
       FROM orders
@@ -49,12 +54,58 @@ _CDC_ORACLE = """
         FROM log
       ) WHERE rn = 1 AND op <> 'D'
     )
+    """
+
+_CDC_ORACLE = f"""
+    WITH {_CDC_LATEST_SQL}
     SELECT status, op AS last_op,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM latest
     GROUP BY 1, 2
     """
+
+
+def build_orders_changelog(scan):
+    """The shared I/U/D changelog derivation over orders.
+
+    ``scan`` is a zero-arg thunk returning a fresh DataFrame over the
+    orders relation — batch (``t(spark, sf_dir, "orders")``) or streaming
+    (``sources.stream_parquet(...)``); it is invoked once per op branch
+    because streaming scans cannot be shared across branches of a union.
+    Any change to the derivation (op mix, update delta, sequence order)
+    lands in BOTH catalog entries and the oracle CTE above or nowhere.
+    """
+    ins = scan().select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = (
+        scan()
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + F.lit(100.0)).alias("totalprice"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    dels = (
+        scan()
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("totalprice"),
+            F.lit(None).cast("string").alias("status"),
+        )
+    )
+    return ins.unionByName(upd).unionByName(dels)
 
 
 @register(
@@ -75,29 +126,7 @@ def cdc_apply_orders(spark, sf_dir):
     ONE shuffle keyed by ``okey`` drives the row_number collapse. The
     status aggregate on the survivors is a second, output-sized shuffle.
     """
-    o = t(spark, sf_dir, "orders")
-    ins = o.select(
-        F.col("o_orderkey").alias("okey"),
-        F.lit(1).alias("seq"),
-        F.lit("I").alias("op"),
-        F.col("o_totalprice").alias("totalprice"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
-        F.col("o_orderkey").alias("okey"),
-        F.lit(2).alias("seq"),
-        F.lit("U").alias("op"),
-        (F.col("o_totalprice") + F.lit(100.0)).alias("totalprice"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        F.col("o_orderkey").alias("okey"),
-        F.lit(3).alias("seq"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("totalprice"),
-        F.lit(None).cast("string").alias("status"),
-    )
-    log = ins.unionByName(upd).unionByName(dels)
+    log = build_orders_changelog(lambda: t(spark, sf_dir, "orders"))
     final = C.apply_changelog(log, keys=["okey"], order_by=[F.col("seq")])
     return final.groupBy("status", F.col("op").alias("last_op")).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -169,7 +198,7 @@ def salted_event_type_agg(spark, sf_dir):
     "interval_union_coverage",
     """
     WITH iv AS (
-      SELECT user_id,
+      SELECT DISTINCT user_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS start_s,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 300 AS end_s
       FROM events
@@ -216,18 +245,36 @@ def interval_union_coverage(spark, sf_dir):
     report interval count + exact covered seconds.
 
     The classic running-max island algorithm: ONE shuffle keyed by
-    ``user_id`` feeds every window (the new-island flag, the running
-    island id) and the island aggregate — per-key window state is a single
-    max, bounded at any event volume. Equal-start duplicates (the testdata
-    plants duplicate timestamps) merge into the same island regardless of
-    their relative order, because a twin's end always covers its sibling's
-    start — the grouped result is permutation-invariant even though the
-    tie order itself is not total.
+    ``user_id`` feeds the duplicate-interval dedup, every window (the
+    new-island flag, the running island id), and the island aggregate —
+    per-key window state is a single max, bounded at any event volume.
+    Duplicate timestamps (planted in the testdata) are collapsed BEFORE
+    the windows so (user_id, start_s) is unique and every window ordering
+    is total — see the inline note.
     """
-    iv = read_events(spark, sf_dir).select(
-        "user_id",
-        F.unix_timestamp(F.date_trunc("second", "ts")).alias("start_s"),
-        (F.unix_timestamp(F.date_trunc("second", "ts")) + 300).alias("end_s"),
+    # exact-duplicate intervals collapse BEFORE the windows: two events at
+    # the same (user, second) yield byte-identical intervals, and keeping
+    # both would leave the window orderings non-total — the is_new flag and
+    # the running island id are computed under two sorts whose tie orders
+    # an engine need not align (review finding r06). After distinct(),
+    # (user_id, start_s) is unique, every window order is total, and the
+    # island partition is engine-independent. The union semantics are
+    # unchanged — duplicate intervals never affect coverage.
+    iv = (
+        read_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("start_s"),
+            (F.unix_timestamp(F.date_trunc("second", "ts")) + 300).alias(
+                "end_s"
+            ),
+        )
+        # repartition by user_id FIRST: hash(user_id) satisfies the
+        # clustered distribution of the dedup aggregate AND every window,
+        # so the dedup costs no exchange of its own and the whole query
+        # still runs on one shuffle
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "start_s", "end_s"])
     )
     w_prev = (
         Window.partitionBy("user_id")

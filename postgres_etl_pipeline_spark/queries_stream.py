@@ -364,28 +364,17 @@ _ORDERS_CDC_SCHEMA = T.StructType(
 )
 
 
+from .queries_ext4 import _CDC_LATEST_SQL, build_orders_changelog  # noqa: E402
+
+
 @register(
     "stream_cdc_apply",
     # same final state as the batch entry: the drained changelog stream
-    # must converge to exactly what one batch collapse computes
-    """
-    WITH log AS (
-      SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
-             o_totalprice AS totalprice, o_orderstatus AS status
-      FROM orders
-      UNION ALL
-      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0, o_orderstatus
-      FROM orders WHERE o_orderkey % 3 = 0
-      UNION ALL
-      SELECT o_orderkey, 3, 'D', NULL, NULL
-      FROM orders WHERE o_orderkey % 7 = 0
-    ),
-    latest AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
-        FROM log
-      ) WHERE rn = 1 AND op <> 'D'
-    )
+    # must converge to exactly what one batch collapse computes. The CTE
+    # chain is SHARED with cdc_apply_orders (queries_ext4) so the batch
+    # and stream entries can never silently test different changelogs.
+    f"""
+    WITH {_CDC_LATEST_SQL}
     SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM latest
@@ -397,9 +386,9 @@ _ORDERS_CDC_SCHEMA = T.StructType(
     tags=("streaming", "cdc"),
 )
 def stream_cdc_apply(spark, sf_dir):
-    """Stream the orders-derived changelog (same deterministic I/U/D
-    derivation as ``cdc_apply_orders``) into a CDC parquet target via
-    ``run_cdc_sink``, then audit the live table.
+    """Stream the orders-derived changelog (the SAME deterministic I/U/D
+    derivation as ``cdc_apply_orders`` — one shared builder) into a CDC
+    parquet target via ``run_cdc_sink``, then audit the live table.
 
     The three op branches are three streaming scans of the same source
     unioned into one changelog stream — exactly how a WAL tail merges
@@ -407,44 +396,40 @@ def stream_cdc_apply(spark, sf_dir):
     out-of-order batches) are pinned in tests/test_cdc.py with
     maxFilesPerTrigger-controlled multi-batch replays; here the driver
     checks end-state parity against the batch oracle.
+
+    The audit aggregate (a handful of status rows) is collected EAGERLY so
+    the scratch target and checkpoint can be deleted before returning —
+    a lazily-returned plan over the temp table would leak one full merged
+    orders copy per invocation (review finding r06).
     """
+    import shutil
     import tempfile
 
     from .connectors.sinks import read_cdc_table
     from .operators.relational import dsum
 
-    def branch(op, seq, price_col, status_col, extra_filter=None):
-        s = sources.stream_parquet(
+    log = build_orders_changelog(
+        lambda: sources.stream_parquet(
             spark, f"{sf_dir}/orders.parquet", _ORDERS_CDC_SCHEMA
         )
-        if extra_filter is not None:
-            s = s.filter(extra_filter)
-        return s.select(
-            F.col("o_orderkey").alias("okey"),
-            F.lit(seq).alias("seq"),
-            F.lit(op).alias("op"),
-            price_col.alias("totalprice"),
-            status_col.alias("status"),
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        target = scratch + "/orders_cdc"
+        runner.run_cdc_sink(
+            log,
+            target,
+            keys=["okey"],
+            order_by=["seq"],
+            checkpoint=scratch + "/ckpt",
         )
-
-    ins = branch("I", 1, F.col("o_totalprice"), F.col("o_orderstatus"))
-    upd = branch(
-        "U",
-        2,
-        F.col("o_totalprice") + F.lit(100.0),
-        F.col("o_orderstatus"),
-        extra_filter=F.col("o_orderkey") % 3 == 0,
-    )
-    dels = branch(
-        "D",
-        3,
-        F.lit(None).cast("double"),
-        F.lit(None).cast("string"),
-        extra_filter=F.col("o_orderkey") % 7 == 0,
-    )
-    log = ins.unionByName(upd).unionByName(dels)
-    target = tempfile.mkdtemp(prefix="stream_cdc_") + "/orders_cdc"
-    runner.run_cdc_sink(log, target, keys=["okey"], order_by=["seq"])
-    return read_cdc_table(spark, target).groupBy("status").agg(
-        F.count(F.lit(1)).alias("n_rows"), dsum("totalprice", "total")
-    )
+        audit = (
+            read_cdc_table(spark, target)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"), dsum("totalprice", "total"))
+        )
+        rows = audit.collect()
+        schema = audit.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

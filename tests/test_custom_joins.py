@@ -198,3 +198,35 @@ def test_prefix_filter_pairs_equal_full_inverted_index(spark, sf_small):
         .collect()[0][0]
     )
     assert n_prefix < n_full * 0.6
+
+
+def test_prefix_filter_ieee_boundary_regression(spark):
+    """r06 review finding: floor((1-0.8)*5) evaluates to floor(0.9999...8)
+    = 0 in IEEE doubles, which silently shortened the prefix to 1 for
+    every |S| divisible by 5 at t=0.8 and broke the recall-1 theorem.
+
+    Concrete killer pair: doc A with exactly 5 distinct shingles, one of
+    which is globally unique (A's rarest → its entire too-short prefix);
+    doc B = A minus that unique shingle (4 shingles, all shared,
+    Jaccard = 4/5 = 0.8 ≥ t). With the buggy 1-element prefix the pair is
+    never generated; the corrected bound (slack before floor) must find
+    it."""
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    a = "u1 u2 u3 s1 s2 s3 s4"        # shingles: (u1 u2 u3) + 4 shared
+    b = "u2 u3 s1 s2 s3 s4"           # shingles: the 4 shared + (u2 u3 s1)
+    # adjust: b's first shingle (u2 u3 s1) is also in a (positions 2-4),
+    # so both docs have 5 and 4 distinct shingles respectively with 4 shared
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    full = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(df, threshold=0.8).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 2) in full
+    assert pref == full
