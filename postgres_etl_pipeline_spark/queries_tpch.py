@@ -368,16 +368,28 @@ _CSV_ORDERS_SCHEMA = T.StructType(
     tags=("tpch", "formats"),
 )
 def csv_roundtrip_orders(spark, sf_dir):
+    # the audit aggregate is collected eagerly so the scratch CSV copy can
+    # be deleted before returning (a lazily-returned plan over the temp
+    # files would leak one filtered orders copy per invocation — same
+    # hygiene as stream_cdc_apply, review finding r06)
+    import shutil
+
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/orders_csv"
-    o.write.mode("overwrite").option("header", "true").csv(path)
-    back = spark.read.schema(_CSV_ORDERS_SCHEMA).option("header", "true").csv(path)
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-    )
+    scratch = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        path = scratch + "/orders_csv"
+        o.write.mode("overwrite").option("header", "true").csv(path)
+        back = spark.read.schema(_CSV_ORDERS_SCHEMA).option("header", "true").csv(path)
+        audit = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        rows, schema = audit.collect(), audit.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
@@ -422,13 +434,22 @@ def props_map_stats(spark, sf_dir):
     tags=("tpch", "formats"),
 )
 def orc_roundtrip_orders(spark, sf_dir):
+    # eager audit + scratch cleanup, same hygiene as csv_roundtrip_orders
+    import shutil
+
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/orders_orc"
-    o.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-    )
+    scratch = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        path = scratch + "/orders_orc"
+        o.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        audit = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        rows, schema = audit.collect(), audit.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
