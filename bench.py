@@ -16,6 +16,45 @@ import os
 import time
 
 
+def _machine_control(spark) -> float:
+    """Fixed synthetic control workload (verdict r06 item 4): a
+    code-independent CPU + shuffle + join mix, measured with the SAME
+    warm + best-of-3 protocol as the headline queries, in the SAME
+    session. Round-over-round bench deltas divide out machine weather by
+    comparing against this number (r05→r06 showed the box alone drifting
+    ~19% between rounds) instead of relying on a prose-note re-run of the
+    previous round's commit.
+
+    DO NOT CHANGE THIS WORKLOAD — its only value is being identical
+    across rounds (version tag emitted alongside so a forced change is
+    at least visible). No package code, no files: pure spark.range →
+    hash/aggregate → 1000-key shuffle → broadcast-sized join, sized to
+    ~0.5-1 s on 32 local cores.
+    """
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        base = spark.range(0, 20_000_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.xxhash64(F.col("id")).alias("h"),
+        )
+        agg = base.groupBy("k").agg(
+            F.sum(F.col("h") % 97).alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("w")
+        )
+        agg.join(dim, "k").agg(F.sum(F.col("s") * F.col("w"))).collect()
+
+    run()  # warm this plan
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _streaming_floor(spark) -> float:
     """Best-of-2 wall time of draining an empty single-column file stream —
     the irreducible startup/checkpoint/drain cost every streaming entry
@@ -87,6 +126,7 @@ def main() -> None:
     # regardless of its plan, so readers of BENCH_VS_DUCKDB can separate
     # the capability's fixed cost from actual plan cost.
     floor = _streaming_floor(spark)
+    control = _machine_control(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -97,6 +137,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming_floor_sec": round(floor, 3),
+                # Same-session machine-weather control (fixed synthetic
+                # workload, never changed): compare control_sec across
+                # rounds to separate code deltas from box deltas.
+                "control_sec": round(control, 3),
+                "control_workload": "synthetic-v1",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # Methodology marker (round-4 advice): r01-r03 were
                 # single-shot cold ("cold-single"); r04+ are per-query

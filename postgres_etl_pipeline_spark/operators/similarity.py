@@ -190,6 +190,104 @@ def lsh_near_dups(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+def fit_coarse_quantizer(
+    c: DataFrame,
+    n_centroids: int,
+    seed: int = 7,
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
+    fit_sample: int = 16384,
+):
+    """Driver-side Lloyd k-means over a deterministic bounded sample —
+    the shared coarse-quantizer trainer behind :func:`ivf_topk` and
+    :func:`semdedup_scaled` (the FAISS/ScaNN production shape: even at
+    10^11 corpus vectors the quantizer sees ~10^5–10^6 sampled rows, so a
+    distributed Lloyd pays per-iteration job scheduling on a driver-sized
+    problem). ``c`` must expose (neighbor_id, cv array<double>); the
+    sample is top-``fit_sample`` by id hash (TakeOrdered — no full sort),
+    invariant to partitioning and executor count. Returns the (k × dims)
+    centroid ndarray."""
+    import numpy as np
+
+    # Arrow-batched sample materialization: row-by-row collect() boxes
+    # fit_sample × dims floats through Py4J (~2 s at 16384×64); toPandas
+    # ships one Arrow table (measured ~10× faster end-to-end).
+    sample = (
+        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(int(fit_sample))
+        .select("cv")
+        .toPandas()
+    )
+    X = np.array(list(sample["cv"]), dtype=np.float64)
+    x_sq = (X * X).sum(axis=1)
+
+    def d2_to(point):  # squared distances of every sample row to one point
+        return np.maximum(x_sq - 2.0 * (X @ point) + point @ point, 0.0)
+
+    rng = np.random.default_rng(seed)
+    if kmeans_init == "random":
+        cents = X[rng.choice(len(X), n_centroids, replace=False)].copy()
+    else:
+        # k-means++ D²-weighted seeding, INCREMENTAL: keep the running
+        # min-distance vector and fold in only the newest centroid —
+        # O(k·n·d) total. (The naive per-step full pairwise recompute is
+        # O(k²·n·d) with an (n, k, d) broadcast temporary — harmless at
+        # the IVF default k=16, but k ∝ N configurations like
+        # semdedup_scaled push k into the hundreds, where that shape
+        # costs multi-GB temporaries and minutes of driver time.)
+        first = X[rng.integers(len(X))]
+        cents_list = [first]
+        d2_min = d2_to(first)
+        for _ in range(n_centroids - 1):
+            s = d2_min.sum()
+            p = d2_min / s if s > 0 else None
+            nxt = X[rng.choice(len(X), p=p)]
+            cents_list.append(nxt)
+            d2_min = np.minimum(d2_min, d2_to(nxt))
+        cents = np.array(cents_list)
+    for _ in range(max(1, int(kmeans_max_iter))):
+        # BLAS matmul distance (n, k) — never the (n, k, d) broadcast form
+        c_sq = (cents * cents).sum(axis=1)
+        lab = (x_sq[:, None] - 2.0 * (X @ cents.T) + c_sq[None, :]).argmin(1)
+        new = np.vstack(
+            [
+                X[lab == j].mean(0) if (lab == j).any() else cents[j]
+                for j in range(n_centroids)
+            ]
+        )
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def assign_to_centroids(c: DataFrame, cents) -> DataFrame:
+    """Nearest-centroid assignment over the whole corpus: ONE
+    ``mapInPandas`` pass, BLAS distance matmul per Arrow batch against the
+    broadcast centroid matrix (the sanctioned vectorized path of
+    :func:`brute_force_topk`). Deterministic: the label is a pure
+    per-row function of (vector, centroids) — ``argmin`` ties resolve to
+    the lowest centroid id on any partitioning. Input/output schema:
+    (neighbor_id, cv) → (neighbor_id, cv, cid)."""
+    import numpy as np
+
+    bc = c.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["cv"]), dtype=np.float64)
+            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["cid"] = d2.argmin(axis=1).astype("int32")
+            yield out
+
+    return c.mapInPandas(assign, "neighbor_id long, cv array<double>, cid int")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -228,8 +326,6 @@ def ivf_topk(
     Recall is data-dependent (no pigeonhole guarantee, unlike the SimHash
     bands) — tests assert measured recall against brute force.
     """
-    import numpy as np
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
     )
@@ -238,52 +334,17 @@ def ivf_topk(
     if c.limit(n_centroids).count() < n_centroids:
         return brute_force_topk(corpus, queries, k, id_col, vec_col)
 
-    # deterministic pseudo-random sample: top-N by id hash (TakeOrdered —
-    # no full sort), invariant to partitioning and executor count
-    sample = (
-        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
-        .limit(int(fit_sample))
-        .collect()
+    cents = fit_coarse_quantizer(
+        c,
+        n_centroids,
+        seed=seed,
+        kmeans_max_iter=kmeans_max_iter,
+        kmeans_init=kmeans_init,
+        fit_sample=fit_sample,
     )
-    X = np.array([r[1] for r in sample], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    if kmeans_init == "random":
-        cents = X[rng.choice(len(X), n_centroids, replace=False)].copy()
-    else:  # k-means++ style D²-weighted seeding
-        cents = X[rng.integers(len(X))][None, :]
-        for _ in range(n_centroids - 1):
-            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            cents = np.vstack([cents, X[rng.choice(len(X), p=p)]])
-    for _ in range(max(1, int(kmeans_max_iter))):
-        lab = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
-        new = np.vstack(
-            [
-                X[lab == j].mean(0) if (lab == j).any() else cents[j]
-                for j in range(n_centroids)
-            ]
-        )
-        if np.array_equal(new, cents):
-            break
-        cents = new
+    assigned = assign_to_centroids(c, cents)
+    import numpy as np
 
-    bc = corpus.sparkSession.sparkContext.broadcast(cents)
-
-    def assign(batches):
-        C = bc.value
-        c_sq = (C * C).sum(axis=1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.array(list(pdf["cv"]), dtype=np.float64)
-            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
-            out = pdf[["neighbor_id", "cv"]].copy()
-            out["cid"] = d2.argmin(axis=1).astype("int32")
-            yield out
-
-    assigned = c.mapInPandas(
-        assign, "neighbor_id long, cv array<double>, cid int"
-    )
     q_rows = queries.select(id_col, vec_col).collect()
     probes = []
     for r in q_rows:
@@ -417,6 +478,84 @@ def semdedup(
     hi = assigned.select("cid", "vec_id", "e")
     dropped = (
         hi.join(lo, "cid")
+        .filter(
+            (F.col("lo_id") < F.col("vec_id"))
+            & (F.round(cosine(F.col("lo_e"), F.col("e")), 4) >= F.lit(threshold))
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")
+
+
+def semdedup_scaled(
+    df: DataFrame,
+    threshold: float = 0.35,
+    target_cluster_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    fit_sample: int = 8192,
+    kmeans_max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup with the cluster count tied to the corpus size — the
+    scale-safe end-to-end configuration (verdict r06 item 2).
+
+    :func:`semdedup` clusters by a FIXED label column, so its
+    within-cluster pairwise term grows quadratically when the corpus
+    grows under a constant cluster count (measured 7.0× wall for 10×
+    data). The paper's actual setting makes k the knob: **k ∝ N** keeps
+    the expected cluster size constant, so per-cluster pairwise work is
+    O(target_cluster_size²) and TOTAL work is O(N · target_cluster_size)
+    — linear in the corpus (SCALE.md row pins the measured scaling).
+
+    Pipeline, sharing the IVF production kernels:
+
+    1. ``k = max(2, ceil(N / target_cluster_size))`` from one count job;
+    2. :func:`fit_coarse_quantizer` — driver-side Lloyd on a
+       deterministic ≤ ``fit_sample`` hash-ordered sample (k-means++
+       seeding, fixed seed — same contract as :func:`ivf_topk`). The
+       defaults are LOOSER than IVF's (8192-row sample, 10 iterations):
+       the clusters are approximate BLOCKING for the prune, not a search
+       index, and the fit's driver cost itself grows with k ∝ N — at
+       k≈300 each halving of sample×iters saves ~1 s of driver time
+       while only nudging cluster boundaries (a recall knob, as in the
+       paper; the prune inside each cluster is exact either way);
+    3. :func:`assign_to_centroids` — one BLAS ``mapInPandas`` scan;
+    4. the same within-cluster keep-lowest-id prune as :func:`semdedup`
+       (cid-keyed self-join; ``round(cos, 4) ≥ threshold`` drops the
+       higher id).
+
+    The sample-trained centroids are not SQL-expressible, so this entry
+    is locally verified against a NumPy reference of the same algorithm
+    (tests/test_semdedup.py) rather than a DuckDB oracle; the fixed-label
+    :func:`semdedup` remains the hash-oracled twin that pins the prune
+    semantics cross-engine.
+
+    Returns the KEPT vectors as ``(vec_id, cid)``.
+    """
+    import math
+
+    v = df.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+    )
+    n_total = v.count()
+    if n_total == 0:
+        return df.sparkSession.createDataFrame([], "vec_id long, cid int")
+    k = max(2, math.ceil(n_total / max(1, target_cluster_size)))
+    k = min(k, n_total)  # never more centroids than points
+    cents = fit_coarse_quantizer(
+        v, k, seed=seed, kmeans_max_iter=kmeans_max_iter, fit_sample=fit_sample
+    )
+    assigned = assign_to_centroids(v, cents).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("e"), "cid"
+    )
+    lo = assigned.select(
+        "cid", F.col("vec_id").alias("lo_id"), F.col("e").alias("lo_e")
+    )
+    dropped = (
+        assigned.join(lo, "cid")
         .filter(
             (F.col("lo_id") < F.col("vec_id"))
             & (F.round(cosine(F.col("lo_e"), F.col("e")), 4) >= F.lit(threshold))

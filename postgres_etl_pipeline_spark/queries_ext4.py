@@ -36,7 +36,7 @@ from .queries import read_events, register, spread, t
 # oracle CTE chain (batch + streaming entries select different audits over
 # it), and build_orders_changelog is the shared Spark-side builder (batch
 # passes a batch scan thunk, the streaming twin passes a readStream thunk).
-_CDC_LATEST_SQL = """
+_CDC_LOG_SQL = """
     log AS (
       SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
              o_totalprice AS totalprice, o_orderstatus AS status
@@ -47,7 +47,11 @@ _CDC_LATEST_SQL = """
       UNION ALL
       SELECT o_orderkey, 3, 'D', NULL, NULL
       FROM orders WHERE o_orderkey % 7 = 0
-    ),
+    )
+    """
+
+_CDC_LATEST_SQL = f"""
+    {_CDC_LOG_SQL},
     latest AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn

@@ -1,0 +1,136 @@
+"""Extension catalog, batch 5 (round 7): scale-safety follow-through on
+the round-6 additions — SemDeDup with the cluster count tied to corpus
+size (k ∝ N, the paper's actual scaling knob), plus the CDC
+tombstone-compaction audit (the GC half of the delete-capable K5 sink).
+
+Same registry/oracle conventions as queries_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import register, spread, t
+
+# ---------------------------------------------------------------------------
+# SemDeDup, scale-safe configuration — k ∝ N via the sample-trained
+# coarse quantizer (verdict r06 item 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semdedup_scaled_keep_list",
+    # rows-only BY NATURE: the coarse quantizer is driver-side Lloyd
+    # k-means on a deterministic sample — not SQL-expressible, so no
+    # DuckDB oracle exists. Correctness is pinned locally instead: a
+    # NumPy twin re-derives assignment + prune from the shared centroid
+    # matrix (tests/test_semdedup.py::test_scaled_matches_numpy_brute_force)
+    # and the fixed-label `semdedup_keep_list` entry hash-oracles the
+    # identical prune rule cross-engine.
+    None,
+    survey="§7 north-star: SemDeDup at the paper's scaling point — "
+    "k ∝ N sample-trained k-means keeps expected cluster size constant, "
+    "so within-cluster pairwise work is O(N·target_size), linear in the "
+    "corpus (the fixed-label twin measured 7.0× wall at 10× data; this "
+    "configuration is the 100 TB shape, SCALE.md row)",
+    tags=("ext", "similarity", "dedup"),
+)
+def semdedup_scaled_keep_list(spark, sf_dir):
+    from .operators.similarity import semdedup_scaled
+
+    return semdedup_scaled(
+        spread(t(spark, sf_dir, "embeddings")),
+        threshold=0.35,
+        target_cluster_size=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC tombstone compaction audit — the GC half of cdc_merge_parquet
+# ---------------------------------------------------------------------------
+
+from .queries_ext4 import _CDC_LOG_SQL  # noqa: E402
+
+# A SECOND delete wave (keys % 5, seq 5) on top of the shared base
+# changelog: at horizon 4 the base wave's tombstones (seq 3 — below the
+# horizon, unredeliverable) are GC'd while the late wave's (seq 5) are
+# retained, so the audit exercises BOTH branches of the GC predicate.
+_CDC_GC_ORACLE = f"""
+    WITH {_CDC_LOG_SQL},
+    log2 AS (
+      SELECT * FROM log
+      UNION ALL
+      SELECT o_orderkey, 5, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
+        FROM log2
+      ) WHERE rn = 1
+    ),
+    compacted AS (
+      SELECT * FROM latest WHERE op <> 'D' OR seq >= 4
+    )
+    SELECT op AS last_op, seq AS last_seq,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(totalprice) AS BIGINT) AS n_live_payloads
+    FROM compacted
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "cdc_tombstone_gc_audit",
+    _CDC_GC_ORACLE,
+    survey="§2.2 K5+CDC extension (verdict r06 item 7): tombstone GC at a "
+    "redelivery horizon — collapse the orders changelog WITH tombstones "
+    "retained, apply the horizon filter, audit survivors by op; the "
+    "catalog twin of sinks.compact_cdc_tombstones' pure filter",
+    tags=("ext", "cdc"),
+)
+def cdc_tombstone_gc_audit(spark, sf_dir):
+    """The tombstone-GC semantics as one lazy plan (test_cdc pins the
+    stateful on-disk sink path): collapse the synthetic orders changelog —
+    base waves plus a LATE delete wave at seq 5 — keeping tombstones, drop
+    tombstones below redelivery horizon 4, audit what the compacted table
+    stores per (op, seq).
+
+    Plan: the same ONE okey-keyed window as cdc_apply_orders; the GC is a
+    pure filter on the survivors (no extra shuffle — exactly the property
+    that makes compaction cheap at 100 TB), then an output-sized audit
+    aggregate. The seq-3 tombstones vanish (below horizon), the seq-5
+    ones survive, and ``n_live_payloads`` proves tombstones carry no
+    payload through GC.
+    """
+    from .operators import cdc as C
+    from .queries_ext4 import build_orders_changelog
+
+    base = build_orders_changelog(lambda: t(spark, sf_dir, "orders"))
+    late_dels = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(5).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("totalprice"),
+            F.lit(None).cast("string").alias("status"),
+        )
+    )
+    with_tombstones = C.apply_changelog(
+        base.unionByName(late_dels),
+        keys=["okey"],
+        order_by=[F.col("seq")],
+        keep_deletes=True,
+    )
+    horizon = 4
+    compacted = with_tombstones.filter(
+        (F.col("op") != "D") | (F.col("seq") >= horizon)
+    )
+    return compacted.groupBy(
+        F.col("op").alias("last_op"), F.col("seq").alias("last_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("totalprice").alias("n_live_payloads"),
+    )

@@ -23,6 +23,10 @@ from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all
 ROWS_ONLY = {
     "approx_percentiles_by_brand",   # sketch values are engine-specific
     "hll_daily_users",               # DataSketches estimates
+    # sample-trained driver-side Lloyd k-means has no SQL expression; the
+    # NumPy twin in test_semdedup.py is the correctness evidence and the
+    # fixed-label semdedup_keep_list entry hash-oracles the prune rule
+    "semdedup_scaled_keep_list",
 }
 
 
@@ -158,3 +162,28 @@ def test_no_catalog_entry_emits_raw_temporal_columns(spark, sf_small):
         if tempora:
             bad[name] = tempora
     assert not bad, f"raw temporal outputs: {bad}"
+
+
+def test_coverage_round_labels_do_not_exceed_window_round():
+    """Verdict r06 nit 3: a COVERAGE.md prose paragraph once labeled
+    round-6 work "Round 7" after a mid-round window relabel. Round labels
+    in the narrative must never run AHEAD of the committed round in
+    DRIVER_WINDOW.json — the single source of truth for what round this
+    checkout is building."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    cfg_round = json.loads((root / "DRIVER_WINDOW.json").read_text())["round"]
+    text = (root / "COVERAGE.md").read_text()
+    labels = [int(m) for m in re.findall(r"^Round (\d+)", text, flags=re.M)]
+    labels += [
+        int(m) for m in re.findall(r"(?:^|\s)[Rr]ound (\d+)[,:]", text)
+    ]
+    assert labels, "expected at least one round-labeled narrative section"
+    assert max(labels) <= cfg_round, (
+        f"COVERAGE.md mentions Round {max(labels)} but DRIVER_WINDOW.json "
+        f"is at round {cfg_round} — a narrative label ran ahead of the "
+        "actual round"
+    )

@@ -95,3 +95,115 @@ def test_matches_numpy_brute_force(spark, sf_small):
             if not dominated:
                 keep.add((int(i), int(c)))
     assert got == keep
+
+
+# ---------------------------------------------------------------------------
+# semdedup_scaled — k ∝ N, sample-trained quantizer (verdict r06 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_matches_numpy_brute_force(spark, sf_small):
+    """The distributed assignment + prune must equal a NumPy re-derivation
+    that shares ONLY the trained centroid matrix — pinning the BLAS
+    mapInPandas assignment and the within-cluster keep-lowest-id rule for
+    the sample-trained path (no SQL oracle exists for driver-side Lloyd,
+    so this twin is the correctness evidence)."""
+    from postgres_etl_pipeline_spark.operators.similarity import (
+        assign_to_centroids,  # noqa: F401  (exercised via semdedup_scaled)
+        fit_coarse_quantizer,
+        semdedup_scaled,
+    )
+    from pyspark.sql import functions as F
+
+    thr, target = 0.35, 24
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    got = {
+        (r.vec_id, r.cid)
+        for r in semdedup_scaled(
+            df, threshold=thr, target_cluster_size=target
+        ).collect()
+    }
+
+    emb = df.collect()
+    n = len(emb)
+    k = max(2, -(-n // target))
+    from postgres_etl_pipeline_spark.operators.similarity import as_double_vec
+
+    v = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_vec("embedding").alias("cv"),
+    )
+    # must mirror semdedup_scaled's fit defaults exactly
+    C = fit_coarse_quantizer(v, k, kmeans_max_iter=10, fit_sample=8192)
+
+    X = np.array([[float(x) for x in r.embedding] for r in emb], dtype=np.float64)
+    ids = np.array([r.vec_id for r in emb])
+    d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    assigned = d2.argmin(1)
+
+    keep = set()
+    for c in np.unique(assigned):
+        members = np.sort(ids[assigned == c])
+        Xm = {i: X[np.where(ids == i)[0][0]] for i in members}
+        for i in members:
+            dominated = any(
+                round(
+                    float(
+                        Xm[i] @ Xm[j]
+                        / (np.linalg.norm(Xm[i]) * np.linalg.norm(Xm[j]))
+                    ),
+                    4,
+                )
+                >= thr
+                for j in members[members < i]
+            )
+            if not dominated:
+                keep.add((int(i), int(c)))
+    assert got == keep
+
+
+def test_scaled_invariant_to_partitioning(spark, sf_small):
+    from postgres_etl_pipeline_spark.operators.similarity import semdedup_scaled
+
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    a = {
+        (r.vec_id, r.cid)
+        for r in semdedup_scaled(df.repartition(1), target_cluster_size=24).collect()
+    }
+    b = {
+        (r.vec_id, r.cid)
+        for r in semdedup_scaled(df.repartition(13), target_cluster_size=24).collect()
+    }
+    assert a == b
+
+
+def test_scaled_cluster_count_tracks_corpus_size(spark):
+    """k ∝ N is the whole point: growing the corpus must grow the number
+    of distinct clusters, keeping expected cluster size ~constant."""
+    from postgres_etl_pipeline_spark.operators.similarity import semdedup_scaled
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, rng.standard_normal(8).tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    small = semdedup_scaled(corpus(64), threshold=2.0, target_cluster_size=16)
+    big = semdedup_scaled(corpus(640), threshold=2.0, target_cluster_size=16)
+    n_small = small.select("cid").distinct().count()
+    n_big = big.select("cid").distinct().count()
+    # threshold 2.0 > max cosine → nothing pruned; cluster counts compare
+    # the layout alone. ceil(64/16)=4 vs ceil(640/16)=40 trained centroids
+    # (a few may end up empty — assert the scaling, not exact equality)
+    assert n_big > 4 * n_small
+    assert small.count() == 64 and big.count() == 640
+
+
+def test_scaled_empty_input(spark):
+    from postgres_etl_pipeline_spark.operators.similarity import semdedup_scaled
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup_scaled(empty).count() == 0
