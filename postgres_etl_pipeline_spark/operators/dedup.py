@@ -834,9 +834,12 @@ def prefix_filter_pairs(
     a total order, so the prefix is deterministic on any engine; (3) the
     prefix self-join (SHUFFLE_HASH both sides — post-Generate sizes fool
     the broadcast estimator, see :func:`jaccard_pairs`) with PPJoin's
-    LENGTH FILTER applied on the join output (min set size ≥ t·max — the
-    sizes ride the prefix rows, so provably-below-threshold pairs never
-    reach verification); (4) exact verify: the surviving candidate pairs
+    LENGTH and POSITIONAL filters applied on the join output (min set
+    size ≥ t·max, and the shared token's canonical ranks must leave
+    enough remaining tokens to reach the overlap threshold — both
+    recall-1-by-theorem, see the inline proofs — so provably-below-
+    threshold pairs never reach verification); (4) exact verify: the
+    surviving candidate pairs
     join each side's full sorted hash-set array (two doc-keyed linear
     shuffles) and ``array_intersect`` computes the true overlap. Every
     shuffle is linear in corpus shingle volume; the quadratic term is
@@ -881,19 +884,40 @@ def prefix_filter_pairs(
         sh.join(dfreq, "hs")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "hs", "set_size")
+        .select("doc_id", "hs", "set_size", "rn")
     )
-    # PPJoin LENGTH FILTER (verdict r06 item 3): Jaccard >= t forces
-    # t·max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so any candidate pair with
-    # min < t·max is provably below threshold — pruned HERE, before the
-    # full-array verify join ever sees it (gen_threshold keeps the same
-    # recall-safe rounding slack as the prefix bound). The sizes ride the
-    # prefix rows as one extra int column, so the filter costs nothing.
+    # Candidate pruning BEFORE the full-array verify join (verdict r06
+    # item 3), both recall-1-by-theorem under the gen_threshold slack:
+    #
+    # 1. PPJoin LENGTH FILTER: Jaccard >= t forces t·max(|A|,|B|) <=
+    #    |A∩B| <= min(|A|,|B|), so min < t·max is provably below
+    #    threshold. The sizes ride the prefix rows as one int column.
+    #
+    # 2. PPJoin POSITIONAL FILTER: for a shared canonical token at
+    #    1-based ranks (i, j), the overlap reachable THROUGH this
+    #    occurrence is at most 1 + min(|A|-i, |B|-j) (only tokens after
+    #    the shared one can still match), while Jaccard >= t needs
+    #    overlap >= t/(1+t)·(|A|+|B|). A row failing the bound cannot
+    #    itself witness a match — and every TRUE match's FIRST common
+    #    prefix token satisfies the bound exactly (no common tokens
+    #    precede it, so overlap = 1 + common-after <= 1 + min remaining),
+    #    so keeping pairs where ANY generating row passes loses nothing.
+    #    1e-6 slack absorbs IEEE error in the α product, lengthening the
+    #    candidate list only.
+    alpha = (
+        F.lit(gen_threshold)
+        / F.lit(1.0 + gen_threshold)
+        * (F.col("sz_a") + F.col("sz_b"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+    )
     cands = (
         prefix.select(
             F.col("doc_id").alias("doc_a"),
             "hs",
             F.col("set_size").alias("sz_a"),
+            F.col("rn").alias("rn_a"),
         )
         .hint("SHUFFLE_HASH")
         .join(
@@ -901,6 +925,7 @@ def prefix_filter_pairs(
                 F.col("doc_id").alias("doc_b"),
                 "hs",
                 F.col("set_size").alias("sz_b"),
+                F.col("rn").alias("rn_b"),
             ).hint("SHUFFLE_HASH"),
             "hs",
         )
@@ -910,6 +935,7 @@ def prefix_filter_pairs(
                 F.least("sz_a", "sz_b")
                 >= F.lit(gen_threshold) * F.greatest("sz_a", "sz_b")
             )
+            & (ubound >= alpha - F.lit(1e-6))
         )
         .select("doc_a", "doc_b")
         .distinct()
