@@ -122,6 +122,43 @@ def _orphan_swap_dirs(spark: SparkSession, target_path: str) -> list[str]:
     return sorted(str(s.getPath()) for s in statuses)
 
 
+def recover_interrupted_swap(spark: SparkSession, target_path: str) -> bool:
+    """Recover a merge-by-rewrite table from :func:`_swap_into_place`'s
+    crash window (delete done, rename not): if the target is missing but
+    orphan swap dirs exist, rename the most recently MODIFIED orphan —
+    the completed merged copy; older orphans are stale partial writes —
+    into place and drop the rest. Returns True when a recovery happened,
+    False when there was nothing to do (target present, or genuinely no
+    table yet). Run it before a merge loop starts, or after catching the
+    interrupted-swap error the merge sinks raise.
+
+    Single-writer contract, same as the sinks themselves: concurrent
+    writers racing this rename need a real transactional table format
+    (Delta/Iceberg), not a directory swap.
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        return False
+    orphans = _orphan_swap_dirs(spark, target_path)
+    if not orphans:
+        return False
+    by_mtime = sorted(
+        orphans,
+        key=lambda p: fs.getFileStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(p)
+        ).getModificationTime(),
+    )
+    newest = by_mtime[-1]
+    if not fs.rename(
+        spark._jvm.org.apache.hadoop.fs.Path(newest), jvm_path
+    ):
+        raise IOError(f"recovery rename {newest} -> {target_path} failed")
+    for stale in by_mtime[:-1]:
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(stale), True)
+    return True
+
+
 def _swap_into_place(
     spark: SparkSession, df: DataFrame, target_path: str, tag: str
 ) -> DataFrame:

@@ -256,3 +256,45 @@ def test_missing_target_with_orphan_swap_dir_fails_loudly(spark, tmp_path):
         spark, _log(spark, [(2, 2, "I", "b")]), target, ["k"], ["seq"]
     )
     assert _live(spark, target) == {1: "a", 2: "b"}
+
+
+def test_recover_interrupted_swap_restores_newest_orphan(spark, tmp_path):
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        cdc_merge_parquet,
+        recover_interrupted_swap,
+    )
+
+    target = str(tmp_path / "cdc_table")
+    # nothing to do on a genuinely fresh path
+    assert recover_interrupted_swap(spark, target) is False
+
+    cdc_merge_parquet(
+        spark, _log(spark, [(1, 1, "I", "a")]), target, ["k"], ["seq"]
+    )
+    # target present → no-op
+    assert recover_interrupted_swap(spark, target) is False
+
+    # crash window: a stale partial orphan (older) and the completed
+    # merged copy (newer), target gone
+    import os
+    import shutil
+    import time
+
+    stale = target + ".__cdc_00000000"
+    os.makedirs(stale)
+    time.sleep(0.05)
+    complete = target + ".__cdc_ffffffff"
+    shutil.move(target, complete)
+    # rename preserves the original mtime; in the real crash timeline the
+    # completed copy is the most recent WRITE, so stamp it newest
+    os.utime(complete, None)
+
+    assert recover_interrupted_swap(spark, target) is True
+    assert _live(spark, target) == {1: "a"}
+    assert not os.path.exists(stale)  # stale orphan cleaned up
+
+    # and the recovered table merges normally again
+    cdc_merge_parquet(
+        spark, _log(spark, [(2, 2, "I", "b")]), target, ["k"], ["seq"]
+    )
+    assert _live(spark, target) == {1: "a", 2: "b"}
