@@ -134,3 +134,53 @@ def cdc_tombstone_gc_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("totalprice").alias("n_live_payloads"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the near-dup similarity graph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    """Naive a<b<c three-way self-join — the orientation-free exact twin
+    of operators/graph.triangle_stats (the count is orientation-
+    independent, so the oracle needs no degree ordering)."""
+    from .queries_ext import _JACCARD_ORACLE
+
+    return f"""
+    WITH pairs AS ({_JACCARD_ORACLE.format(thr=0.5)}),
+    e AS (
+      SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b
+    ),
+    v AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
+    """
+
+
+@register(
+    "near_dup_triangle_census",
+    _triangle_oracle(),
+    survey="§7 north-star: degree-ordered triangle counting over the "
+    "near-dup similarity graph (Suri–Vassilvitskii) — wedge fanout "
+    "bounded by oriented out-degree O(√m), the last-reducer hub killer; "
+    "density probe for boilerplate near-cliques before keep-list "
+    "collapse",
+    tags=("ext", "dedup", "graph"),
+)
+def near_dup_triangle_census(spark, sf_dir):
+    """Triangle census of the minhash-mined near-dup graph (the same
+    shared pair stage PageRank and the CC keep-lists consume)."""
+    from .operators.graph import triangle_stats
+    from .queries_ext import _minhash_pair_stage
+
+    pairs = _minhash_pair_stage(spark, sf_dir)
+    return triangle_stats(pairs, "doc_a", "doc_b")

@@ -167,3 +167,47 @@ class TestPageRank:
 
         e = self._edges(spark, []).filter("src > 0")
         assert pagerank(e).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats — degree-ordered triangle census
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from postgres_etl_pipeline_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangles_known_graphs(spark):
+    # 4-clique: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    # path graph: none
+    r = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 3, 0)
+
+    # two triangles sharing edge (1,2)
+    r = _tri(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 5, 2)
+
+    # star hub (the last-reducer shape): many wedges, zero triangles
+    r = _tri(spark, [(0, i) for i in range(1, 20)])
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (20, 19, 0)
+
+
+def test_triangles_invariant_to_direction_duplicates_loops(spark):
+    base = [(0, 1), (0, 2), (1, 2)]
+    messy = base + [(1, 0), (2, 0), (2, 1), (0, 1), (1, 1)]  # dups+reversed+loop
+    a, b = _tri(spark, base), _tri(spark, messy)
+    assert (a.n_vertices, a.n_edges, a.n_triangles) == (3, 3, 1)
+    assert (b.n_vertices, b.n_edges, b.n_triangles) == (3, 3, 1)
+
+
+def test_triangles_empty(spark):
+    r = _tri(spark, [(1, 1)])  # only a self-loop: filtered, empty graph
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (0, 0, 0)
