@@ -356,3 +356,24 @@ def test_prefix_filter_join_never_sort_merge_or_nested_loop(spark, sf_small):
     assert s.sort_merge_joins == 0
     assert s.nested_loop_joins == 0
     assert s.shuffled_hash_joins >= 1
+
+
+def test_cdc_gc_audit_adds_no_shuffle_over_plain_apply(spark, sf_small):
+    # tombstone GC is a pure filter on the collapsed survivors — the plan
+    # must cost exactly what cdc_apply_orders costs (one key-window
+    # exchange + one audit-agg exchange), or compaction stopped being the
+    # cheap maintenance pass SCALE.md claims
+    df = q("cdc_tombstone_gc_audit", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffles == 2
+    assert s.joins == 0
+
+
+def test_triangle_census_no_nested_loop_beyond_scalar_crossjoins(spark, sf_small):
+    # the wedge and closing joins must stay keyed hash/sort joins; the
+    # only nested-loop joins allowed are the two 1-row scalar crossJoins
+    # assembling the (n_vertices, n_edges, n_triangles) output row
+    df = q("near_dup_triangle_census", spark, sf_small)
+    s = plan_summary(df)
+    assert s.nested_loop_joins <= 2
+    assert s.joins - s.nested_loop_joins >= 3  # deg×2, wedge, closing
