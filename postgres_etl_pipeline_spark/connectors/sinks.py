@@ -125,37 +125,59 @@ def _orphan_swap_dirs(spark: SparkSession, target_path: str) -> list[str]:
 def recover_interrupted_swap(spark: SparkSession, target_path: str) -> bool:
     """Recover a merge-by-rewrite table from :func:`_swap_into_place`'s
     crash window (delete done, rename not): if the target is missing but
-    orphan swap dirs exist, rename the most recently MODIFIED orphan —
-    the completed merged copy; older orphans are stale partial writes —
-    into place and drop the rest. Returns True when a recovery happened,
-    False when there was nothing to do (target present, or genuinely no
-    table yet). Run it before a merge loop starts, or after catching the
-    interrupted-swap error the merge sinks raise.
+    orphan swap dirs exist, rename the most recently modified COMPLETE
+    orphan — one carrying the ``_SUCCESS`` commit marker the Spark writer
+    leaves after a successful job — into place and drop the stale rest.
+    Returns True when a recovery happened, False when there was nothing
+    to do (target present, or genuinely no table yet). Run it before a
+    merge loop starts, or after catching the interrupted-swap error the
+    merge sinks raise.
+
+    The ``_SUCCESS`` check distinguishes the two crash windows (review
+    finding r07): a crash DURING the temp write leaves an uncommitted
+    orphan (no marker — possibly just ``_temporary/`` junk) that must
+    never be promoted to the live table; a crash between delete and
+    rename leaves a committed one. When only uncommitted orphans exist
+    the function raises rather than guessing — on a deployment that
+    disabled success markers, promoting by mtime alone could enshrine a
+    half-written table.
 
     Single-writer contract, same as the sinks themselves: concurrent
     writers racing this rename need a real transactional table format
     (Delta/Iceberg), not a directory swap.
     """
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    jvm = spark._jvm
+    jvm_path = jvm.org.apache.hadoop.fs.Path(target_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
         return False
     orphans = _orphan_swap_dirs(spark, target_path)
     if not orphans:
         return False
+    complete = [
+        p
+        for p in orphans
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p + "/_SUCCESS"))
+    ]
+    if not complete:
+        raise IOError(
+            f"target {target_path} is missing and the orphan swap dirs "
+            f"{orphans} carry no _SUCCESS commit marker — they are "
+            "uncommitted partial writes (crash during the temp write, or "
+            "success markers disabled). Nothing safe to promote; inspect "
+            "and remove them manually."
+        )
     by_mtime = sorted(
-        orphans,
+        complete,
         key=lambda p: fs.getFileStatus(
-            spark._jvm.org.apache.hadoop.fs.Path(p)
+            jvm.org.apache.hadoop.fs.Path(p)
         ).getModificationTime(),
     )
     newest = by_mtime[-1]
-    if not fs.rename(
-        spark._jvm.org.apache.hadoop.fs.Path(newest), jvm_path
-    ):
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(newest), jvm_path):
         raise IOError(f"recovery rename {newest} -> {target_path} failed")
-    for stale in by_mtime[:-1]:
-        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(stale), True)
+    for stale in set(orphans) - {newest}:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
     return True
 
 
@@ -306,14 +328,25 @@ def cdc_merge_sql(
     )
 
 
-def execute_jdbc_statement(spark: SparkSession, url: str, sql: str) -> int:
+def execute_jdbc_statement(
+    spark: SparkSession, url: str, sql: str, properties: dict | None = None
+) -> int:
     """Run one DML/DDL statement on a JDBC database through the driver
     JVM's ``DriverManager`` (the connection the Spark JDBC source already
     proved reachable). Returns the update count. This is the execution
     half of the staging-merge pattern: Spark writes the batch via the
     JDBC sink (parallel, ``batchsize``-tuned), then ONE statement on ONE
-    connection merges it set-based — never a row-at-a-time loop."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    connection merges it set-based — never a row-at-a-time loop.
+
+    ``properties`` carries connection properties (``user``, ``password``,
+    vendor options) exactly like the Spark JDBC reader's — an
+    authenticated database needs them HERE too, not only on the staging
+    write (review finding r07: credentials passed only via write options
+    would authenticate the staging write and then fail the merge)."""
+    props = spark._jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(str(k), str(v))
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         stmt = conn.createStatement()
         try:
@@ -345,6 +378,10 @@ def drain_changelog_jdbc(
     ONE :func:`cdc_merge_sql` statement. ``foreachBatch``-ready: call
     this per micro-batch (idempotent under retries via the seq guard —
     with ``hard_delete=False`` also under cross-delete redelivery).
+
+    Authentication: ``user``/``password``/``driver`` entries in
+    ``write_options`` are forwarded to the MERGE connection too, so one
+    option dict drives both the staging write and the statement.
     """
     from ..operators.cdc import apply_changelog
 
@@ -373,7 +410,12 @@ def drain_changelog_jdbc(
         delete_op=delete_op,
         hard_delete=hard_delete,
     )
-    execute_jdbc_statement(spark, url, merge)
+    conn_props = {
+        k: v
+        for k, v in (write_options or {}).items()
+        if k in ("user", "password", "driver")
+    }
+    execute_jdbc_statement(spark, url, merge, properties=conn_props)
 
 
 def cdc_merge_parquet(

@@ -931,9 +931,15 @@ def prefix_filter_pairs(
         )
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
+            # -1e-6 slack: the double product t'·max can land one ulp
+            # ABOVE an exact integer boundary (e.g. 0.33995·20000 =
+            # 6799.000000000001) and would drop a containment pair whose
+            # true jaccard rounds to exactly t (review finding r07) —
+            # same IEEE discipline as the prefix bound and alpha below
             & (
                 F.least("sz_a", "sz_b")
                 >= F.lit(gen_threshold) * F.greatest("sz_a", "sz_b")
+                - F.lit(1e-6)
             )
             & (ubound >= alpha - F.lit(1e-6))
         )

@@ -472,6 +472,16 @@ def semdedup(
     assigned = v.select(
         "vec_id", "e", (-F.array_max(sims)["nc"]).cast("int").alias("cid")
     )
+    return _prune_within_clusters(assigned, threshold)
+
+
+def _prune_within_clusters(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup survivor rule, shared verbatim by :func:`semdedup`
+    and :func:`semdedup_scaled` (single definition — the hash-oracled
+    fixed-label entry pins it for both): within each ``cid``, drop a
+    vector when ANY lower-id vector in the cluster has ``round(cos, 4) ≥
+    threshold``; keep-lowest-id. ``assigned`` must expose
+    (vec_id, e array<double>, cid). Returns kept ``(vec_id, cid)``."""
     lo = assigned.select(
         F.col("cid"), F.col("vec_id").alias("lo_id"), F.col("e").alias("lo_e")
     )
@@ -544,26 +554,23 @@ def semdedup_scaled(
     if n_total == 0:
         return df.sparkSession.createDataFrame([], "vec_id long, cid int")
     k = max(2, math.ceil(n_total / max(1, target_cluster_size)))
-    k = min(k, n_total)  # never more centroids than points
+    # Cap k at points available AND at fit_sample // 8: a quantizer with
+    # fewer than ~8 sample points per centroid is degenerate (duplicate
+    # centroids once k-means++ exhausts distinct points), and the driver
+    # fit is O(k·fit_sample·d) — k ∝ N with a fixed sample would grow
+    # driver time/memory without bound (review finding r07). When the cap
+    # binds (N > fit_sample·target_cluster_size/8, ~65k vectors at the
+    # defaults), raise ``fit_sample`` with the corpus — or train a
+    # two-level quantizer (coarse cells, then this operator per cell),
+    # the FAISS IVF-within-IVF shape — to keep true k ∝ N.
+    k = min(k, n_total, max(2, int(fit_sample) // 8))
     cents = fit_coarse_quantizer(
         v, k, seed=seed, kmeans_max_iter=kmeans_max_iter, fit_sample=fit_sample
     )
     assigned = assign_to_centroids(v, cents).select(
         F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("e"), "cid"
     )
-    lo = assigned.select(
-        "cid", F.col("vec_id").alias("lo_id"), F.col("e").alias("lo_e")
-    )
-    dropped = (
-        assigned.join(lo, "cid")
-        .filter(
-            (F.col("lo_id") < F.col("vec_id"))
-            & (F.round(cosine(F.col("lo_e"), F.col("e")), 4) >= F.lit(threshold))
-        )
-        .select("vec_id")
-        .distinct()
-    )
-    return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")
+    return _prune_within_clusters(assigned, threshold)
 
 
 def sq8_scales(

@@ -298,3 +298,20 @@ def test_recover_interrupted_swap_restores_newest_orphan(spark, tmp_path):
         spark, _log(spark, [(2, 2, "I", "b")]), target, ["k"], ["seq"]
     )
     assert _live(spark, target) == {1: "a", 2: "b"}
+
+
+def test_recover_refuses_uncommitted_orphans(spark, tmp_path):
+    """Review finding r07: an orphan WITHOUT the _SUCCESS commit marker is
+    a crash-during-write partial — recovery must refuse to promote it."""
+    import os
+
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        recover_interrupted_swap,
+    )
+
+    target = str(tmp_path / "cdc_table")
+    junk = target + ".__merge_0badc0de"
+    os.makedirs(os.path.join(junk, "_temporary"))
+    with pytest.raises(IOError, match="_SUCCESS"):
+        recover_interrupted_swap(spark, target)
+    assert os.path.exists(junk)  # refused, not silently deleted

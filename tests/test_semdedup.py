@@ -126,7 +126,8 @@ def test_scaled_matches_numpy_brute_force(spark, sf_small):
 
     emb = df.collect()
     n = len(emb)
-    k = max(2, -(-n // target))
+    # mirror semdedup_scaled's k formula exactly, cap included
+    k = min(max(2, -(-n // target)), n, 8192 // 8)
     from postgres_etl_pipeline_spark.operators.similarity import as_double_vec
 
     v = df.select(
@@ -207,3 +208,22 @@ def test_scaled_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semdedup_scaled(empty).count() == 0
+
+
+def test_scaled_k_capped_by_fit_sample(spark):
+    """k never exceeds fit_sample // 8 (review finding r07: an
+    undersampled quantizer degenerates to duplicate centroids and
+    unbounded driver cost) — with a tiny sample the cluster count must
+    respect the cap, not the raw N/target ratio."""
+    from postgres_etl_pipeline_spark.operators.similarity import semdedup_scaled
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semdedup_scaled(
+        df, threshold=2.0, target_cluster_size=1, fit_sample=32
+    )
+    assert out.select("cid").distinct().count() <= 4  # 32 // 8
+    assert out.count() == 100  # threshold 2.0 prunes nothing
