@@ -184,3 +184,71 @@ def near_dup_triangle_census(spark, sf_dir):
 
     pairs = _minhash_pair_stage(spark, sf_dir)
     return triangle_stats(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Per-source weighted sampling — stratified Efraimidis–Spirakis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "per_source_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars AS weight,
+             round(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967296.0)
+               * 1000000.0 / n_chars, 6) AS sample_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, weight, sample_key,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY sample_key DESC, doc_id)
+                AS INTEGER) AS src_rank
+    FROM keyed
+    QUALIFY src_rank <= 20
+    """,
+    survey="§7 Phase 5 extension: STRATIFIED weighted sampling without "
+    "replacement — per-source A-Res (key = ln(u)/w, deterministic md5 "
+    "uniforms) under a hard per-source count; the weighted-randomness "
+    "twin of per_source_quality_quota's quality ranking, composing "
+    "domain balancing with length-weighted selection in ONE source-keyed "
+    "window (WindowGroupLimit forwards ≤k rows per source per map task)",
+    tags=("ext", "assembly"),
+)
+def per_source_weighted_sample(spark, sf_dir):
+    """Top-20 weighted sample PER SOURCE, weight = ``n_chars``.
+
+    Corpus mixing needs both knobs at once: per-domain caps (so one
+    crawl cannot dominate) and weighted randomness within the domain (so
+    the cap keeps a diverse, length-tilted draw instead of always the
+    same longest documents). A-Res makes that one window: the per-row
+    key ``ln(u)/w`` is a pure function of the stable id (md5 uniform —
+    reproducible across runs, partitionings, and engines; same contract
+    as ``weighted_doc_sample``), and the per-source top-k is ONE
+    source-keyed exchange with the rank filter pushed below it as
+    WindowGroupLimit — a hot source costs what every source costs.
+    Zero-weight rows are excluded on both engines (A-Res requires w > 0).
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("weight"),
+        F.round(F.log(u) * 1000000.0 / F.col("n_chars"), 6).alias("sample_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("sample_key").desc(), "doc_id"
+    )
+    return keyed.withColumn("src_rank", F.row_number().over(w)).filter(
+        F.col("src_rank") <= 20
+    )

@@ -377,3 +377,17 @@ def test_triangle_census_no_nested_loop_beyond_scalar_crossjoins(spark, sf_small
     s = plan_summary(df)
     assert s.nested_loop_joins <= 2
     assert s.joins - s.nested_loop_joins >= 3  # deg×2, wedge, closing
+
+
+def test_per_source_weighted_sample_group_limit_pushed_map_side(spark, sf_small):
+    # same contract as the quality quota: the A-Res key is scan-side, and
+    # the per-source rank filter runs as a Partial WindowGroupLimit below
+    # the source-keyed exchange — each map task forwards ≤ 20 rows/source
+    df = q("per_source_weighted_sample", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    exch = plan.find("Exchange hashpartitioning(source")
+    part_idx = plan.find(", Partial")
+    assert exch != -1 and part_idx > exch, plan
+    s = plan_summary(df)
+    assert s.joins == 0 and s.shuffles == 1
