@@ -411,6 +411,39 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band_key) rows — each doc's LSH band keys, one row per
+    band. This IS the persistable MinHash index relation: store it for
+    admitted documents and each future increment joins its own band rows
+    against the stored ones instead of re-banding the corpus
+    (:func:`incremental_minhash_dedup`). ``band_key`` embeds the band
+    number, so keys never collide across bands."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh_{b * r + j}") for j in range(r)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_key"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 16,
@@ -426,25 +459,7 @@ def minhash_lsh_candidates(
     Scale: band buckets are the join key — shuffle is linear in docs, never
     quadratic. Dedup of pair duplicates across bands happens via distinct.
     """
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col)
-    band_cols = [
-        F.concat_ws(
-            "_",
-            F.lit(b),
-            *[F.col(f"mh_{b * r + j}") for j in range(r)],
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_key"
-        ),
-    )
+    stacked = minhash_band_rows(df, num_hashes, bands, text_col)
     a, b = stacked.alias("a"), stacked.alias("b")
     # SHUFFLE_HASH for the same reason as jaccard_pairs: both sides are the
     # full banded relation — shuffle once, reuse the exchange
@@ -703,6 +718,108 @@ def incremental_exact_dedup(
     keeper = new_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     idx = index_fps.select("fp").distinct()
     return keeper.join(idx, "fp", "left_anti").select("doc_id", "fp")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    stored_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — the MinHash twin of
+    :func:`incremental_exact_dedup`, and the production shape for a
+    continuously-growing corpus: admit a new document only if it is not a
+    near-duplicate of (a) the historical corpus, found through the stored
+    band index, or (b) a LOWER-id document within the incoming batch
+    (deterministic first-wins, the same any-lower-id rule the SemDeDup
+    prune uses — near-dup is not transitive, so admission must not depend
+    on whether the dominating doc was itself admitted).
+
+    Inputs: ``index_bands`` is the persisted ``(doc_id, band_key)``
+    relation :func:`minhash_band_rows` produced for previously ADMITTED
+    docs (append the admitted increment's band rows after each run);
+    ``stored_docs`` is the historical corpus relation (id + text) that
+    candidate matches verify against — only band-collision candidates
+    ever have their stored text re-shingled, via join pruning.
+
+    Scale shape: each increment costs (1) banding the BATCH only (never
+    re-banding the corpus), (2) one band-keyed join of batch bands vs the
+    index — linear in batch size × bucket occupancy, the same key
+    distribution as :func:`minhash_lsh_candidates`, (3) one batch-side
+    self-join, (4) exact shingle-array verification on candidates only.
+    Recall inherits LSH's band guarantee ((16, 8) → r=2; raise
+    rows-per-band on low-entropy corpora — see the adversary notes in
+    SCALE.md); precision is 1 (exact verify).
+
+    Returns the admitted ``(doc_id,)`` rows of the batch.
+    """
+    nb = minhash_band_rows(new_docs, num_hashes, bands, text_col)
+    new_arr = shingle_arrays(new_docs, text_col).filter(F.size("shs") > 0)
+
+    def _verified(cands, left_arr, right_arr):
+        j = (
+            cands.join(
+                left_arr.select(
+                    F.col("doc_id").alias("new_id"), F.col("shs").alias("shs_n")
+                ),
+                "new_id",
+            )
+            .join(
+                right_arr.select(
+                    F.col("doc_id").alias("other_id"),
+                    F.col("shs").alias("shs_o"),
+                ),
+                "other_id",
+            )
+        )
+        inter = F.size(F.array_intersect("shs_n", "shs_o"))
+        jac = inter / (F.size("shs_n") + F.size("shs_o") - inter)
+        return j.filter(F.round(jac, 4) >= F.lit(threshold)).select("new_id")
+
+    # (a) vs the stored index: band-key join, then exact verify against
+    # the stored docs' text (shingled only for candidate ids — the join
+    # prunes the historical scan)
+    cand_stored = (
+        nb.select(F.col("doc_id").alias("new_id"), "band_key")
+        .join(
+            index_bands.select(
+                F.col("doc_id").alias("other_id"), "band_key"
+            ),
+            "band_key",
+        )
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    stored_arr = shingle_arrays(stored_docs, text_col).filter(
+        F.size("shs") > 0
+    )
+    dup_vs_stored = _verified(cand_stored, new_arr, stored_arr)
+
+    # (b) within the batch: band self-join, lower id dominates
+    a, b = nb.alias("a"), nb.alias("b")
+    cand_batch = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("other_id"),
+        )
+        .distinct()
+    )
+    dup_in_batch = _verified(cand_batch, new_arr, new_arr)
+
+    rejected = dup_vs_stored.union(dup_in_batch).distinct()
+    return (
+        new_docs.select("doc_id")
+        .join(rejected, new_docs["doc_id"] == rejected["new_id"], "left_anti")
+        .select("doc_id")
+    )
 
 
 def _lex_prefix_num(k: Column, width: int = 7) -> Column:

@@ -252,3 +252,77 @@ def per_source_weighted_sample(spark, sf_dir):
     return keyed.withColumn("src_rank", F.row_number().over(w)).filter(
         F.col("src_rank") <= 20
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup dedup against a stored MinHash band index
+# ---------------------------------------------------------------------------
+
+
+def _incr_near_dup_oracle() -> str:
+    """A new-batch doc (doc_id % 10 >= 8) is admitted iff it has no
+    exact-Jaccard->=t partner among stored docs or lower-id batch docs.
+    Exact Jaccard stands in for the band index because the (16, 8)
+    banding has measured 100% recall on this corpus (the same
+    equivalence `minhash_lsh_near_dups`' oracle already pins)."""
+    from .queries_ext import _SHINGLES, _TOKS
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(CAST(inter AS DOUBLE)
+                  / (sa.set_size + sb.set_size - inter), 4) >= 0.5
+    ),
+    batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8),
+    rejected AS (
+      -- dominated by ANY lower-id partner (stored or batch: pairs have
+      -- doc_a < doc_b, so doc_b = n covers both), or by a stored
+      -- HIGHER-id partner (doc_a = n with a non-batch doc_b)
+      SELECT DISTINCT n.doc_id
+      FROM batch n JOIN pairs p
+        ON p.doc_b = n.doc_id
+        OR (p.doc_a = n.doc_id AND p.doc_b % 10 < 8)
+    )
+    SELECT doc_id FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+    """
+
+
+@register(
+    "incremental_near_dup_new_docs",
+    _incr_near_dup_oracle(),
+    survey="§7 Phase 5 extension: incremental NEAR-dup admission against "
+    "a persisted MinHash band index — band the BATCH only, join it to "
+    "the stored (doc_id, band_key) relation, exact-verify candidates; "
+    "the growing-corpus production shape next to the exact-fingerprint "
+    "incremental tier (each increment is O(batch), never a corpus "
+    "re-scan)",
+    tags=("ext", "dedup"),
+)
+def incremental_near_dup_new_docs(spark, sf_dir):
+    """Admit the doc_id % 10 ∈ {8, 9} batch against the rest of the
+    corpus as the historical store: the band index is derived here from
+    the stored docs (in production it accretes across increments —
+    append ``minhash_band_rows`` of each admitted batch)."""
+    from .operators import dedup as D
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    stored = docs.filter(F.col("doc_id") % 10 < 8)
+    return D.incremental_minhash_dedup(
+        new, D.minhash_band_rows(stored), stored, threshold=0.5
+    )

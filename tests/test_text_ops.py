@@ -482,3 +482,99 @@ class TestSortedNeighborhood:
 
         df = self._docs(spark, []).filter("doc_id > 0")
         assert sorted_neighborhood_pairs(df).collect() == []
+
+
+class TestIncrementalNearDup:
+    """incremental_minhash_dedup: admission against a stored band index +
+    within-batch first-wins, exact-verified; index accretion across two
+    increments."""
+
+    # >= 3 whitespace tokens per doc so 3-shingles exist; near-dups share
+    # most shingles, distinct docs share none
+    STORED = "alpha beta gamma delta epsilon zeta eta theta"
+    NEAR_STORED = "alpha beta gamma delta epsilon zeta eta iota"   # ~0.6 jac
+    FRESH = "one two three four five six seven eight"
+    NEAR_FRESH = "one two three four five six seven nine"
+    OTHER = "red orange yellow green blue indigo violet ultraviolet"
+
+    def _run(self, spark, stored_rows, new_rows, threshold=0.5):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_band_rows,
+        )
+
+        stored = spark.createDataFrame(stored_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        idx = minhash_band_rows(stored)
+        return {
+            r.doc_id
+            for r in incremental_minhash_dedup(
+                new, idx, stored, threshold=threshold
+            ).collect()
+        }
+
+    def test_stored_hit_and_intra_batch_dup_dropped(self, spark):
+        kept = self._run(
+            spark,
+            stored_rows=[(1, self.STORED)],
+            new_rows=[
+                (10, self.NEAR_STORED),  # near-dup of history -> dropped
+                (11, self.FRESH),        # admitted
+                (12, self.NEAR_FRESH),   # dominated by 11 -> dropped
+                (13, self.OTHER),        # admitted
+            ],
+        )
+        assert kept == {11, 13}
+
+    def test_lower_id_dominates_regardless_of_its_own_fate(self, spark):
+        # 10 is itself rejected (near-dup of stored), but still dominates
+        # 12 — admission must not depend on the dominator's fate
+        kept = self._run(
+            spark,
+            stored_rows=[(1, self.STORED)],
+            new_rows=[(10, self.NEAR_STORED), (12, self.NEAR_STORED)],
+        )
+        assert kept == set()
+
+    def test_index_accretion_across_increments(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_band_rows,
+        )
+
+        stored = spark.createDataFrame(
+            [(1, self.STORED)], "doc_id long, text string"
+        )
+        idx = minhash_band_rows(stored)
+        b1 = spark.createDataFrame(
+            [(10, self.FRESH)], "doc_id long, text string"
+        )
+        adm1 = incremental_minhash_dedup(b1, idx, stored, threshold=0.5)
+        assert {r.doc_id for r in adm1.collect()} == {10}
+
+        # append the admitted increment to BOTH the index and the corpus
+        stored2 = stored.unionByName(b1.join(adm1, "doc_id", "left_semi"))
+        idx2 = idx.unionByName(
+            minhash_band_rows(b1.join(adm1, "doc_id", "left_semi"))
+        )
+        # a near-dup of batch-1's admitted doc must now be rejected
+        b2 = spark.createDataFrame(
+            [(20, self.NEAR_FRESH), (21, self.OTHER)],
+            "doc_id long, text string",
+        )
+        adm2 = {
+            r.doc_id
+            for r in incremental_minhash_dedup(
+                b2, idx2, stored2, threshold=0.5
+            ).collect()
+        }
+        assert adm2 == {21}
+
+    def test_high_threshold_admits_mid_similarity(self, spark):
+        kept = self._run(
+            spark,
+            stored_rows=[(1, self.STORED)],
+            new_rows=[(10, self.NEAR_STORED)],
+            threshold=0.9,
+        )
+        assert kept == {10}  # ~0.6 jaccard < 0.9 -> admitted
