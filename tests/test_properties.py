@@ -462,3 +462,68 @@ def test_lex_prefix_num_monotone_over_unicode(spark, keys):
     assert nums == sorted(nums), [
         (r.k.encode("unicode_escape"), r.n) for r in rows
     ]
+
+
+@st.composite
+def _split_corpus(draw):
+    vocab = [f"w{i}" for i in range(8)]
+    texts = [
+        " ".join(draw(st.lists(st.sampled_from(vocab), min_size=3, max_size=10)))
+        for _ in range(draw(st.integers(min_value=2, max_value=12)))
+    ]
+    docs = list(enumerate(texts))
+    cut = draw(st.integers(min_value=1, max_value=len(docs) - 1))
+    return docs[:cut], docs[cut:]
+
+
+@given(split=_split_corpus(), thr=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**_SETTINGS)
+def test_incremental_near_dup_invariants(spark, split, thr):
+    """Two invariants that hold at ANY banding recall:
+
+    - precision 1: every REJECTED batch doc genuinely has an
+      exact-Jaccard >= t partner among stored docs or lower-id batch docs
+      (verification is exact, so a band collision alone never rejects);
+    - admission is a SUPERSET of the exact rule's admissions: bands can
+      only MISS candidates, which can only admit more, never reject a
+      doc the exact rule would keep."""
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        jaccard_pairs,
+        minhash_band_rows,
+    )
+
+    stored_rows, new_rows = split
+    stored = spark.createDataFrame(stored_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    admitted = {
+        r.doc_id
+        for r in incremental_minhash_dedup(
+            new, minhash_band_rows(stored), stored, threshold=thr
+        ).collect()
+    }
+
+    # exact ground truth over the whole corpus (ids are globally ordered:
+    # stored ids < batch ids by construction)
+    alldocs = stored.unionByName(new)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(alldocs, threshold=thr).collect()
+    }
+    new_ids = {d for d, _ in new_rows}
+    stored_ids = {d for d, _ in stored_rows}
+    exact_admitted = {
+        n
+        for n in new_ids
+        if not any(
+            (min(n, o), max(n, o)) in pairs
+            for o in (stored_ids | {m for m in new_ids if m < n})
+        )
+    }
+    assert admitted >= exact_admitted  # bands only ever admit MORE
+    rejected = new_ids - admitted
+    for n in rejected:  # every rejection is exact-verified
+        assert any(
+            (min(n, o), max(n, o)) in pairs
+            for o in (stored_ids | {m for m in new_ids if m < n})
+        ), (n, sorted(pairs))
