@@ -102,9 +102,10 @@ def _union_with_target(
         raise IOError(
             f"target {target_path} is missing but interrupted-swap temp dirs "
             f"exist: {orphans}. A previous merge crashed between delete and "
-            "rename; the newest temp dir holds the complete merged table — "
-            "rename it to the target (or remove the orphans if they are "
-            "known-stale) before merging again."
+            "rename — run recover_interrupted_swap (it promotes the newest "
+            "orphan carrying a _SUCCESS commit marker and refuses "
+            "uncommitted partials) before merging again; never promote an "
+            "orphan without its _SUCCESS marker."
         )
     return inc
 
@@ -329,7 +330,11 @@ def cdc_merge_sql(
 
 
 def execute_jdbc_statement(
-    spark: SparkSession, url: str, sql: str, properties: dict | None = None
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    properties: dict | None = None,
+    driver: str | None = None,
 ) -> int:
     """Run one DML/DDL statement on a JDBC database through the driver
     JVM's ``DriverManager`` (the connection the Spark JDBC source already
@@ -342,7 +347,13 @@ def execute_jdbc_statement(
     vendor options) exactly like the Spark JDBC reader's — an
     authenticated database needs them HERE too, not only on the staging
     write (review finding r07: credentials passed only via write options
-    would authenticate the staging write and then fail the merge)."""
+    would authenticate the staging write and then fail the merge).
+    ``driver`` names the JDBC driver class to load first: DriverManager
+    only finds drivers registered via the service loader, and passing the
+    class name as a connection property is inert — Class.forName is the
+    registration path, same as the Spark writer's own driver option."""
+    if driver:
+        spark._jvm.java.lang.Class.forName(driver)
     props = spark._jvm.java.util.Properties()
     for k, v in (properties or {}).items():
         props.setProperty(str(k), str(v))
@@ -410,12 +421,25 @@ def drain_changelog_jdbc(
         delete_op=delete_op,
         hard_delete=hard_delete,
     )
-    conn_props = {
-        k: v
-        for k, v in (write_options or {}).items()
-        if k in ("user", "password", "driver")
+    # Forward EVERY write option that is a connection property — the
+    # Spark JDBC writer passes unknown options straight to the driver, so
+    # an allowlist would drop vendor props (ssl/sslmode/currentSchema/...)
+    # and the merge connection would differ from the staging one (review
+    # finding r07). Only the writer-level options that are NOT connection
+    # properties are excluded.
+    _writer_only = {
+        "dbtable", "query", "url", "createTableColumnTypes",
+        "createTableOptions", "truncate", "batchsize", "isolationLevel",
+        "numPartitions", "customSchema", "cascadeTruncate",
     }
-    execute_jdbc_statement(spark, url, merge, properties=conn_props)
+    conn_props = {
+        k: v for k, v in (write_options or {}).items()
+        if k.lower() not in _writer_only and k.lower() != "driver"
+    }
+    driver = (write_options or {}).get("driver")
+    execute_jdbc_statement(
+        spark, url, merge, properties=conn_props, driver=driver
+    )
 
 
 def cdc_merge_parquet(

@@ -728,6 +728,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     text_col: str = "text",
+    materialize_batch: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup — the MinHash twin of
     :func:`incremental_exact_dedup`, and the production shape for a
@@ -754,10 +755,41 @@ def incremental_minhash_dedup(
     rows-per-band on low-entropy corpora — see the adversary notes in
     SCALE.md); precision is 1 (exact verify).
 
+    ``materialize_batch`` localCheckpoints the batch's band rows and
+    shingle arrays, which feed 2–3 join consumers each — without a cut
+    Spark recomputes the tokenize→shingle→hash scan per consumer. Same
+    trade-off and default as :func:`prefix_filter_pairs`'s
+    ``materialize_shingles`` (checkpoint blocks pin for the session;
+    callers that own the lifecycle — a real per-increment job — opt in).
+
     Returns the admitted ``(doc_id,)`` rows of the batch.
     """
     nb = minhash_band_rows(new_docs, num_hashes, bands, text_col)
+    if materialize_batch:
+        nb = nb.localCheckpoint(eager=False)
+    # Sanity-check the index was built with the SAME banding parameters
+    # (review finding r07): mismatched (num_hashes, bands) makes every
+    # band_key join miss SILENTLY — each band key embeds its band number
+    # and r signature segments, so one sampled key from each side must
+    # agree on segment count. Costs two 1-row driver lookups per
+    # increment; an empty index (first increment) skips the check.
+    idx_sample = index_bands.select("band_key").limit(1).collect()
+    if idx_sample:
+        batch_sample = nb.select("band_key").limit(1).collect()
+        if batch_sample:
+            n_idx = len(idx_sample[0][0].split("_"))
+            n_new = len(batch_sample[0][0].split("_"))
+            if n_idx != n_new:
+                raise ValueError(
+                    f"index band keys have {n_idx} segments but this "
+                    f"batch's banding ({num_hashes=}, {bands=}) produces "
+                    f"{n_new} — the stored index was built with different "
+                    "banding parameters; no key would ever match and every "
+                    "near-duplicate would be silently admitted"
+                )
     new_arr = shingle_arrays(new_docs, text_col).filter(F.size("shs") > 0)
+    if materialize_batch:
+        new_arr = new_arr.localCheckpoint(eager=False)
 
     def _verified(cands, left_arr, right_arr):
         j = (
@@ -780,8 +812,14 @@ def incremental_minhash_dedup(
         return j.filter(F.round(jac, 4) >= F.lit(threshold)).select("new_id")
 
     # (a) vs the stored index: band-key join, then exact verify against
-    # the stored docs' text (shingled only for candidate ids — the join
-    # prunes the historical scan)
+    # the stored docs' text. The historical relation is LEFT-SEMI-pruned
+    # to candidate ids BEFORE any shingling (review finding r07: a plain
+    # downstream join cannot prune the other side's expression work, so
+    # without the explicit semi-join every increment would re-tokenize
+    # the whole corpus). The semi-join still SCANS stored_docs once —
+    # O(corpus) I/O but O(candidates) expression work; in production the
+    # stored side is the persisted shingle/band table partitioned by id,
+    # where this same semi-join also prunes the read.
     cand_stored = (
         nb.select(F.col("doc_id").alias("new_id"), "band_key")
         .join(
@@ -793,9 +831,12 @@ def incremental_minhash_dedup(
         .select("new_id", "other_id")
         .distinct()
     )
-    stored_arr = shingle_arrays(stored_docs, text_col).filter(
-        F.size("shs") > 0
-    )
+    cand_ids = cand_stored.select(
+        F.col("other_id").alias("doc_id")
+    ).distinct()
+    stored_arr = shingle_arrays(
+        stored_docs.join(cand_ids, "doc_id", "left_semi"), text_col
+    ).filter(F.size("shs") > 0)
     dup_vs_stored = _verified(cand_stored, new_arr, stored_arr)
 
     # (b) within the batch: band self-join, lower id dominates

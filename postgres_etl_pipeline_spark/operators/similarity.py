@@ -563,7 +563,25 @@ def semdedup_scaled(
     # defaults), raise ``fit_sample`` with the corpus — or train a
     # two-level quantizer (coarse cells, then this operator per cell),
     # the FAISS IVF-within-IVF shape — to keep true k ∝ N.
-    k = min(k, n_total, max(2, int(fit_sample) // 8))
+    k_cap = max(2, int(fit_sample) // 8)
+    if k > k_cap and k_cap < n_total:
+        # the cap silently re-admits the quadratic k ∝ N exists to
+        # prevent (expected cluster size grows past target) — warn so
+        # the caller raises fit_sample with the corpus instead of
+        # discovering it in the within-cluster join's runtime (review
+        # finding r07)
+        import warnings
+
+        warnings.warn(
+            f"semdedup_scaled: k = ceil({n_total}/{target_cluster_size}) = "
+            f"{k} exceeds the quantizer cap fit_sample//8 = {k_cap}; "
+            f"expected cluster size rises to ~{n_total / k_cap:.0f} and "
+            "within-cluster pairwise work grows accordingly. Raise "
+            "fit_sample (driver fit is O(k·fit_sample·dims)) or train a "
+            "two-level quantizer to keep k ∝ N.",
+            stacklevel=2,
+        )
+    k = min(k, n_total, k_cap)
     cents = fit_coarse_quantizer(
         v, k, seed=seed, kmeans_max_iter=kmeans_max_iter, fit_sample=fit_sample
     )
