@@ -321,6 +321,79 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    stop_max_df_frac: float | None = None,
+    stop_min_df: int = 64,
+    stop_max_df: int | None = None,
+) -> DataFrame:
+    """Exact shingle-containment pairs: ORDERED (doc_a, doc_b) where
+    C(A→B) = |A∩B| / |A| ≥ threshold and doc_a ≠ doc_b — the asymmetric
+    sibling of :func:`jaccard_pairs` that catches SUBSET duplication
+    (a short doc quoted wholesale inside a longer one, boilerplate page
+    wrappers around reposted articles) which symmetric Jaccard misses:
+    a 100-shingle doc fully contained in a 10,000-shingle doc has
+    Jaccard ≈ 0.01 but containment 1.0. Broder's containment measure;
+    the near-dup notion used by CC-style crawl dedup when one side is a
+    fragment of the other.
+
+    plan: the SAME shingle-keyed inverted-index self-join as
+    :func:`jaccard_pairs` (one exchange, computed once and hash-shared
+    across both sides), with two containment-specific changes: the pair
+    filter keeps BOTH orientations (doc_a ≠ doc_b, not <) since
+    containment is directional, and a size bound prunes candidates
+    BEFORE the pair aggregation: |A∩B| ≤ min(|A|,|B|), so C(A→B) ≥ t
+    forces |B| ≥ t·|A| — any candidate with size_b below that is
+    provably under threshold and never reaches the groupBy (1e-6 slack
+    absorbs IEEE error at exact-integer boundaries, widening only).
+
+    Scale: identical posting-list skew profile to :func:`jaccard_pairs`
+    — the stop-shingle caps (fractional and absolute) bound per-key
+    fan-out the same way, with the same conservative semantics when they
+    bite (set sizes count all shingles; capped shingles contribute no
+    intersections, so containment from corpus-wide boilerplate is not
+    counted). Containment itself is exact integer arithmetic + one
+    double division — engine-portable.
+    """
+    sh = hashed_shingle_rows(df, text_col)
+    if stop_max_df_frac is not None or stop_max_df is not None:
+        n_docs_df = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = stop_shingle_hashes(
+            sh.select("doc_id", "hs"),
+            n_docs_df,
+            stop_max_df_frac,
+            stop_min_df,
+            stop_max_df,
+        )
+        sh = sh.join(F.broadcast(hot), "hs", "left_anti")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"), "hs"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"), "hs"
+    )
+    pairs = (
+        a.hint("SHUFFLE_HASH")
+        .join(b.hint("SHUFFLE_HASH"), "hs")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (
+                F.col("size_b")
+                >= F.lit(threshold) * F.col("size_a") - F.lit(1e-6)
+            )
+        )
+        .groupBy("doc_a", "doc_b", "size_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.col("size_a")
+    return (
+        pairs.select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _hash_ngrams(t: Column, n: int) -> Column:
     """n-gram hashes from a bound token-array lambda variable: one
     ``xxhash64(tok_i, …, tok_i+n-1)`` per position — the general-n sibling

@@ -326,3 +326,194 @@ def incremental_near_dup_new_docs(spark, sf_dir):
     return D.incremental_minhash_dedup(
         new, D.minhash_band_rows(stored), stored, threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (subset-duplication) mining — Broder's asymmetric measure
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle(thr: float) -> str:
+    from .queries_ext import _SHINGLES, _TOKS
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / sa.set_size, 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE round(CAST(inter AS DOUBLE) / sa.set_size, 4) >= {thr}
+    """
+
+
+@register(
+    "containment_dups",
+    _containment_oracle(0.6),
+    survey="§7 Phase 5 extension: asymmetric shingle CONTAINMENT pairs "
+    "(|A∩B|/|A| ≥ t, Broder's measure) — catches subset duplication "
+    "(fragment quoted inside a longer doc) that symmetric Jaccard "
+    "misses; same single-exchange inverted-index plan as jaccard_pairs "
+    "plus the |B| ≥ t·|A| candidate bound pruned before the pair "
+    "aggregation",
+    tags=("ext", "dedup"),
+)
+def containment_dups(spark, sf_dir):
+    """Ordered near-containment pairs at t = 0.6 over the documents
+    corpus (both orientations of a fragment/whole pair can appear; a
+    doc-a-mostly-inside-doc-b hit says drop or span-trim doc_a). The
+    catalog entry opts into the absolute stop-shingle cap exactly like
+    ``jaccard_near_dups`` — no shingle crosses it on the sf fixtures, so
+    the result is bit-identical to the exact oracle join."""
+    from .operators import dedup as D
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    return D.containment_pairs(
+        docs, threshold=0.6, stop_max_df_frac=0.2, stop_min_df=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over the inverted index — the lexical ranking tier
+# ---------------------------------------------------------------------------
+
+
+def _bm25_oracle() -> str:
+    from .queries_ext import _TOKS
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM tf WHERE doc_id < 20
+    ),
+    terms AS (
+      SELECT q.query_id, tf.doc_id AS neighbor_id,
+             CAST(round(
+               ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+               4) AS DECIMAL(18,4)) AS w
+      FROM q
+      JOIN tf ON tf.token = q.token
+      JOIN dft ON dft.token = q.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> q.query_id
+    ),
+    agg AS (
+      SELECT query_id, neighbor_id, sum(w) AS score_dec
+      FROM terms GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT query_id, neighbor_id,
+             CAST(score_dec AS DOUBLE) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_dec DESC, neighbor_id
+             ) AS rank
+      FROM agg
+    )
+    SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 5
+    """
+
+
+@register(
+    "bm25_doc_topk",
+    _bm25_oracle(),
+    survey="§7 north-star: BM25 top-k retrieval (Robertson/Okapi with "
+    "the Lucene +1 idf, k1=1.2 b=0.75) through the same inverted-index "
+    "postings join as tfidf_cosine_topk — per-term weights rounded to "
+    "DECIMAL(18,4) BEFORE summation so scores and the rank order are "
+    "exact and partition-order-invariant cross-engine",
+    tags=("ext", "similarity", "text"),
+)
+def bm25_doc_topk(spark, sf_dir):
+    """BM25 top-5 neighbors for the first-20-doc probe slice. Everything
+    flows through the postings join (cost Σ_token probe_df × df, never
+    |docs|²): tf and doc length ride the postings, document frequency
+    and the corpus stats (N, avgdl — avgdl derived as exact-integer
+    sum(dl)/count so both engines compute the identical double) join in,
+    and the per-(query, doc, term) weight is rounded to 4 dp and cast to
+    decimal BEFORE the per-pair summation — float summation order never
+    enters, and the rank window ties-break on neighbor_id. At 100 TB the
+    probe side is a broadcast query workload; hot tokens df-cap exactly
+    like jaccard_pairs' stop-shingle cap."""
+    from pyspark.sql import Window
+
+    from .operators import text as X
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+    q = (
+        tf.filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    terms = (
+        q.join(tf.withColumnRenamed("doc_id", "neighbor_id"), "token")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # dft joins on the token key the postings join already shuffled
+        # by (vocabulary is unbounded at corpus scale — never broadcast)
+        .join(dft, "token")
+        .join(dl.withColumnRenamed("doc_id", "neighbor_id"), "neighbor_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(idf * tfnorm, 4).cast("decimal(18,4)").alias("w"),
+        )
+    )
+    agg = terms.groupBy("query_id", "neighbor_id").agg(
+        F.sum("w").alias("score_dec")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), "neighbor_id"
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("score_dec").cast("double").alias("score"),
+            "rank",
+        )
+    )

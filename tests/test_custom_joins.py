@@ -230,3 +230,44 @@ def test_prefix_filter_ieee_boundary_regression(spark):
     }
     assert (1, 2) in full
     assert pref == full
+
+
+def test_containment_pairs_fragment_vs_jaccard(spark):
+    """A fragment wholly quoted inside a much longer doc: containment
+    from the fragment side is 1.0 (every fragment shingle appears in the
+    host) while Jaccard is far below any useful threshold — the case the
+    asymmetric measure exists for. Directionality: the host→fragment
+    orientation is NOT above threshold."""
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    frag = "alpha beta gamma delta epsilon"          # 3 shingles
+    host = frag + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, frag), (2, host)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_pairs_size_bound_is_safe(spark):
+    """The |B| ≥ t·|A| candidate prune must never drop a true pair at an
+    exact-integer boundary: equal-size docs sharing exactly t·|A|
+    shingles sit ON the bound (size_b == t*size_a) and must survive."""
+    from postgres_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    # 5 shingles each (7 tokens), sharing exactly 4 → containment 0.8
+    a = "u1 u2 u3 s1 s2 s3 s4"
+    b = "v1 u2 u3 s1 s2 s3 s4"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 0.8, (2, 1): 0.8}
