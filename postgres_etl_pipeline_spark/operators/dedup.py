@@ -793,6 +793,147 @@ def incremental_exact_dedup(
     return keeper.join(idx, "fp", "left_anti").select("doc_id", "fp")
 
 
+def bloom_bit_words(
+    index_fps: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Build a Bloom filter over ``index_fps[fp_col]`` as a RELATION of
+    packed 64-bit words: one ``(word_idx, bits)`` row per word with at
+    least one set bit, at most ``num_bits / 64`` rows total regardless of
+    index cardinality.
+
+    Positions are ``pmod(xxhash64(fp, seed_i), num_bits)`` for
+    ``seed_i in 0..num_hashes-1`` — k independent hashes via the seed
+    column, packed with ``shiftleft`` + ``bit_or`` so the filter costs
+    ~1 word bit per Bloom bit instead of 64 (a row per SET BIT would be
+    8 bytes each; a row per WORD is the honest dense representation).
+    The aggregation is map-side combined on ``word_idx`` (an int key,
+    uniform by construction — no skew), and the result is a build-once /
+    probe-many artifact: persist it alongside the fingerprint index and
+    append the admitted increment's words with the same ``bit_or``.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    pos = index_fps.select(
+        F.explode(
+            F.transform(
+                seeds,
+                lambda s: F.pmod(
+                    F.xxhash64(F.col(fp_col), s), F.lit(num_bits)
+                ),
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            # SQL form: the Python F.shiftleft only takes an int literal
+            # for the shift amount, the expression form takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_incremental_exact_dedup(
+    new_docs: DataFrame,
+    index_fps: DataFrame,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    text_col: str = "text",
+    materialize_probe: bool = True,
+) -> DataFrame:
+    """:func:`incremental_exact_dedup` with a Bloom pre-filter — the
+    100 TB shape for a daily batch against a 10⁹-row fingerprint index.
+
+    The plain incremental path joins EVERY batch fingerprint against the
+    full historical index. Here the batch first probes the bounded
+    :func:`bloom_bit_words` relation (``num_bits / 64`` packed words —
+    broadcastable metadata sized by the operator's fpp budget, NOT by
+    index cardinality's row width): a fingerprint missing ANY of its k
+    bits is *definitely new* and is admitted without ever touching the
+    index; only the probable-hit sliver (true dups + the fpp·batch false
+    positives) pays the exact anti-join. Bloom false positives are
+    re-verified exactly, so the admitted set is IDENTICAL to
+    :func:`incremental_exact_dedup` — the pre-filter is invisible in the
+    output, which is what makes this entry hash-oracle-able against the
+    plain SQL anti-join.
+
+    Plan shape: one exchange for the intra-batch keeper group-by; the
+    probe explode + word join + all-k AND re-use that partitioning
+    (``fp`` stays the clustering key through Generate and the broadcast
+    join, so the per-fp re-aggregation adds NO exchange); the anti-join
+    sees only probable hits. At local scale the word relation broadcasts;
+    at 10⁹-key scale (m ≈ 1.2 GB packed) either broadcast to big
+    executors or let AQE shuffle-join on ``word_idx`` — both sides are
+    uniform int keys.
+    """
+    new_fp = new_docs.select("doc_id", fingerprint(text_col).alias("fp"))
+    keeper = new_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+
+    words = bloom_bit_words(index_fps, num_bits, num_hashes)
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    probes = keeper.select(
+        "fp",
+        "doc_id",
+        F.explode(
+            F.transform(
+                seeds,
+                lambda s: F.pmod(F.xxhash64(F.col("fp"), s), F.lit(num_bits)),
+            )
+        ).alias("pos"),
+    ).select(
+        "fp",
+        "doc_id",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+            "mask"
+        ),
+    )
+    probed = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "bit_set",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+                F.lit(False),
+            ),
+        )
+        .groupBy("fp", "doc_id")
+        .agg(F.bool_and("bit_set").alias("maybe_in_index"))
+    )
+    if materialize_probe:
+        # `probed` (one row per distinct batch fingerprint + a bool) feeds
+        # THREE consumers below — the definitely-new branch, the semi
+        # prefilter's build side, and the verify join's probe side — and
+        # Spark does not share subplans across union branches, so leave it
+        # lazy and the batch scan + keeper group-by + Bloom probe run
+        # three times. It is batch-sized by construction (an increment,
+        # not the corpus), so one localCheckpoint materialization is the
+        # same call the CC/keep-list shared pair stage makes. Lazy
+        # (eager=False): nothing computes until the caller's first action.
+        probed = probed.localCheckpoint(eager=False)
+    definitely_new = probed.filter(~F.col("maybe_in_index"))
+    candidates = probed.filter(F.col("maybe_in_index"))
+    idx = index_fps.select("fp").distinct()
+    # The index is the big side at 100 TB — never shuffle it. The
+    # candidate sliver (true dups + fpp·batch false positives) broadcasts
+    # by contract into a semi join, so the index is only SCANNED; the
+    # exact verify is then an anti-join against the semi join's output,
+    # which is candidate-bounded (AQE broadcasts it).
+    idx_hits = idx.join(
+        F.broadcast(candidates.select("fp")), "fp", "left_semi"
+    )
+    verified = candidates.join(idx_hits, "fp", "left_anti")
+    return definitely_new.select("doc_id", "fp").unionByName(
+        verified.select("doc_id", "fp")
+    )
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     index_bands: DataFrame,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries import register, spread, t
+from .queries_ext import _NORM, _TOKS
 
 # ---------------------------------------------------------------------------
 # SemDeDup, scale-safe configuration — k ∝ N via the sample-trained
@@ -515,5 +516,159 @@ def bm25_doc_topk(spark, sf_dir):
             "neighbor_id",
             F.col("score_dec").cast("double").alias("score"),
             "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup — the bounded-metadata probe path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_dedup_new_docs",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fp
+            WHERE CAST(substr(source, 4) AS BIGINT) < 15),
+    new AS (SELECT doc_id, fp FROM fp
+            WHERE CAST(substr(source, 4) AS BIGINT) >= 15),
+    keeper AS (SELECT fp, min(doc_id) AS doc_id FROM new GROUP BY 1)
+    SELECT k.doc_id, k.fp
+    FROM keeper k
+    WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = k.fp)
+    """,
+    survey="§7 Phase 5 / §2.2 K5 shape: Bloom-prefiltered incremental "
+    "dedup — the batch probes a packed (word_idx, bits) Bloom relation "
+    "(bounded by the bit budget, not index cardinality) and only "
+    "probable hits pay the exact anti-join; false positives re-verify "
+    "exactly, so the admitted set is IDENTICAL to the plain anti-join "
+    "(which is the oracle). The 100 TB shape for a daily batch vs a "
+    "10⁹-row fingerprint index",
+    tags=("ext", "dedup"),
+)
+def bloom_dedup_new_docs(spark, sf_dir):
+    from .operators.dedup import bloom_incremental_exact_dedup
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    from .operators.text import fingerprint
+
+    src_n = F.substring("source", 4, 10).cast("long")
+    index_fps = docs.filter(src_n < 15).select(fingerprint("text").alias("fp"))
+    return bloom_incremental_exact_dedup(
+        docs.filter(src_n >= 15),
+        index_fps,
+        num_bits=1 << 17,
+        num_hashes=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (n^alpha smoothing, alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temperature_mixture_sample",
+    f"""
+    WITH b AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS bucket,
+             n_chars,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    c AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS total_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM b GROUP BY 1),
+    mn AS (SELECT min(total_chars) AS m FROM c),
+    r AS (SELECT source, total_docs, total_chars,
+                 sqrt(CAST(m AS DOUBLE) / total_chars) AS p
+          FROM c, mn)
+    SELECT b.source,
+           r.total_docs,
+           r.total_chars,
+           CAST(count(*) FILTER (WHERE bucket < p * 65536) AS BIGINT)
+             AS sampled_docs,
+           CAST(COALESCE(
+             sum(n_tokens) FILTER (WHERE bucket < p * 65536), 0) AS BIGINT)
+             AS sampled_tokens,
+           CAST(floor(p * 1000000) AS BIGINT) AS rate_ppm
+    FROM b JOIN r USING (source)
+    GROUP BY 1, r.total_docs, r.total_chars, r.p
+    """,
+    survey="§7 Phase 5: temperature-scaled source mixing — per-source "
+    "keep rate (m/size_s)^(1-alpha) with alpha=0.5 over source CHAR "
+    "MASS (exponential smoothing over source sizes, the "
+    "multilingual-corpus standard: big sources down-weighted, the "
+    "smallest kept whole) applied via the stable md5 bucket; alpha=0.5 "
+    "makes the rate a single IEEE sqrt, bit-identical cross-engine "
+    "where a general pow is not guaranteed",
+    tags=("ext", "text"),
+)
+def temperature_mixture_sample(spark, sf_dir):
+    from .operators import text as X
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    # One corpus scan: aggregate per (source, bucket) FIRST — the
+    # aggregate is bounded by sources x 65536 regardless of corpus size,
+    # map-side combined — then derive counts, the global min, and the
+    # temperature rates on that bounded relation only.
+    per_bucket = (
+        docs.select(
+            "source",
+            bucket.alias("bucket"),
+            "n_chars",
+            F.size(X.tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("n_tokens").cast("long").alias("tok"),
+        )
+    )
+    counts = per_bucket.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    )
+    mn = counts.agg(F.min("total_chars").alias("m"))
+    rated = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "total_docs",
+        "total_chars",
+        F.sqrt(F.col("m").cast("double") / F.col("total_chars")).alias("p"),
+    )
+    return (
+        per_bucket.join(F.broadcast(rated), "source")
+        .groupBy("source", "total_docs", "total_chars", "p")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") < F.col("p") * 65536, F.col("n_docs"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sampled_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") < F.col("p") * 65536, F.col("tok"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .select(
+            "source",
+            "total_docs",
+            "total_chars",
+            "sampled_docs",
+            "sampled_tokens",
+            F.floor(F.col("p") * 1000000).cast("long").alias("rate_ppm"),
         )
     )

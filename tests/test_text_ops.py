@@ -151,6 +151,24 @@ class TestSourceMixture:
         partial = [r for r in out if 0 < r.sampled_docs < r.total_docs]
         assert full and partial
 
+    def test_temperature_rates_follow_char_mass(self, spark, sf_small):
+        """temperature_mixture_sample: the smallest source (by char mass)
+        keeps rate 1.0; rates are non-increasing in total_chars (the
+        alpha=0.5 exponential-smoothing shape); sampling never exceeds
+        the stratum."""
+        from postgres_etl_pipeline_spark.queries import REGISTRY, queries
+
+        queries()
+        out = REGISTRY["temperature_mixture_sample"].fn(spark, sf_small).collect()
+        assert len(out) > 1
+        by_chars = sorted(out, key=lambda r: r.total_chars)
+        assert by_chars[0].rate_ppm == 1_000_000  # smallest kept whole
+        ppms = [r.rate_ppm for r in by_chars]
+        assert all(a >= b for a, b in zip(ppms, ppms[1:]))
+        assert ppms[-1] < 1_000_000  # biggest source genuinely down-weighted
+        for r in out:
+            assert 0 <= r.sampled_docs <= r.total_docs
+
 
 class TestIncrementalDedup:
     def test_index_hit_and_intra_batch_dup_are_dropped(self, spark):
@@ -172,6 +190,119 @@ class TestIncrementalDedup:
         )
         kept = {r.doc_id for r in incremental_exact_dedup(new, index_fps).collect()}
         assert kept == {11, 13}
+
+
+class TestBloomIncrementalDedup:
+    """bloom_incremental_exact_dedup must be OUTPUT-IDENTICAL to
+    incremental_exact_dedup at any Bloom sizing — the filter only routes
+    work; false positives are re-verified exactly and false negatives
+    cannot exist (a member fingerprint always finds all its k bits set)."""
+
+    def _relations(self, spark):
+        from postgres_etl_pipeline_spark.operators.text import fingerprint
+
+        index_docs = _docs(spark, ["already indexed", "old friend", "archive"])
+        index_fps = index_docs.select(fingerprint("text").alias("fp"))
+        new = spark.createDataFrame(
+            [
+                (10, "already indexed"),  # dup of history -> dropped
+                (11, "fresh doc"),        # admitted
+                (12, "fresh doc"),        # intra-batch dup -> dropped
+                (13, "another one"),      # admitted
+                (14, "old friend"),       # dup of history -> dropped
+                (15, "brand new"),        # admitted
+            ],
+            "doc_id long, text string",
+        )
+        return new, index_fps
+
+    def test_matches_plain_incremental_at_sane_sizing(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            bloom_incremental_exact_dedup,
+            incremental_exact_dedup,
+        )
+
+        new, index_fps = self._relations(spark)
+        expected = {
+            (r.doc_id, r.fp)
+            for r in incremental_exact_dedup(new, index_fps).collect()
+        }
+        got = {
+            (r.doc_id, r.fp)
+            for r in bloom_incremental_exact_dedup(
+                new, index_fps, num_bits=1 << 14, num_hashes=4
+            ).collect()
+        }
+        assert got == expected
+        assert {d for d, _ in got} == {11, 13, 15}
+
+    def test_exact_under_saturated_filter(self, spark):
+        """num_bits=64, k=8: the filter saturates and nearly everything is
+        a probable hit — the exact verify join must still produce the
+        identical admitted set (the false-positive path end-to-end)."""
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            bloom_incremental_exact_dedup,
+            incremental_exact_dedup,
+        )
+
+        new, index_fps = self._relations(spark)
+        expected = {
+            (r.doc_id, r.fp)
+            for r in incremental_exact_dedup(new, index_fps).collect()
+        }
+        got = {
+            (r.doc_id, r.fp)
+            for r in bloom_incremental_exact_dedup(
+                new, index_fps, num_bits=64, num_hashes=8
+            ).collect()
+        }
+        assert got == expected
+
+    def test_no_false_negatives_and_bounded_words(self, spark):
+        """Every indexed fingerprint probes positive against its own
+        filter (Bloom's one-sided-error guarantee, the correctness
+        precondition for skipping the verify join on negatives), and the
+        packed relation is bounded by the bit budget."""
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            bloom_bit_words,
+            bloom_incremental_exact_dedup,
+        )
+        from postgres_etl_pipeline_spark.operators.text import fingerprint
+
+        num_bits, k = 1 << 10, 4
+        texts = [f"document number {i}" for i in range(50)]
+        index_docs = _docs(spark, texts)
+        index_fps = index_docs.select(fingerprint("text").alias("fp"))
+
+        words = bloom_bit_words(index_fps, num_bits, k)
+        assert words.count() <= num_bits // 64
+
+        # re-probe the index against itself: every doc is a dup -> empty
+        reprobe = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        admitted = bloom_incremental_exact_dedup(
+            reprobe, index_fps, num_bits=num_bits, num_hashes=k
+        )
+        assert admitted.count() == 0
+
+    def test_disjoint_batch_fully_admitted(self, spark):
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            bloom_incremental_exact_dedup,
+        )
+        from postgres_etl_pipeline_spark.operators.text import fingerprint
+
+        index_docs = _docs(spark, ["history a", "history b"])
+        index_fps = index_docs.select(fingerprint("text").alias("fp"))
+        new = spark.createDataFrame(
+            [(i, f"novel {i}") for i in range(20)], "doc_id long, text string"
+        )
+        assert (
+            bloom_incremental_exact_dedup(
+                new, index_fps, num_bits=1 << 14, num_hashes=4
+            ).count()
+            == 20
+        )
 
 
 class TestStopShingleCap:
