@@ -919,16 +919,18 @@ def bloom_incremental_exact_dedup(
         probed = probed.localCheckpoint(eager=False)
     definitely_new = probed.filter(~F.col("maybe_in_index"))
     candidates = probed.filter(F.col("maybe_in_index"))
-    idx = index_fps.select("fp").distinct()
-    # The index is the big side at 100 TB — never shuffle it. The
+    # The index is the big side at 100 TB — never shuffle it. No
+    # .distinct() here: semi-join output feeding an anti-join build is
+    # duplicate-insensitive, and a distinct would itself shuffle the
+    # full index — the exact cost this operator exists to avoid. The
     # candidate sliver (true dups + fpp·batch false positives) broadcasts
-    # by contract into a semi join, so the index is only SCANNED; the
+    # by contract into the semi join, so the index is only SCANNED; the
     # exact verify is then an anti-join against the semi join's output,
-    # which is candidate-bounded (AQE broadcasts it).
-    idx_hits = idx.join(
+    # which is candidate-bounded and broadcasts by the same contract.
+    idx_hits = index_fps.select("fp").join(
         F.broadcast(candidates.select("fp")), "fp", "left_semi"
     )
-    verified = candidates.join(idx_hits, "fp", "left_anti")
+    verified = candidates.join(F.broadcast(idx_hits), "fp", "left_anti")
     return definitely_new.select("doc_id", "fp").unionByName(
         verified.select("doc_id", "fp")
     )

@@ -379,6 +379,49 @@ def test_triangle_census_no_nested_loop_beyond_scalar_crossjoins(spark, sf_small
     assert s.joins - s.nested_loop_joins >= 3  # deg×2, wedge, closing
 
 
+def test_bloom_dedup_probe_adds_no_exchange_and_never_shuffles_index(spark):
+    # three pins on bloom_incremental_exact_dedup's scale contract:
+    # (1) the per-fp all-k AND re-aggregation after the word-probe join
+    #     reuses the keeper group-by's fp partitioning — a
+    #     hashpartitioning(fp, doc_id) exchange anywhere means Catalyst
+    #     stopped propagating the clustering through Generate + the
+    #     broadcast join;
+    # (2) the verify path is broadcast end-to-end (candidate sliver by
+    #     contract) — an SMJ/shuffled-hash join means the index side
+    #     started shuffling;
+    # (3) with the probe materialized (the default), the operator adds
+    #     ZERO exchanges beyond the probe stage itself, and the shared
+    #     probe relation feeds all three consumers (>= 2 RDD scans).
+    import re
+
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        bloom_incremental_exact_dedup,
+    )
+    from postgres_etl_pipeline_spark.operators.text import fingerprint
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    new = spark.createDataFrame(
+        [(i, f"doc {i % 7}") for i in range(10)], "doc_id long, text string"
+    )
+    idx = spark.createDataFrame(
+        [(f"doc {i}",) for i in range(5)], "text string"
+    ).select(fingerprint("text").alias("fp"))
+
+    lazy = bloom_incremental_exact_dedup(
+        new, idx, num_bits=1 << 12, num_hashes=3, materialize_probe=False
+    )
+    s = plan_summary(lazy)
+    assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
+    p = plan_string(lazy, "simple")
+    assert not re.search(r"Exchange hashpartitioning\(fp[^,]*, doc_id", p), p
+
+    mat = bloom_incremental_exact_dedup(new, idx, num_bits=1 << 12, num_hashes=3)
+    sm = plan_summary(mat)
+    assert sm.shuffles == 0  # everything visible is broadcast-side
+    assert sm.broadcast_joins == 2  # semi prefilter + exact anti verify
+    assert plan_string(mat, "simple").count("ExistingRDD") >= 2
+
+
 def test_per_source_weighted_sample_group_limit_pushed_map_side(spark, sf_small):
     # same contract as the quality quota: the A-Res key is scan-side, and
     # the per-source rank filter runs as a Partial WindowGroupLimit below
