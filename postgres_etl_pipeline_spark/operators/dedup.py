@@ -839,6 +839,25 @@ def bloom_bit_words(
     )
 
 
+def merge_bloom_words(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two packed Bloom word relations (the per-increment index
+    maintenance step: after a batch is admitted, fold its
+    :func:`bloom_bit_words` into the persisted filter).
+
+    ``bit_or`` is associative/commutative/idempotent, so merging is one
+    map-side-combined aggregate over the union — re-merging the same
+    delta is a no-op (safe under at-least-once orchestration), and the
+    result stays bounded by ``num_bits / 64`` rows. Both inputs must
+    share (num_bits, num_hashes); key uniformity makes the word_idx
+    shuffle skew-free.
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 def bloom_incremental_exact_dedup(
     new_docs: DataFrame,
     index_fps: DataFrame,

@@ -286,6 +286,33 @@ class TestBloomIncrementalDedup:
         )
         assert admitted.count() == 0
 
+    def test_merge_bloom_words_equals_rebuild_and_is_idempotent(self, spark):
+        """Folding a batch's word relation into the persisted filter must
+        equal rebuilding the filter over the union of fingerprints, and
+        re-merging the same delta must change nothing (at-least-once
+        safety)."""
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            bloom_bit_words,
+            merge_bloom_words,
+        )
+        from postgres_etl_pipeline_spark.operators.text import fingerprint
+
+        num_bits, k = 1 << 10, 4
+        a = _docs(spark, [f"hist {i}" for i in range(30)]).select(
+            fingerprint("text").alias("fp")
+        )
+        b = _docs(spark, [f"batch {i}" for i in range(10)]).select(
+            fingerprint("text").alias("fp")
+        )
+        merged = merge_bloom_words(
+            bloom_bit_words(a, num_bits, k), bloom_bit_words(b, num_bits, k)
+        )
+        rebuilt = bloom_bit_words(a.unionByName(b), num_bits, k)
+        as_set = lambda df: {(r.word_idx, r.bits) for r in df.collect()}
+        assert as_set(merged) == as_set(rebuilt)
+        twice = merge_bloom_words(merged, bloom_bit_words(b, num_bits, k))
+        assert as_set(twice) == as_set(merged)
+
     def test_disjoint_batch_fully_admitted(self, spark):
         from postgres_etl_pipeline_spark.operators.dedup import (
             bloom_incremental_exact_dedup,
