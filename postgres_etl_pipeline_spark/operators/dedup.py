@@ -858,6 +858,50 @@ def merge_bloom_words(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def bloom_dense_words(
+    words: DataFrame, num_bits: int
+) -> list[int]:
+    """Collect a packed word relation into a dense ``num_bits / 64``-long
+    Python list (index = word_idx). Bounded driver-side metadata by
+    construction — the same contract as centroid/scale collections in the
+    similarity operators — sized by the BIT BUDGET, never by index
+    cardinality (1 << 17 bits → 2,048 longs ≈ 16 KB)."""
+    nwords = num_bits // 64
+    dense = [0] * nwords
+    for r in words.collect():
+        dense[int(r["word_idx"])] = int(r["bits"])
+    return dense
+
+
+def bloom_maybe_member(
+    dense_words: list[int],
+    num_bits: int,
+    num_hashes: int,
+    fp_col: str = "fp",
+) -> Column:
+    """Bloom membership probe as a PURE scan-side expression over a
+    literal-embedded filter: true iff all k bits for ``fp_col`` are set
+    in ``dense_words`` (:func:`bloom_dense_words`).
+
+    No join, no aggregation — which is what makes the probe legal in a
+    STREAMING plan (append mode admits no aggregate without a watermark;
+    the relational probe's per-fp all-k AND is an aggregate). This is the
+    deploy-time shape for shipping a filter into a streaming job: the
+    words are bounded metadata, embedded in the plan exactly like a
+    broadcast variable, and the k probes are codegen'd long ops."""
+    arr = F.array(*[F.lit(w).cast("long") for w in dense_words])
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(num_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(pmod(xxhash64({fp_col}, {i}), {num_bits}), 64) AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return cond
+
+
 def bloom_incremental_exact_dedup(
     new_docs: DataFrame,
     index_fps: DataFrame,

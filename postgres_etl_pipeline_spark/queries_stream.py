@@ -433,3 +433,72 @@ def stream_cdc_apply(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-gated incremental dedup — the admission gate as a stream
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _stream_bloom_oracle() -> str:
+    from .queries_ext import _NORM
+
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fp
+            WHERE CAST(substr(source, 4) AS BIGINT) < 15)
+    SELECT f.doc_id, f.fp
+    FROM fp f
+    WHERE CAST(substr(f.source, 4) AS BIGINT) >= 15
+      AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = f.fp)
+    """
+
+
+@register(
+    "stream_bloom_dedup",
+    _stream_bloom_oracle(),
+    survey="§2.8 extension: streaming admission gate against a static "
+    "fingerprint index — the Bloom filter embedded as a PLAN LITERAL "
+    "(bounded words, pure scan-side probe expressions: no aggregate, no "
+    "state, append-safe) with a stream-static conditional anti join "
+    "verifying only probable hits; drained answer == the batch anti-join "
+    "oracle (no intra-batch keeper by design — that is the downstream "
+    "batch dedup's job)",
+    tags=("streaming", "dedup"),
+)
+def stream_bloom_dedup(spark, sf_dir):
+    from .operators.dedup import bloom_bit_words, bloom_dense_words
+    from .operators.text import fingerprint
+    from .queries import t
+
+    num_bits, num_hashes = 1 << 17, 4
+    src_n = F.substring("source", 4, 10).cast("long")
+    index_fps = (
+        t(spark, sf_dir, "documents")
+        .filter(src_n < 15)
+        .select(fingerprint("text").alias("fp"))
+    )
+    dense = bloom_dense_words(
+        bloom_bit_words(index_fps, num_bits, num_hashes), num_bits
+    )
+    st = (
+        sources.stream_parquet(spark, f"{sf_dir}/documents.parquet", _DOCS_SCHEMA)
+        .filter(F.substring("source", 4, 10).cast("long") >= 15)
+        .select("doc_id", fingerprint("text").alias("fp"))
+    )
+    out = jobs.bloom_index_dedup(st, index_fps, dense, num_bits, num_hashes)
+    return runner.run_to_memory(
+        out, "stream_bloom_dedup", "append", state_partitions=STATE_PARTITIONS
+    )

@@ -384,3 +384,39 @@ def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.select("event_id", "event_type").join(
         F.broadcast(dim), "event_type"
     )
+
+
+def bloom_index_dedup(
+    doc_fps: DataFrame,
+    index_fps: DataFrame,
+    dense_words: list[int],
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Streaming incremental dedup against a STATIC fingerprint index,
+    Bloom-prefiltered — the continuously-growing-corpus admission gate as
+    a stream (the streaming twin of
+    operators.dedup.bloom_incremental_exact_dedup, minus the intra-batch
+    keeper: append mode admits no aggregate without a watermark, so
+    first-within-batch collapse belongs to the downstream batch dedup or
+    a watermarked dropDuplicates — both already in the catalog).
+
+    Append-mode safe with ZERO streaming state: the membership probe is
+    the literal-embedded :func:`~...operators.dedup.bloom_maybe_member`
+    expression (pure scan-side long ops — the filter ships into the job
+    like a broadcast variable), and the exact verify is a stream-static
+    anti join whose compound condition (``fp`` match AND ``maybe``)
+    short-circuits rows the filter already cleared: a definitely-new doc
+    can never match any index row, so it flows through without the index
+    lookup, while probable hits are verified exactly — Bloom false
+    positives cannot leak a duplicate downstream.
+    """
+    from ..operators.dedup import bloom_maybe_member
+
+    probed = doc_fps.withColumn(
+        "maybe_in_index",
+        bloom_maybe_member(dense_words, num_bits, num_hashes),
+    )
+    idx = F.broadcast(index_fps.select(F.col("fp").alias("_idx_fp")))
+    cond = (F.col("fp") == F.col("_idx_fp")) & F.col("maybe_in_index")
+    return probed.join(idx, cond, "left_anti").select("doc_id", "fp")
