@@ -858,47 +858,57 @@ def merge_bloom_words(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def bloom_dense_words(
-    words: DataFrame, num_bits: int
-) -> list[int]:
-    """Collect a packed word relation into a dense ``num_bits / 64``-long
-    Python list (index = word_idx). Bounded driver-side metadata by
+def bloom_bit_string(words: DataFrame, num_bits: int) -> str:
+    """Collect a packed word relation into a ``num_bits``-char '0'/'1'
+    Python string (index = bit position). Bounded driver-side metadata by
     construction — the same contract as centroid/scale collections in the
     similarity operators — sized by the BIT BUDGET, never by index
-    cardinality (1 << 17 bits → 2,048 longs ≈ 16 KB)."""
-    nwords = num_bits // 64
-    dense = [0] * nwords
+    cardinality (1 << 17 bits → 128 KiB).
+
+    Why a bit STRING and not an array-of-longs literal: the probe embeds
+    this value in the plan, and Catalyst's cost there is expression NODE
+    COUNT, not bytes — a ``CreateArray`` of 2,048 long literals is ~2k
+    nodes that every analyzer/optimizer rule re-walks (measured: ~14 s of
+    driver time per fresh plan at 1 << 17 bits), while one string literal
+    is ONE node and a ``substr`` probe is O(1) per row. The 8× byte
+    overhead vs packed words is irrelevant at literal-appropriate sizes;
+    beyond ~2^24 bits ship the filter relationally
+    (:func:`bloom_bit_words` + the join probe) instead of as a literal."""
+    bits = bytearray(b"0") * num_bits
     for r in words.collect():
-        dense[int(r["word_idx"])] = int(r["bits"])
-    return dense
+        base = int(r["word_idx"]) * 64
+        w = int(r["bits"])
+        for b in range(64):
+            if (w >> b) & 1:
+                bits[base + b] = ord("1")
+    return bits.decode("ascii")
 
 
 def bloom_maybe_member(
-    dense_words: list[int],
+    bits_col: Column,
     num_bits: int,
     num_hashes: int,
     fp_col: str = "fp",
 ) -> Column:
     """Bloom membership probe as a PURE scan-side expression over a
-    literal-embedded filter: true iff all k bits for ``fp_col`` are set
-    in ``dense_words`` (:func:`bloom_dense_words`).
+    literal-embedded filter: true iff all k bits for ``fp_col`` are '1'
+    in ``bits_col`` — a column holding the :func:`bloom_bit_string`
+    value. Attach the string ONCE (``withColumn("_bits", F.lit(s))``)
+    and pass ``F.col("_bits")`` so the plan carries a single literal
+    node, then drop the helper column after this probe.
 
     No join, no aggregation — which is what makes the probe legal in a
     STREAMING plan (append mode admits no aggregate without a watermark;
     the relational probe's per-fp all-k AND is an aggregate). This is the
     deploy-time shape for shipping a filter into a streaming job: the
-    words are bounded metadata, embedded in the plan exactly like a
-    broadcast variable, and the k probes are codegen'd long ops."""
-    arr = F.array(*[F.lit(w).cast("long") for w in dense_words])
+    bits are bounded metadata, embedded in the plan exactly like a
+    broadcast variable, and the k probes are codegen'd substr lookups."""
     cond = F.lit(True)
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(num_bits))
-        word = F.element_at(arr, (pos / 64).cast("int") + 1)
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pmod(pmod(xxhash64({fp_col}, {i}), {num_bits}), 64) AS INT))"
+        cond = cond & (
+            bits_col.substr((pos + 1).cast("int"), F.lit(1)) == "1"
         )
-        cond = cond & (word.bitwiseAND(mask) == mask)
     return cond
 
 

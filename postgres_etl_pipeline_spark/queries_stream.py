@@ -479,18 +479,18 @@ def _stream_bloom_oracle() -> str:
     tags=("streaming", "dedup"),
 )
 def stream_bloom_dedup(spark, sf_dir):
-    from .operators.dedup import bloom_bit_words, bloom_dense_words
+    from .operators.dedup import bloom_bit_string, bloom_bit_words
     from .operators.text import fingerprint
-    from .queries import t
+    from .queries import spread, t
 
     num_bits, num_hashes = 1 << 17, 4
     src_n = F.substring("source", 4, 10).cast("long")
     index_fps = (
-        t(spark, sf_dir, "documents")
+        spread(t(spark, sf_dir, "documents"))
         .filter(src_n < 15)
         .select(fingerprint("text").alias("fp"))
     )
-    dense = bloom_dense_words(
+    bits = bloom_bit_string(
         bloom_bit_words(index_fps, num_bits, num_hashes), num_bits
     )
     st = (
@@ -498,7 +498,7 @@ def stream_bloom_dedup(spark, sf_dir):
         .filter(F.substring("source", 4, 10).cast("long") >= 15)
         .select("doc_id", fingerprint("text").alias("fp"))
     )
-    out = jobs.bloom_index_dedup(st, index_fps, dense, num_bits, num_hashes)
+    out = jobs.bloom_index_dedup(st, index_fps, bits, num_bits, num_hashes)
     return runner.run_to_memory(
         out, "stream_bloom_dedup", "append", state_partitions=STATE_PARTITIONS
     )

@@ -389,7 +389,7 @@ def static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
 def bloom_index_dedup(
     doc_fps: DataFrame,
     index_fps: DataFrame,
-    dense_words: list[int],
+    bit_string: str,
     num_bits: int,
     num_hashes: int,
 ) -> DataFrame:
@@ -403,7 +403,7 @@ def bloom_index_dedup(
 
     Append-mode safe with ZERO streaming state: the membership probe is
     the literal-embedded :func:`~...operators.dedup.bloom_maybe_member`
-    expression (pure scan-side long ops — the filter ships into the job
+    expression (pure scan-side substr probes — the filter ships into the job
     like a broadcast variable), and the exact verify is a stream-static
     anti join whose compound condition (``fp`` match AND ``maybe``)
     short-circuits rows the filter already cleared: a definitely-new doc
@@ -413,9 +413,13 @@ def bloom_index_dedup(
     """
     from ..operators.dedup import bloom_maybe_member
 
-    probed = doc_fps.withColumn(
-        "maybe_in_index",
-        bloom_maybe_member(dense_words, num_bits, num_hashes),
+    probed = (
+        doc_fps.withColumn("_bloom_bits", F.lit(bit_string))
+        .withColumn(
+            "maybe_in_index",
+            bloom_maybe_member(F.col("_bloom_bits"), num_bits, num_hashes),
+        )
+        .drop("_bloom_bits")
     )
     idx = F.broadcast(index_fps.select(F.col("fp").alias("_idx_fp")))
     cond = (F.col("fp") == F.col("_idx_fp")) & F.col("maybe_in_index")
