@@ -527,3 +527,63 @@ def test_incremental_near_dup_invariants(spark, split, thr):
             (min(n, o), max(n, o)) in pairs
             for o in (stored_ids | {m for m in new_ids if m < n})
         ), (n, sorted(pairs))
+
+
+@given(
+    member=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=15),
+    probe=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=15),
+    num_bits=st.sampled_from([64, 256, 1 << 10]),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_bloom_literal_probe_agrees_with_relational_probe(
+    spark, member, probe, num_bits, k
+):
+    """The two Bloom probe implementations — the relational word-join +
+    bool_and path inside bloom_incremental_exact_dedup and the
+    literal-embedded bit-string path (bloom_bit_string →
+    bloom_maybe_member, the streaming shape) — must agree EXACTLY on
+    every fingerprint, member or not: same hashes, same bits, same
+    verdicts. And members must always probe positive (one-sided error)."""
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        bloom_bit_string,
+        bloom_bit_words,
+        bloom_maybe_member,
+    )
+
+    fps = spark.createDataFrame([(m,) for m in set(member)], "fp string")
+    words = bloom_bit_words(fps, num_bits, k)
+    bits = bloom_bit_string(words, num_bits)
+
+    probe_fps = sorted(set(probe) | set(member))
+    pdf = spark.createDataFrame([(p,) for p in probe_fps], "fp string")
+    literal = {
+        r.fp: r.maybe
+        for r in pdf.withColumn("_b", F.lit(bits))
+        .select(
+            "fp", bloom_maybe_member(F.col("_b"), num_bits, k).alias("maybe")
+        )
+        .collect()
+    }
+
+    # relational verdicts, driver-side twin over the same words
+    dense = {int(r.word_idx): int(r.bits) for r in words.collect()}
+    hashed = {
+        r.fp: [int(p) for p in r.pos]
+        for r in pdf.select(
+            "fp",
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(num_bits))
+                    for i in range(k)
+                ]
+            ).alias("pos"),
+        ).collect()
+    }
+    for fp, positions in hashed.items():
+        expected = all(
+            (dense.get(p // 64, 0) >> (p % 64)) & 1 for p in positions
+        )
+        assert literal[fp] == expected, (fp, positions)
+    for m in set(member):
+        assert literal[m] is True, m
