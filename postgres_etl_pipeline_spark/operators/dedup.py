@@ -814,8 +814,34 @@ def bloom_bit_words(
     probe-many artifact: persist it alongside the fingerprint index and
     append the admitted increment's words with the same ``bit_or``.
     """
+    return (
+        _bloom_position_rows(index_fps, num_bits, num_hashes, fp_col, [])
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def _bloom_position_rows(
+    df: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    fp_col: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Shared position/mask pipeline for the Bloom BUILD and the
+    relational PROBE (review finding r07: written twice, the two copies
+    could silently diverge — and any divergence between build and probe
+    hashing is a FALSE NEGATIVE, a duplicate leaking past the gate).
+
+    Explodes ``df`` to one row per (fp, hash seed) with the packed
+    coordinates: ``word_idx = pos / 64`` and the single-bit ``mask``,
+    where ``pos = pmod(xxhash64(fp, seed_i), num_bits)`` for
+    ``seed_i in 0..num_hashes-1``. ``carry_cols`` ride along (the probe
+    keeps fp/doc_id; the build keeps nothing).
+    """
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    pos = index_fps.select(
+    pos = df.select(
+        *carry_cols,
         F.explode(
             F.transform(
                 seeds,
@@ -823,19 +849,16 @@ def bloom_bit_words(
                     F.xxhash64(F.col(fp_col), s), F.lit(num_bits)
                 ),
             )
-        ).alias("pos")
+        ).alias("pos"),
     )
-    return (
-        pos.select(
-            (F.col("pos") / 64).cast("long").alias("word_idx"),
-            # SQL form: the Python F.shiftleft only takes an int literal
-            # for the shift amount, the expression form takes a column
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
-                "mask"
-            ),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
+    return pos.select(
+        *carry_cols,
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        # SQL form: the Python F.shiftleft only takes an int literal
+        # for the shift amount, the expression form takes a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+            "mask"
+        ),
     )
 
 
@@ -949,23 +972,10 @@ def bloom_incremental_exact_dedup(
     keeper = new_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
 
     words = bloom_bit_words(index_fps, num_bits, num_hashes)
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    probes = keeper.select(
-        "fp",
-        "doc_id",
-        F.explode(
-            F.transform(
-                seeds,
-                lambda s: F.pmod(F.xxhash64(F.col("fp"), s), F.lit(num_bits)),
-            )
-        ).alias("pos"),
-    ).select(
-        "fp",
-        "doc_id",
-        (F.col("pos") / 64).cast("long").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
-            "mask"
-        ),
+    # build and probe MUST hash identically — shared pipeline by
+    # construction (review finding r07)
+    probes = _bloom_position_rows(
+        keeper, num_bits, num_hashes, "fp", ["fp", "doc_id"]
     )
     probed = (
         probes.join(F.broadcast(words), "word_idx", "left")
@@ -992,16 +1002,20 @@ def bloom_incremental_exact_dedup(
         probed = probed.localCheckpoint(eager=False)
     definitely_new = probed.filter(~F.col("maybe_in_index"))
     candidates = probed.filter(F.col("maybe_in_index"))
-    # The index is the big side at 100 TB — never shuffle it. No
-    # .distinct() here: semi-join output feeding an anti-join build is
-    # duplicate-insensitive, and a distinct would itself shuffle the
-    # full index — the exact cost this operator exists to avoid. The
-    # candidate sliver (true dups + fpp·batch false positives) broadcasts
-    # by contract into the semi join, so the index is only SCANNED; the
-    # exact verify is then an anti-join against the semi join's output,
-    # which is candidate-bounded and broadcasts by the same contract.
-    idx_hits = index_fps.select("fp").join(
-        F.broadcast(candidates.select("fp")), "fp", "left_semi"
+    # The index is the big side at 100 TB — never shuffle the FULL
+    # index. The candidate sliver (true dups + fpp·batch false
+    # positives) broadcasts by contract into a semi join, so the index
+    # is only SCANNED. The semi output then gets a .distinct(): left
+    # semi preserves LEFT-side multiplicity, so a hot fingerprint
+    # repeated 10⁶× in a non-deduped index would otherwise ride into
+    # the broadcast build 10⁶× (review finding r07) — the distinct
+    # shuffles only the candidate-MATCHING rows (map-side partial
+    # dedup collapses the hot key per task), restoring the
+    # candidate-bounded build the anti-join broadcast relies on.
+    idx_hits = (
+        index_fps.select("fp")
+        .join(F.broadcast(candidates.select("fp")), "fp", "left_semi")
+        .distinct()
     )
     verified = candidates.join(F.broadcast(idx_hits), "fp", "left_anti")
     return definitely_new.select("doc_id", "fp").unionByName(

@@ -524,17 +524,38 @@ def bm25_doc_topk(spark, sf_dir):
 # Bloom-prefiltered incremental dedup — the bounded-metadata probe path
 # ---------------------------------------------------------------------------
 
+# History/batch split shared by the batch entry AND its streaming twin
+# (stream_bloom_dedup, queries_stream.py) — one definition so the two
+# entries can never silently drift apart (review finding r07). The SQL
+# fragment defines the fp + idx CTEs; the Spark helper returns the same
+# split relationally.
+BLOOM_SPLIT_SRC = 15
+
+_BLOOM_SPLIT_SQL = f"""fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fp
+            WHERE CAST(substr(source, 4) AS BIGINT) < {BLOOM_SPLIT_SRC})"""
+
+
+def bloom_split(spark, sf_dir):
+    """(index_fps, new_docs) for the shared history/batch split."""
+    from .operators.text import fingerprint
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    src_n = F.substring("source", 4, 10).cast("long")
+    index_fps = docs.filter(src_n < BLOOM_SPLIT_SRC).select(
+        fingerprint("text").alias("fp")
+    )
+    return index_fps, docs.filter(src_n >= BLOOM_SPLIT_SRC)
+
 
 @register(
     "bloom_dedup_new_docs",
     f"""
-    WITH fp AS (
-      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
-    ),
-    idx AS (SELECT DISTINCT fp FROM fp
-            WHERE CAST(substr(source, 4) AS BIGINT) < 15),
+    WITH {_BLOOM_SPLIT_SQL},
     new AS (SELECT doc_id, fp FROM fp
-            WHERE CAST(substr(source, 4) AS BIGINT) >= 15),
+            WHERE CAST(substr(source, 4) AS BIGINT) >= {BLOOM_SPLIT_SRC}),
     keeper AS (SELECT fp, min(doc_id) AS doc_id FROM new GROUP BY 1)
     SELECT k.doc_id, k.fp
     FROM keeper k
@@ -552,13 +573,9 @@ def bm25_doc_topk(spark, sf_dir):
 def bloom_dedup_new_docs(spark, sf_dir):
     from .operators.dedup import bloom_incremental_exact_dedup
 
-    docs = spread(t(spark, sf_dir, "documents"))
-    from .operators.text import fingerprint
-
-    src_n = F.substring("source", 4, 10).cast("long")
-    index_fps = docs.filter(src_n < 15).select(fingerprint("text").alias("fp"))
+    index_fps, new_docs = bloom_split(spark, sf_dir)
     return bloom_incremental_exact_dedup(
-        docs.filter(src_n >= 15),
+        new_docs,
         index_fps,
         num_bits=1 << 17,
         num_hashes=4,

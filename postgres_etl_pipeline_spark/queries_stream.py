@@ -451,17 +451,15 @@ _DOCS_SCHEMA = T.StructType(
 
 
 def _stream_bloom_oracle() -> str:
-    from .queries_ext import _NORM
+    # fp/idx CTEs + split constant shared with the batch twin
+    # (bloom_dedup_new_docs) so the two entries cannot drift apart
+    from .queries_ext5 import _BLOOM_SPLIT_SQL, BLOOM_SPLIT_SRC
 
     return f"""
-    WITH fp AS (
-      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
-    ),
-    idx AS (SELECT DISTINCT fp FROM fp
-            WHERE CAST(substr(source, 4) AS BIGINT) < 15)
+    WITH {_BLOOM_SPLIT_SQL}
     SELECT f.doc_id, f.fp
     FROM fp f
-    WHERE CAST(substr(f.source, 4) AS BIGINT) >= 15
+    WHERE CAST(substr(f.source, 4) AS BIGINT) >= {BLOOM_SPLIT_SRC}
       AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = f.fp)
     """
 
@@ -481,21 +479,16 @@ def _stream_bloom_oracle() -> str:
 def stream_bloom_dedup(spark, sf_dir):
     from .operators.dedup import bloom_bit_string, bloom_bit_words
     from .operators.text import fingerprint
-    from .queries import spread, t
+    from .queries_ext5 import BLOOM_SPLIT_SRC, bloom_split
 
     num_bits, num_hashes = 1 << 17, 4
-    src_n = F.substring("source", 4, 10).cast("long")
-    index_fps = (
-        spread(t(spark, sf_dir, "documents"))
-        .filter(src_n < 15)
-        .select(fingerprint("text").alias("fp"))
-    )
+    index_fps, _ = bloom_split(spark, sf_dir)
     bits = bloom_bit_string(
         bloom_bit_words(index_fps, num_bits, num_hashes), num_bits
     )
     st = (
         sources.stream_parquet(spark, f"{sf_dir}/documents.parquet", _DOCS_SCHEMA)
-        .filter(F.substring("source", 4, 10).cast("long") >= 15)
+        .filter(F.substring("source", 4, 10).cast("long") >= BLOOM_SPLIT_SRC)
         .select("doc_id", fingerprint("text").alias("fp"))
     )
     out = jobs.bloom_index_dedup(st, index_fps, bits, num_bits, num_hashes)

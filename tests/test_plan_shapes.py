@@ -417,7 +417,11 @@ def test_bloom_dedup_probe_adds_no_exchange_and_never_shuffles_index(spark):
 
     mat = bloom_incremental_exact_dedup(new, idx, num_bits=1 << 12, num_hashes=3)
     sm = plan_summary(mat)
-    assert sm.shuffles == 0  # everything visible is broadcast-side
+    # exactly ONE visible exchange: the distinct on the semi-join output
+    # (candidate-MATCHING rows only — bounds the anti-join broadcast under
+    # index fp multiplicity; review finding r07). The full index and the
+    # probe never shuffle.
+    assert sm.shuffles == 1
     assert sm.broadcast_joins == 2  # semi prefilter + exact anti verify
     assert plan_string(mat, "simple").count("ExistingRDD") >= 2
 

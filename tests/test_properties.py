@@ -539,12 +539,16 @@ def test_incremental_near_dup_invariants(spark, split, thr):
 def test_bloom_literal_probe_agrees_with_relational_probe(
     spark, member, probe, num_bits, k
 ):
-    """The two Bloom probe implementations — the relational word-join +
-    bool_and path inside bloom_incremental_exact_dedup and the
-    literal-embedded bit-string path (bloom_bit_string →
-    bloom_maybe_member, the streaming shape) — must agree EXACTLY on
-    every fingerprint, member or not: same hashes, same bits, same
-    verdicts. And members must always probe positive (one-sided error)."""
+    """The literal-embedded bit-string probe (bloom_bit_string →
+    bloom_maybe_member, the streaming shape) must agree EXACTLY with
+    ground truth computed independently from the packed word relation
+    (hash positions via production expressions, bit extraction re-derived
+    driver-side), and members must always probe positive (one-sided
+    error). The RELATIONAL probe inside bloom_incremental_exact_dedup is
+    pinned to the same semantics end-to-end by
+    TestBloomIncrementalDedup's equality-with-plain-incremental tests;
+    both probes consume _bloom_position_rows, so the hashing cannot
+    diverge by construction."""
     from postgres_etl_pipeline_spark.operators.dedup import (
         bloom_bit_string,
         bloom_bit_words,
