@@ -1436,3 +1436,186 @@ def prefix_filter_pairs(
     return verified.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier: edit-distance near-dups (Ed-Join) — character-level
+# verification, the fuzzy-match modality token shingles cannot express
+# (a one-char typo in every word destroys word-shingle Jaccard but is
+# trivially close in edit distance).
+# ---------------------------------------------------------------------------
+
+
+def ascii_projected(text_col: str | Column) -> Column:
+    """Project every non-ASCII codepoint to ``'?'``.
+
+    Edit distance is only engine-portable over this projection: Spark's
+    ``levenshtein`` counts Unicode codepoints while DuckDB's counts UTF-8
+    BYTES ('héllo'→'hello' is 1 on Spark, 2 on DuckDB). On the projection
+    bytes ≡ codepoints, so both engines compute the identical distance —
+    and both regex engines (Java util.regex, RE2) replace one supplementary
+    codepoint with exactly one ``'?'``, so projected LENGTHS agree too
+    (pinned empirically in tests). The projection is also the documented
+    semantics: distances are over ASCII-projected text, a deterministic,
+    engine-independent contract.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(c, "[^\\x00-\\x7F]", "?")
+
+
+def _char_qgram_rows(base: DataFrame, q: int) -> DataFrame:
+    """(did, tl, hs) rows: hashed character q-grams, MULTISET (positional,
+    duplicates kept — the q-gram lemma counts occurrences, not values).
+    Hashing is recall-safe here: a 64-bit collision can only equate two
+    distinct grams, which OVER-counts overlap — candidates are never lost,
+    and the levenshtein verify is exact.
+
+    Sub-``q`` docs emit an EMPTY array explicitly: ``sequence(1, 0)`` in
+    Spark is the descending ``[1, 0]``, which would otherwise leak two
+    junk partial grams per short doc into the index (recall-safe but
+    spurious candidate volume)."""
+    grams = F.when(
+        F.col("tl") >= q,
+        F.transform(
+            F.sequence(F.lit(1), F.col("tl") - (q - 1)),
+            lambda i: F.xxhash64(F.substring(F.col("t"), i, F.lit(q))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select("did", "tl", F.explode(grams).alias("hs"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    d: int = 24,
+    q: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact edit-distance near-dup pairs: all ``a < b`` with
+    ``levenshtein(proj(a), proj(b)) <= d`` over the ASCII projection
+    (:func:`ascii_projected`) — recall 1 BY THEOREM via Ed-Join prefix
+    filtering (Xiao, Wang, Lin, Yu: "Ed-Join", VLDB'08).
+
+    Candidate generation, two disjoint-by-construction regimes:
+
+    1. **Long docs** (> ``q·d + q - 1`` chars, i.e. more than ``q·d``
+       q-gram occurrences): the multiset q-gram lemma — one edit destroys
+       at most ``q`` of a string's ``n = len - q + 1`` positional q-grams,
+       so ``ed(x, y) <= d`` forces multiset overlap
+       ``>= max(n_x, n_y) - d·q > 0``. By the prefix-filtering principle
+       under one global (dfreq, hs) order, the first ``d·q + 1`` gram
+       occurrences of each side must then share a gram value, so
+       candidates come from a self-join over per-doc PREFIXES of at most
+       ``d·q + 1`` rows — join-key volume per doc is BOUNDED by the
+       threshold, not the document length, and ascending-dfreq order
+       makes those keys the coldest posting lists (same machinery as
+       :func:`prefix_filter_pairs`). A short doc paired WITH a long one
+       is caught here too: the lemma needs only ``max(n_x, n_y) > d·q``,
+       and a short doc's whole gram multiset fits inside its prefix.
+
+    2. **Short docs** (``<= q·d`` gram occurrences, incl. ``len < q``
+       zero-gram docs): the lemma is vacuous — two such docs can be
+       within ``d`` edits while sharing ZERO q-grams — so the short band
+       pairs via LENGTH-BUCKET blocking instead: ``|len_a - len_b| <= d``
+       (a theorem: ``ed >= |len difference|``) means bucket ids
+       ``floor(len / (d+1))`` differ by at most 1, so one side probes its
+       three neighbor buckets and every admissible pair meets exactly
+       once. The band is bounded (docs under ``3d + 2`` chars ≈ tweet
+       length at the default) and in a real corpus largely removed by the
+       quality gate before dedup; the blocking keys keep it off the
+       cross-join path regardless.
+
+    Verification is Spark's native banded DP ``levenshtein(l, r, d)``
+    (O(d·min(len)) per pair, JVM codegen — returns -1 past the
+    threshold, so the filter is one integer comparison). Candidates
+    carry projected lengths, so the ``|len_a - len_b| <= d`` prune runs
+    BEFORE texts are joined back. Every shuffle is linear in corpus gram
+    volume; the quadratic term is bounded by cold-key prefix fanout ∧
+    the length band. Reference parity: extends the dedup tier family
+    (reference has no fuzzy matching; nearest is exact-key dedup in
+    grocery_reconcile_dag.py upsert keys).
+    """
+    if q < 2:
+        raise ValueError("q must be >= 2 (q=1 grams carry no position)")
+    base = df.select(
+        F.col(id_col).alias("did"), ascii_projected(text_col).alias("t")
+    ).withColumn("tl", F.length("t"))
+    short_max = q * d + q - 1  # n_grams = tl - q + 1 <= q*d  ⇔  tl <= this
+
+    # --- regime 1: prefix join over long-doc grams + ALL docs' grams ---
+    # Build prefixes for every doc (short docs fit whole — rn never
+    # exceeds their gram count); require at least one LONG side below so
+    # the lemma applies. dfreq counts occurrences corpus-wide.
+    gram_rows = _char_qgram_rows(base, q)
+    dfreq = gram_rows.groupBy("hs").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("did").orderBy("dfreq", "hs")
+    prefix = (
+        gram_rows.join(dfreq, "hs")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= q * d + 1)
+        .select("did", "tl", "hs")
+    )
+    cand_long = (
+        prefix.select(
+            F.col("did").alias("doc_a"), F.col("tl").alias("tl_a"), "hs"
+        )
+        .hint("SHUFFLE_HASH")
+        .join(
+            prefix.select(
+                F.col("did").alias("doc_b"), F.col("tl").alias("tl_b"), "hs"
+            ).hint("SHUFFLE_HASH"),
+            "hs",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("tl_a") - F.col("tl_b")) <= d)
+            & (F.greatest("tl_a", "tl_b") > short_max)
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    # --- regime 2: short×short via length-bucket blocking ---
+    short = base.filter(F.col("tl") <= short_max)
+    probe = short.select(
+        F.col("did").alias("doc_a"),
+        F.col("tl").alias("tl_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("tl") / (d + 1)) - 1,
+                F.floor(F.col("tl") / (d + 1)),
+                F.floor(F.col("tl") / (d + 1)) + 1,
+            )
+        ).alias("bk"),
+    )
+    build = short.select(
+        F.col("did").alias("doc_b"),
+        F.col("tl").alias("tl_b"),
+        F.floor(F.col("tl") / (d + 1)).alias("bk"),
+    )
+    cand_short = (
+        probe.join(build, "bk")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("tl_a") - F.col("tl_b")) <= d)
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    cands = cand_long.unionByName(cand_short).distinct()
+
+    # --- exact verify: banded levenshtein over projected text ---
+    verified = (
+        cands.join(
+            base.select(F.col("did").alias("doc_a"), F.col("t").alias("t_a")),
+            "doc_a",
+        )
+        .join(
+            base.select(F.col("did").alias("doc_b"), F.col("t").alias("t_b")),
+            "doc_b",
+        )
+        .withColumn("lv", F.levenshtein("t_a", "t_b", d))
+        .filter(F.col("lv") >= 0)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.col("lv").cast("long").alias("edit_distance")
+    )

@@ -689,3 +689,47 @@ def temperature_mixture_sample(spark, sf_dir):
             F.floor(F.col("p") * 1000000).cast("long").alias("rate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dups (Ed-Join) — character-level fuzzy matching,
+# the verification modality token-shingle Jaccard cannot express
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "edit_distance_near_dups",
+    # Oracle = brute-force length-pruned levenshtein over the SAME ASCII
+    # projection — semantically independent of the Spark plan (no prefix
+    # filter, no bucketing), so a hash match certifies the Ed-Join
+    # candidate theorem end-to-end, not a shared bug. `|len_a - len_b|
+    # <= d` is the one prune the oracle shares, and it is a theorem
+    # (ed >= length difference). Projection note: DuckDB's levenshtein
+    # counts UTF-8 BYTES, Spark's counts codepoints; on the ASCII
+    # projection bytes == codepoints, making the distance engine-exact
+    # (operators/dedup.py ascii_projected).
+    r"""
+    WITH p AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.t, b.t) AS ed
+      FROM p a JOIN p b
+        ON a.doc_id < b.doc_id
+       AND abs(length(a.t) - length(b.t)) <= 24
+    )
+    SELECT doc_a, doc_b, CAST(ed AS BIGINT) AS edit_distance
+    FROM c WHERE ed <= 24
+    """,
+    survey="§7 Phase 5: edit-distance near-dups — Ed-Join prefix filtering "
+    "(d·q+1 rarest char-3-gram occurrences as join keys, recall 1 by the "
+    "multiset q-gram lemma), length-bucket blocking for the short band "
+    "where the lemma is vacuous, banded JVM levenshtein(l, r, d) verify",
+    tags=("ext", "dedup"),
+)
+def edit_distance_near_dups(spark, sf_dir):
+    from .operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(spread(t(spark, sf_dir, "documents")), d=24)
