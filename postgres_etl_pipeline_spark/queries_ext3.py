@@ -395,12 +395,23 @@ def tfidf_cosine_topk(spark, sf_dir):
     never enters; ln() agreement at 4 dp is the same cross-engine contract
     tfidf_top_terms already pins). At 100 TB the probe side is a broadcast
     query workload and hot tokens get df-capped exactly like
-    jaccard_pairs' stop-shingle cap."""
+    jaccard_pairs' stop-shingle cap.
+
+    Stage sharing: ``tf`` (the raw postings) feeds both the document
+    frequencies and the weighted index, and ``w`` (the weighted postings)
+    feeds norms, the probe slice, AND the corpus side of the pair join —
+    without materialization Spark re-derives the tokenize+aggregate
+    lineage once per consumer (the pre-fix plan carried three separate
+    Scan→Generate branches). Both are ``localCheckpoint(eager=False)``'d:
+    tokenization runs exactly once, which is also the production shape —
+    a TF-IDF index over 100 TB is built once and persisted, not re-derived
+    per query."""
     docs = spread(t(spark, sf_dir, "documents"))
     tf = (
         docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_tok = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(
@@ -416,6 +427,7 @@ def tfidf_cosine_topk(spark, sf_dir):
                 F.col("tf") * F.log(F.col("n") / F.col("df")), 4
             ).cast("decimal(18,4)").alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")

@@ -458,7 +458,21 @@ def bm25_doc_topk(spark, sf_dir):
     decimal BEFORE the per-pair summation — float summation order never
     enters, and the rank window ties-break on neighbor_id. At 100 TB the
     probe side is a broadcast query workload; hot tokens df-cap exactly
-    like jaccard_pairs' stop-shingle cap."""
+    like jaccard_pairs' stop-shingle cap.
+
+    Stage sharing — measured, deliberately NOT applied here: ``tf`` feeds
+    four consumers, and `tfidf_cosine_topk` materializes its shared
+    relations for a 1.7× sf1 win, so the same treatment was tried here
+    and measured SLOWER (sf1 5.5 s recompute vs 10.5 s checkpointed,
+    same session, 48g scale harness). The asymmetry: tfidf's reused
+    relation embeds a token-keyed shuffle JOIN (re-run per consumer
+    unless materialized), while every bm25 consumer is a map-side-
+    combined aggregation over scan→explode lineage — recomputing that is
+    cheaper than writing + re-reading the full postings, and
+    materializing ``tf`` also forfeits the probe slice's ``doc_id < 20``
+    parquet pushdown (the filter reaches the scan only while the lineage
+    is live). At 100 TB the index IS persisted, but as a bucketed table
+    built once across queries — not per-query inside this plan."""
     from pyspark.sql import Window
 
     from .operators import text as X
