@@ -440,3 +440,101 @@ def redaction_stats(df: DataFrame, col: str, group_by: str) -> DataFrame:
             F.countDistinct("template").cast("long").alias("n_templates"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights over hashed token buckets (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023): score every NON-target document by how much its hashed
+    unigram profile looks drawn from the target-domain distribution
+    rather than the raw-corpus distribution.
+
+    Model: feature = md5-portable token hash mod ``n_buckets``; the
+    target and raw corpora each induce a Laplace-smoothed categorical
+    distribution over buckets, and a document's weight is its
+    log-likelihood ratio
+
+        w(d) = Σ_b count_d(b) · ln( p_target(b) / p_raw(b) )
+
+    with p(b) = (count(b) + 1) / (total + n_buckets). The per-bucket
+    log-ratio is rounded to 4 dp and carried as DECIMAL(18,4) BEFORE the
+    per-document summation, so every weight is an exact decimal sum —
+    partition-order-invariant and engine-portable (the same pre-round
+    contract tfidf_cosine_topk / bm25_doc_topk pin for ln()).
+
+    Scale shape (100 TB): the bucket space is FIXED (n_buckets), so both
+    distributions and the joined log-ratio relation are bounded-size and
+    broadcast back onto the per-doc bucket counts — the token stream is
+    aggregated once by (doc, bucket) with map-side combine and never
+    shuffled by token. Cost: one (doc, bucket) shuffle + one per-doc
+    shuffle, both linear in corpus size; no global sort.
+
+    Returns (id_col, weight_dec DECIMAL) for every non-target document
+    with at least one token. Callers layer selection policy (top-k
+    resample, threshold gate) on top.
+    """
+    from .dedup import _token_hash60
+
+    tok = df.select(
+        F.col(id_col),
+        is_target.alias("is_target"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    doc_bucket = (
+        tok.select(
+            id_col,
+            "is_target",
+            (_token_hash60(F.col("token")) % n_buckets).alias("bucket"),
+        )
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dist = doc_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(~F.col("is_target"), F.col("cnt")).otherwise(0)).alias("cnt_r"),
+    )
+    # Corpus totals as an unbounded window over dist (≤ n_buckets rows, so
+    # the SinglePartition pass is trivial) rather than a separate scalar
+    # aggregate: a second consumer of dist would re-derive the whole
+    # tokenize→aggregate lineage (measured: one full extra Generate branch
+    # in the physical plan).
+    from pyspark.sql import Window as _W
+
+    _all = _W.partitionBy()
+    lam = (
+        dist.select(
+            "bucket",
+            "cnt_t",
+            "cnt_r",
+            F.sum("cnt_t").over(_all).cast("double").alias("tot_t"),
+            F.sum("cnt_r").over(_all).cast("double").alias("tot_r"),
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.col("cnt_t") + F.lit(1.0))
+                    / (F.col("tot_t") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cnt_r") + F.lit(1.0))
+                    / (F.col("tot_r") + F.lit(float(n_buckets)))
+                ),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .alias("lam"),
+        )
+    )
+    return (
+        doc_bucket.filter(~F.col("is_target"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lam")).alias("weight_dec"))
+    )

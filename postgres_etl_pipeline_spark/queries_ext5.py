@@ -747,3 +747,101 @@ def edit_distance_near_dups(spark, sf_dir):
     from .operators.dedup import edit_distance_pairs
 
     return edit_distance_pairs(spread(t(spark, sf_dir, "documents")), d=24)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling — domain-matched data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "('src0', 'src1', 'src2', 'src3')"
+_DSIR_BUCKETS = 1024
+
+_DSIR_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source IN {_DSIR_TARGET} AS is_target,
+             unnest({_TOKS}) AS token
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket,
+             count(*) AS cnt
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    dist AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS cnt_t,
+             SUM(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cnt_r
+      FROM db GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_t) AS DOUBLE) AS tot_t,
+             CAST(SUM(cnt_r) AS DOUBLE) AS tot_r
+      FROM dist
+    ),
+    lam AS (
+      SELECT bucket,
+             CAST(round(
+               ln((cnt_t + 1.0) / (tot_t + {_DSIR_BUCKETS}.0))
+               - ln((cnt_r + 1.0) / (tot_r + {_DSIR_BUCKETS}.0)), 4)
+             AS DECIMAL(18,4)) AS lam
+      FROM dist CROSS JOIN tot
+    ),
+    w AS (
+      SELECT db.doc_id, SUM(db.cnt * lam.lam) AS weight_dec
+      FROM db JOIN lam USING (bucket)
+      WHERE NOT db.is_target
+      GROUP BY 1
+    ),
+    rk AS (
+      SELECT doc_id, CAST(weight_dec AS DOUBLE) AS dsir_weight,
+             row_number() OVER (ORDER BY weight_dec DESC, doc_id) AS rank
+      FROM w
+    )
+    SELECT doc_id, dsir_weight, rank FROM rk WHERE rank <= 200
+    """
+
+
+@register(
+    "dsir_importance_resample",
+    _DSIR_ORACLE,
+    survey="§7 north-star: DSIR data selection (Xie et al. NeurIPS'23) — "
+    "hashed-unigram importance weights ln(p_target/p_raw) over a FIXED "
+    "1024-bucket feature space, per-bucket log-ratios rounded to "
+    "DECIMAL(18,4) before the per-doc summation (exact, order-invariant), "
+    "top-200 resample as TakeOrderedAndProject",
+    tags=("ext", "text", "sampling"),
+)
+def dsir_importance_resample(spark, sf_dir):
+    """Select the 200 raw-corpus documents whose hashed token profile
+    best matches the target domain (sources src0-src3), by DSIR
+    log-likelihood-ratio weight.
+
+    All heavy lifting is in :func:`operators.text.dsir_weights` (bucket
+    distributions are bounded by the fixed feature space and broadcast
+    back; the token stream is never shuffled by token). The selection
+    itself is ``orderBy(weight).limit(200)`` — TakeOrderedAndProject, a
+    per-partition top-k + single-reduce, no global sort — and the rank
+    column is a window over the already-cut 200 rows, the same
+    post-limit idiom the r06 verdict pinned for weighted_doc_sample."""
+    from pyspark.sql import Window
+
+    from .operators import text as X
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = X.dsir_weights(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        n_buckets=_DSIR_BUCKETS,
+    )
+    top = w.orderBy(F.col("weight_dec").desc(), "doc_id").limit(200)
+    wr = Window.orderBy(F.col("weight_dec").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(wr))
+        .select(
+            "doc_id",
+            F.col("weight_dec").cast("double").alias("dsir_weight"),
+            "rank",
+        )
+    )

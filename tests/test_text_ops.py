@@ -736,3 +736,90 @@ class TestIncrementalNearDup:
             threshold=0.9,
         )
         assert kept == {10}  # ~0.6 jaccard < 0.9 -> admitted
+
+
+class TestDsirWeights:
+    """Pins dsir_weights' semantics against a hashlib/math reference:
+    target docs define the distribution but are never scored, weights
+    are the exact decimal sum of pre-rounded per-bucket log-ratios, and
+    a doc made of target-only vocabulary outscores one of raw-only
+    vocabulary."""
+
+    B = 16  # tiny bucket space so collisions actually occur in-test
+
+    @staticmethod
+    def _bucket(token: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % 16
+
+    def _reference(self, rows):
+        """rows: (doc_id, text, is_target). Returns {doc_id: weight}."""
+        import math
+        from collections import Counter
+
+        ct, cr = Counter(), Counter()
+        per_doc = {}
+        for doc_id, text, is_target in rows:
+            buckets = Counter(self._bucket(tok) for tok in text.split())
+            (ct if is_target else cr).update(buckets)
+            if not is_target:
+                per_doc[doc_id] = buckets
+        tot_t, tot_r = sum(ct.values()), sum(cr.values())
+        lam = {
+            b: round(
+                math.log((ct[b] + 1.0) / (tot_t + self.B))
+                - math.log((cr[b] + 1.0) / (tot_r + self.B)),
+                4,
+            )
+            for b in set(ct) | set(cr)
+        }
+        return {
+            d: round(sum(cnt * lam[b] for b, cnt in buckets.items()), 4)
+            for d, buckets in per_doc.items()
+        }
+
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+        out = X.dsir_weights(
+            df, F.col("is_target"), n_buckets=self.B
+        ).collect()
+        return {r.doc_id: float(r.weight_dec) for r in out}
+
+    def test_matches_reference_and_excludes_target(self, spark):
+        rows = [
+            (0, "alpha beta alpha", True),
+            (1, "beta gamma", True),
+            (2, "alpha beta beta", False),
+            (3, "delta epsilon zeta", False),
+            (4, "alpha alpha alpha alpha", False),
+        ]
+        got = self._run(spark, rows)
+        want = self._reference(rows)
+        assert set(got) == {2, 3, 4}  # targets 0,1 never scored
+        for d in got:
+            assert got[d] == pytest.approx(want[d], abs=1e-9), d
+
+    def test_target_vocab_outscores_raw_vocab(self, spark):
+        rows = [
+            (0, "alpha beta gamma alpha beta", True),
+            (1, "delta epsilon zeta delta", False),
+            (2, "alpha beta gamma", False),  # pure target vocabulary
+            (3, "delta epsilon zeta", False),  # pure raw vocabulary
+        ]
+        got = self._run(spark, rows)
+        assert got[2] > got[3]
+
+    def test_all_target_or_all_raw_is_safe(self, spark):
+        # all-target: nothing to score -> empty
+        rows = [(0, "a b", True), (1, "c d", True)]
+        assert self._run(spark, rows) == {}
+        # all-raw: lam = ln(1/B) - ln((c+1)/(tot+B)), still well-defined
+        rows = [(0, "a b", False), (1, "a c", False)]
+        got = self._run(spark, rows)
+        assert set(got) == {0, 1}
+        want = self._reference(rows)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], abs=1e-9)
