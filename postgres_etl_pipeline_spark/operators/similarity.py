@@ -738,3 +738,206 @@ def sq8_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def fixed_point_codes(vec: Column, scale: int = 1000) -> Column:
+    """Integer-lattice quantization: ``floor(x·scale + 0.5)`` per dim.
+
+    ``floor`` of a double is exact and identically defined in every
+    engine (unlike round(), whose half-way tie rule differs between
+    Spark's HALF_UP and DuckDB's half-even on doubles), so the lattice
+    codes — and everything computed from them with integer arithmetic —
+    are engine-portable by construction. Pure codegen, no shuffle.
+    """
+    return F.transform(
+        vec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def pq_anchor_codebook(
+    corpus: DataFrame,
+    codebook_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[int]]:
+    """Deterministic PQ codebook: the integer-lattice subvectors of the
+    ``codebook_size`` hash-first corpus vectors (order by
+    ``md5(vec_id), vec_id`` — a seeded random sample in expectation,
+    i.e. k-means random init with zero Lloyd iterations).
+
+    Engine-portable and SQL-expressible — the oracle derives the exact
+    same codebook — and pluggable: on a real cluster, train per-subspace
+    Lloyd centroids with :func:`fit_coarse_quantizer` over each
+    subvector slice and quantize THOSE to the lattice; every downstream
+    step (assignment, LUT, ADC) is codebook-agnostic. Driver footprint
+    is ``codebook_size × dims`` ints — the bounded-metadata contract the
+    IVF centroids and SQ8 scales already use. The selection itself is
+    ``orderBy(md5).limit(n)`` = TakeOrderedAndProject, no global sort.
+    """
+    import hashlib
+
+    rows = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            fixed_point_codes(as_double_vec(vec_col), scale).alias("q"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(codebook_size)
+        .collect()
+    )
+    # Re-derive the hash order driver-side (hashlib md5 of the decimal
+    # string == Spark md5 of the cast string): belt-and-braces against
+    # any collect() order surprise — code assignment must be exact.
+    rows.sort(
+        key=lambda r: (
+            hashlib.md5(str(r["vec_id"]).encode()).hexdigest(),
+            r["vec_id"],
+        )
+    )
+    return [list(r["q"]) for r in rows]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k: int = 5,
+    rerank: int = 4,
+    codebook_size: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantized ANN (Jégou/Douze/Schmid, TPAMI 2011): the
+    fourth ANN tier next to sign-LSH (data-independent buckets), IVF
+    (partition pruning), and SQ8 (scalar codes) — PQ attacks the memory
+    axis hardest: ``m`` sub-codebooks of ``codebook_size`` entries store
+    each vector as m·log2(codebook_size) bits (8 bytes for a 64-dim
+    vector at the defaults, vs 256 float32 bytes = 32×), the
+    FAISS ``PQ8`` production shape for trillion-vector corpora.
+
+    Search is asymmetric distance computation (ADC): per query, a
+    ``m × codebook_size`` lookup table of exact squared-L2 distances from
+    the query's subvectors to every centroid; a corpus vector's
+    approximate distance is the sum of m table entries selected by its
+    codes. Everything in the approximate stage — lattice quantization
+    (:func:`fixed_point_codes`), code assignment (argmin of integer
+    squared-L2, ties to the LOWEST code), the LUT, and the ADC sum — is
+    EXACT int64 arithmetic, so the candidate cut is reproducible on any
+    engine: the same no-float-boundary-flake-by-construction guarantee
+    as :func:`sq8_topk`'s integer-dot cut. The final scores re-rank
+    ``k·rerank`` candidates with exact double cosine JVM-side.
+
+    Scale shape: the codebook and per-query LUTs are bounded driver
+    metadata (``codebook_size × dims`` ints; Q·m·codebook_size int64
+    LUT) broadcast to executors; encode+ADC is ONE Arrow-batched
+    ``mapInPandas`` corpus scan (int64 matmul per batch — the
+    :func:`sq8_topk` sanctioned vectorized path); the only shuffles are
+    the per-query candidate top-k and the ≤ Q·k·rerank re-rank join.
+
+    ``m`` must divide the vector dimensionality (raises ``ValueError``).
+    Recall vs brute force is data-dependent (tests measure it);
+    precision of the final ordering is exact by the re-rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
+    if not book:
+        return spark.createDataFrame([], empty_schema)
+    A = np.array(book, dtype=np.int64)  # (C, D)
+    C, D = A.shape
+    if D % m:
+        raise ValueError(f"m={m} must divide vector dims={D}")
+    d = D // m
+    As = A.reshape(C, m, d)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("qq"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qs = np.array([r["qq"] for r in q_rows], dtype=np.int64).reshape(-1, m, d)
+    # LUT[q, s, c] = ||Qs[q,s] - As[c,s]||^2 — exact int64
+    lut = ((Qs[:, None, :, :] - As[None, :, :, :]) ** 2).sum(-1)  # (Q, C, m)
+    lut = np.ascontiguousarray(lut.transpose(0, 2, 1))  # (Q, m, C)
+    bc = spark.sparkContext.broadcast((qids, lut, As))
+
+    def adc_score(batches):
+        b_qids, b_lut, b_As = bc.value
+        nq = len(b_qids)
+        a_sq = (b_As**2).sum(-1)  # (C, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["cd"]), dtype=np.int64).reshape(
+                len(cids), m, d
+            )
+            n = len(cids)
+            adc = np.zeros((n, nq), dtype=np.int64)
+            for s in range(m):
+                # assignment: argmin ||x - a||^2 = x^2 - 2x·a + a^2;
+                # x^2 is constant per row, so argmin over a^2 - 2x·a —
+                # one int64 matmul, no (n, C, d) temp. np.argmin takes
+                # the FIRST minimum = lowest code, matching the oracle's
+                # (dist, code) order.
+                g = X[:, s, :] @ b_As[:, s, :].T  # (n, C)
+                codes_s = np.argmin(a_sq[:, s][None, :] - 2 * g, axis=1)
+                adc += b_lut[:, s, codes_s].T  # (n, Q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(b_qids, n),
+                    "neighbor_id": np.repeat(cids, nq),
+                    "adc": adc.ravel(),
+                }
+            )
+
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cands = (
+        coded.mapInPandas(adc_score, "query_id long, neighbor_id long, adc long")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), list(r["qv"])) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        cands.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_vec(vec_col).alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv"))
+                / (norm(F.col("cv")) * norm(F.col("qv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

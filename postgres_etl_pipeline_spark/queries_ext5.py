@@ -845,3 +845,99 @@ def dsir_importance_resample(spark, sf_dir):
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized ANN — ADC over integer-lattice codes
+# ---------------------------------------------------------------------------
+
+_PQ_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    params AS (SELECT CAST(len(q) // 8 AS BIGINT) AS d FROM v LIMIT 1),
+    anch AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+             q
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 256
+    ),
+    idx AS (
+      SELECT CAST((j - 1) // d AS INT) AS s, j
+      FROM (SELECT unnest(range(1, p.d * 8 + 1)) AS j, p.d AS d
+            FROM params p)
+    ),
+    cd AS (
+      SELECT v.vec_id, a.code, idx.s,
+             CAST(SUM((v.q[idx.j] - a.q[idx.j])
+                      * (v.q[idx.j] - a.q[idx.j])) AS BIGINT) AS dist
+      FROM v CROSS JOIN anch a CROSS JOIN idx
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, code
+      FROM (SELECT vec_id, s, code,
+                   row_number() OVER (
+                     PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+            FROM cd)
+      WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.dist) AS BIGINT) AS adc
+      FROM codes c
+      JOIN cd l ON l.s = c.s AND l.code = c.code AND l.vec_id < 20
+      WHERE c.vec_id <> l.vec_id
+      GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, neighbor_id) AS crank
+      FROM adc
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv.e, cv.e), 4) AS cos_sim
+      FROM cands
+      JOIN v qv ON qv.vec_id = query_id
+      JOIN v cv ON cv.vec_id = neighbor_id
+      WHERE crank <= 20
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM exact
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "pq_adc_topk",
+    _PQ_ORACLE,
+    survey="§7 Phase 5: product-quantized ANN (Jégou et al. TPAMI'11) — "
+    "the fourth tier next to LSH/IVF/SQ8: m=8 sub-codebooks × 256 codes "
+    "= 8 bytes/vector (32× vs float32); EXACT int64 lattice assignment "
+    "+ ADC candidate cut (engine-portable by construction, the sq8 "
+    "integer-cut guarantee), k·4 candidates re-ranked with exact cosine",
+    tags=("ext", "similarity"),
+)
+def pq_adc_topk(spark, sf_dir):
+    """PQ/ADC top-5 for the first-20-vector probe slice (the shared ANN
+    probe convention). The hash-ordered anchor codebook, integer-lattice
+    assignment, per-query LUTs, and the ADC sum are all exact int64 —
+    see :func:`operators.similarity.pq_topk`; the DuckDB oracle re-derives
+    the identical codebook and codes from the same md5 order, with the
+    subspace count's dims derived from the vector length (advice r06:
+    never hardcode the fixture dimensionality)."""
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return S.pq_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 20), k=5, rerank=4
+    )

@@ -78,3 +78,46 @@ def test_sq8_codes_are_int8_range(spark, sf_small):
         F.max(F.array_max("cd")).alias("hi"), F.min(F.array_min("cd")).alias("lo")
     ).collect()[0]
     assert -127 <= mx.lo and mx.hi <= 127
+
+
+def test_pq_recall_vs_brute_force(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    pq = _topk_sets(S.pq_topk(emb, queries, k=5, rerank=4))
+    assert set(pq) == set(exact)  # every query answered
+    recalls = [len(pq[q] & exact[q]) / 5 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # 8-byte codes vs 256-byte vectors; ADC must beat random candidates
+    assert mean_recall >= 0.4, f"mean recall {mean_recall}"
+    # determinism: codebook, codes, LUT, ADC are all exact int64 — a
+    # re-run (and a different input partitioning) must answer identically
+    pq2 = _topk_sets(S.pq_topk(emb.repartition(7), queries, k=5, rerank=4))
+    assert pq == pq2
+
+
+def test_pq_wide_rerank_approaches_brute_force(spark, sf_small):
+    # with the candidate pool widened to the whole tiny corpus, the exact
+    # cosine re-rank must reproduce brute force exactly
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    wide = _topk_sets(S.pq_topk(emb, queries, k=5, rerank=1000))
+    assert wide == exact
+
+
+def test_pq_m_must_divide_dims(spark, sf_small):
+    import pytest as _pytest
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    with _pytest.raises(ValueError, match="must divide"):
+        S.pq_topk(emb, emb.filter(F.col("vec_id") < 5), m=7).collect()
+
+
+def test_pq_codebook_is_hash_order_deterministic(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    b1 = S.pq_anchor_codebook(emb, codebook_size=32)
+    b2 = S.pq_anchor_codebook(emb.repartition(5), codebook_size=32)
+    assert b1 == b2
+    assert len(b1) == 32
+    assert all(isinstance(x, int) for x in b1[0])
