@@ -478,6 +478,12 @@ def dsir_weights(
     Returns (id_col, weight_dec DECIMAL) for every non-target document
     with at least one token. Callers layer selection policy (top-k
     resample, threshold gate) on top.
+
+    NULL semantics: a document whose ``is_target`` predicate evaluates
+    NULL (e.g. a NULL source column) joins NEITHER distribution and is
+    never scored — ``when(NULL, …)`` falls to the otherwise-branch and
+    ``filter(~NULL)`` drops the row, exactly matching SQL's CASE/WHERE
+    treatment of NULL, so both engines agree by construction.
     """
     from .dedup import _token_hash60
 

@@ -438,3 +438,32 @@ def test_per_source_weighted_sample_group_limit_pushed_map_side(spark, sf_small)
     assert exch != -1 and part_idx > exch, plan
     s = plan_summary(df)
     assert s.joins == 0 and s.shuffles == 1
+
+
+def test_dsir_broadcasts_logratios_never_shuffles_by_token(spark, sf_small):
+    # The DSIR design claim: the fixed 1024-bucket feature space keeps the
+    # distributions broadcast-sized; the token relation is aggregated with
+    # map-side combine and the only hash exchanges are (doc, bucket)
+    # aggregations / the per-doc weight — never a token-keyed join.
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    df = q("dsir_importance_resample", spark, sf_small)
+    s = plan_summary(df)
+    assert s.broadcast_joins >= 1  # lam joins back via broadcast
+    assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
+    p = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in p  # top-200 is a TakeOrdered, not a sort
+    assert "hashpartitioning(token" not in p  # never shuffled by token
+
+
+def test_pq_adc_is_one_scan_plus_bounded_rerank(spark, sf_small):
+    # Approximate stage = ONE Arrow-batched corpus scan; candidate cut is a
+    # per-query window; re-rank joins <= Q*k*rerank ids with the query side
+    # broadcast by contract.
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    df = q("pq_adc_topk", spark, sf_small)
+    s = plan_summary(df)
+    assert s.broadcast_joins >= 1  # qdf side
+    p = plan_string(df, "simple")
+    assert p.count("MapInPandas") == 1  # encode+ADC fused in one scan pass
