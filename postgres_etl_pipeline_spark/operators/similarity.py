@@ -219,6 +219,17 @@ def fit_coarse_quantizer(
         .toPandas()
     )
     X = np.array(list(sample["cv"]), dtype=np.float64)
+    return _lloyd(X, n_centroids, seed, kmeans_max_iter, kmeans_init)
+
+
+def _lloyd(X, n_centroids, seed=7, kmeans_max_iter=20, kmeans_init="k-means||"):
+    """The numpy Lloyd core of :func:`fit_coarse_quantizer`, extracted so
+    :func:`pq_train_codebook` can fit m per-subspace codebooks from ONE
+    materialized sample (m separate DataFrame fits would run m sample
+    jobs). Behavior-identical: same rng stream, same seeding, same
+    convergence rule."""
+    import numpy as np
+
     x_sq = (X * X).sum(axis=1)
 
     def d2_to(point):  # squared distances of every sample row to one point
@@ -808,6 +819,7 @@ def pq_topk(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> DataFrame:
     """Product-quantized ANN (Jégou/Douze/Schmid, TPAMI 2011): the
     fourth ANN tier next to sign-LSH (data-independent buckets), IVF
@@ -839,21 +851,36 @@ def pq_topk(
     ``m`` must divide the vector dimensionality (raises ``ValueError``).
     Recall vs brute force is data-dependent (tests measure it);
     precision of the final ordering is exact by the re-rank.
+
+    ``codebook`` (optional): a pre-built int64 lattice codebook of shape
+    ``(C, m, d)`` — e.g. :func:`pq_train_codebook`'s per-subspace Lloyd
+    centroids, the production-quality path. Default None derives the
+    hash-ordered anchor codebook (the SQL-expressible oracle twin).
+    Either way the assignment/LUT/ADC arithmetic is identical exact
+    int64.
     """
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
     empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
-    book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
-    if not book:
-        return spark.createDataFrame([], empty_schema)
-    A = np.array(book, dtype=np.int64)  # (C, D)
-    C, D = A.shape
-    if D % m:
-        raise ValueError(f"m={m} must divide vector dims={D}")
-    d = D // m
-    As = A.reshape(C, m, d)
+    if codebook is not None:
+        As = np.asarray(codebook, dtype=np.int64)
+        if As.ndim != 3 or As.shape[1] != m:
+            raise ValueError(
+                f"codebook must have shape (C, m={m}, d); got {As.shape}"
+            )
+        C, _, d = As.shape
+    else:
+        book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
+        if not book:
+            return spark.createDataFrame([], empty_schema)
+        A = np.array(book, dtype=np.int64)  # (C, D)
+        C, D = A.shape
+        if D % m:
+            raise ValueError(f"m={m} must divide vector dims={D}")
+        d = D // m
+        As = A.reshape(C, m, d)
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_vec(vec_col).alias("qv"),
@@ -941,3 +968,64 @@ def pq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    codebook_size: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    fit_sample: int = 16384,
+    kmeans_max_iter: int = 20,
+):
+    """Per-subspace Lloyd-trained PQ codebook — the production-quality
+    alternative to :func:`pq_anchor_codebook` (random init vs trained
+    centroids is THE recall knob in Jégou et al. §IV).
+
+    One deterministic hash-ordered sample job materializes ≤ ``fit_sample``
+    vectors driver-side (the :func:`fit_coarse_quantizer` contract), then
+    the m sub-codebooks fit locally on the sample's subvector slices —
+    m × :func:`_lloyd` runs, NOT m sample jobs. Each subspace gets its own
+    rng stream (``seed + s``) so sub-codebooks are independent, as the
+    paper trains them. Centroids are quantized onto the same integer
+    lattice as the data (``floor(x·scale + 0.5)``), so the trained path
+    inherits :func:`pq_topk`'s exact-int64 assignment/ADC guarantee —
+    training quality and search exactness stay orthogonal.
+
+    Returns an int64 ndarray of shape ``(C, m, d)`` with
+    ``C = min(codebook_size, sample size)``, or None on an empty corpus.
+    Driver footprint is C·dims ints — the bounded-metadata contract.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(vec_col).alias("cv"),
+        )
+        .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(int(fit_sample))
+        .select("cv")
+        .toPandas()
+    )
+    if not len(sample):
+        return None
+    X = np.array(list(sample["cv"]), dtype=np.float64)
+    D = X.shape[1]
+    if D % m:
+        raise ValueError(f"m={m} must divide vector dims={D}")
+    d = D // m
+    C = min(codebook_size, len(X))
+    subs = []
+    for s in range(m):
+        cents = _lloyd(
+            X[:, s * d : (s + 1) * d],
+            C,
+            seed=seed + s,
+            kmeans_max_iter=kmeans_max_iter,
+        )
+        subs.append(np.floor(cents * scale + 0.5).astype(np.int64))
+    return np.stack(subs, axis=1)  # (C, m, d)

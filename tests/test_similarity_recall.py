@@ -121,3 +121,42 @@ def test_pq_codebook_is_hash_order_deterministic(spark, sf_small):
     assert b1 == b2
     assert len(b1) == 32
     assert all(isinstance(x, int) for x in b1[0])
+
+
+def test_pq_trained_codebook_recall_and_determinism(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    book = S.pq_train_codebook(emb, m=8, codebook_size=32)
+    assert book is not None and book.shape[1] == 8
+    assert book.dtype.kind == "i"  # lattice ints: exact ADC holds
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    pq = _topk_sets(S.pq_topk(emb, queries, k=5, rerank=4, codebook=book))
+    assert set(pq) == set(exact)
+    recalls = [len(pq[q] & exact[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4
+    # training sample is hash-ordered and the fit is driver-side numpy:
+    # a different partitioning must yield the identical codebook
+    book2 = S.pq_train_codebook(emb.repartition(5), m=8, codebook_size=32)
+    assert (book == book2).all()
+    pq2 = _topk_sets(
+        S.pq_topk(emb.repartition(3), queries, k=5, rerank=4, codebook=book2)
+    )
+    assert pq == pq2
+
+
+def test_pq_codebook_shape_validation(spark, sf_small):
+    import numpy as np
+    import pytest as _pytest
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    with _pytest.raises(ValueError, match="shape"):
+        S.pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            codebook=np.zeros((4, 4), dtype=np.int64),
+        )
+
+
+def test_pq_trained_empty_corpus_returns_none(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings")).filter(F.col("vec_id") < 0)
+    assert S.pq_train_codebook(emb) is None
