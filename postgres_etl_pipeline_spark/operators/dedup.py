@@ -771,6 +771,122 @@ def span_dup_coverage(df: DataFrame, n: int = 8, text_col: str = "text") -> Data
     )
 
 
+def _merge_intervals(ivs: Column) -> Column:
+    """Merge a (possibly overlapping) array<struct<s,e>> of closed token
+    intervals into disjoint islands — pure expression work (array_sort +
+    aggregate), no shuffle, no Python. Adjacent intervals (``x.s ==
+    last.e + 1``) merge too: the covered SET is what matters and fewer
+    islands make the per-token containment check below cheaper."""
+    def step(acc: Column, x: Column) -> Column:
+        last = F.element_at(acc, -1)
+        grown = F.struct(
+            last["s"].alias("s"), F.greatest(last["e"], x["e"]).alias("e")
+        )
+        return F.when(
+            F.size(acc) == 0, F.array(x)
+        ).otherwise(
+            F.when(
+                x["s"] > last["e"] + 1, F.concat(acc, F.array(x))
+            ).otherwise(
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(grown))
+            )
+        )
+
+    zero = F.array().cast("array<struct<s:int,e:int>>")
+    return F.aggregate(F.array_sort(ivs), zero, step)
+
+
+def span_dedup_rewrite(
+    df: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring dedup that REWRITES the corpus (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word ``n``-gram span that occurs more than once corpus-wide keeps its
+    globally-first occurrence (min ``(doc_id, pos)``) and is CUT from
+    every other occurrence — the removal op that :func:`span_dup_coverage`
+    audits. Overlapping duplicated spans union into one removed region, so
+    a wholesale-copied passage keeps exactly one full copy (in the
+    canonical document) and vanishes elsewhere; an exact-duplicate
+    document comes back with ``cleaned_text = ''``.
+
+    Plan, scale-first: the positional span relation aggregates to span
+    stats FIRST (map-side combined count + min-occurrence), joins back
+    SHUFFLE_HASH on the span string (same rationale as
+    :func:`span_dup_coverage` — the stats relation is every distinct
+    span, never broadcast-sized), and collapses to ONE doc-keyed row of
+    merged removal intervals per touched document. The token relation is
+    never shuffled: reconstruction is scan-side expression work — a
+    higher-order ``filter`` over the token array against the broadcast-
+    shaped interval list (islands, so the per-token containment check is
+    bounded by removed-region count, not removal count). At 100 TB the
+    shuffled volume is the span index (linear in corpus tokens) plus the
+    duplicated-occurrence relation (linear in duplicated volume) — the
+    documents themselves stay put. (The interval relation is one bounded
+    row per *touched* document; if duplication is so pervasive that it
+    outgrows the broadcast threshold, AQE falls back to a single
+    doc_id-keyed exchange — the one case where the corpus moves, once.)
+
+    Emits one row per input document: ``doc_id``, ``n_tokens`` (original),
+    ``n_removed``, ``cleaned_text``. Documents shorter than ``n`` tokens
+    pass through untouched. No reference twin: the reference engine has no
+    substring-level dedup; this extends its exact-dedup story
+    (fingerprints, `grocery_etl_dag.py`-style staging) to the span level.
+    """
+    base = df.select("doc_id", tokens(text_col).alias("l"))
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.flatten(
+                F.transform(F.array("l"), lambda t: _raw_spans(t, n))
+            )
+        ).alias("p", "span"),
+    )
+    stats = (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("global_c"),
+            F.min(F.struct("doc_id", "p")).alias("canon"),
+        )
+        .hint("SHUFFLE_HASH")
+    )
+    removals = (
+        spans.join(stats, "span")
+        .filter(
+            (F.col("global_c") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("p") == F.col("canon.p"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("p").cast("int").alias("s"),
+                (F.col("p") + (n - 1)).cast("int").alias("e"),
+            ).alias("iv"),
+        )
+    )
+    per_doc = removals.groupBy("doc_id").agg(
+        _merge_intervals(F.collect_list("iv")).alias("ivs")
+    )
+    ivs = F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(
+        "l",
+        lambda tk, i: ~F.exists(
+            ivs, lambda iv: (iv["s"] <= i) & (i <= iv["e"])
+        ),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("l").cast("long").alias("n_tokens"),
+            (F.size("l") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame, index_fps: DataFrame, text_col: str = "text"
 ) -> DataFrame:

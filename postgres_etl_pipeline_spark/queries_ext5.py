@@ -941,3 +941,68 @@ def pq_adc_topk(spark, sf_dir):
     return S.pq_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 20), k=5, rerank=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup REWRITE (Lee et al. 2022) — the removal op the
+# span_dedup_coverage audit promises
+# ---------------------------------------------------------------------------
+
+_SPAN_REWRITE_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS l, len({_TOKS}) AS T FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(T - 7, 0))) AS p,
+             unnest(list_transform(range(0, greatest(T - 7, 0)),
+                    q -> array_to_string(l[q + 1 : q + 8], ' '))) AS span
+      FROM tok
+    ),
+    occ AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY span) AS c,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, p) AS rn
+      FROM spans
+    ),
+    rem AS (SELECT doc_id, p AS s, p + 7 AS e FROM occ WHERE c > 1 AND rn > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS idx FROM rem
+    ),
+    tokrows AS (
+      SELECT doc_id, unnest(range(0, T)) AS idx, unnest(l) AS tk FROM tok
+    ),
+    kept AS (
+      SELECT tr.doc_id, tr.idx, tr.tk
+      FROM tokrows tr
+      LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.idx = c.idx
+      WHERE c.idx IS NULL
+    )
+    SELECT t.doc_id,
+           CAST(t.T AS BIGINT) AS n_tokens,
+           CAST(t.T - count(k.idx) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.tk, ' ' ORDER BY k.idx), '') AS cleaned_text
+    FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, t.T
+    """
+
+
+@register(
+    "span_dedup_rewrite",
+    _SPAN_REWRITE_ORACLE,
+    survey="§7 Phase 5: exact substring dedup that rewrites the corpus "
+    "(Lee et al. 2022) — every duplicated word 8-gram keeps its globally "
+    "first occurrence and is cut everywhere else, overlapping spans "
+    "merging into removed islands; the removal op span_dedup_coverage "
+    "audits (exact-duplicate docs return cleaned_text = '')",
+    tags=("ext", "dedup"),
+)
+def span_dedup_rewrite(spark, sf_dir):
+    """One row per document: doc_id, n_tokens, n_removed, cleaned_text.
+    Plan: span stats aggregate FIRST, SHUFFLE_HASH join back, collapse to
+    one doc-keyed merged-interval row, then scan-side higher-order-filter
+    reconstruction — the token relation is never shuffled (see
+    :func:`operators.dedup.span_dedup_rewrite`)."""
+    from .operators import dedup as D
+
+    return D.span_dedup_rewrite(spread(t(spark, sf_dir, "documents")), n=8)

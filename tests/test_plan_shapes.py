@@ -467,3 +467,17 @@ def test_pq_adc_is_one_scan_plus_bounded_rerank(spark, sf_small):
     assert s.broadcast_joins >= 1  # qdf side
     p = plan_string(df, "simple")
     assert p.count("MapInPandas") == 1  # encode+ADC fused in one scan pass
+
+
+def test_span_rewrite_stats_shuffle_join_tokens_never_exchanged(spark, sf_small):
+    """Both sides of the span-stats join grow with the corpus, so they must
+    meet in the pinned SHUFFLE_HASH join — never a broadcast, never a
+    sort-merge over the full positional relation. The only other keyed
+    exchanges are the per-doc interval collapse (struct rows, no token
+    arrays); the reconstruction join builds on that bounded relation, so
+    the token arrays themselves are never exchanged."""
+    df = q("span_dedup_rewrite", spark, sf_small)
+    s = plan_summary(df)
+    assert s.shuffled_hash_joins >= 1  # the span-stats join, pinned by hint
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins <= 1  # at most the interval rejoin

@@ -823,3 +823,83 @@ class TestDsirWeights:
         want = self._reference(rows)
         for d in got:
             assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+class TestSpanDedupRewrite:
+    """Lee et al. substring-removal semantics: duplicated n-gram spans
+    keep their globally-first occurrence and are cut everywhere else;
+    overlapping duplicated spans merge into one removed island."""
+
+    def test_exact_duplicate_doc_is_emptied_canonical_kept(self, spark):
+        boiler = " ".join(f"w{i}" for i in range(10))
+        out = {
+            r.doc_id: r
+            for r in D.span_dedup_rewrite(
+                _docs(spark, [boiler, boiler]), n=8
+            ).collect()
+        }
+        assert out[0].n_removed == 0 and out[0].cleaned_text == boiler
+        assert out[1].n_removed == 10 and out[1].cleaned_text == ""
+
+    def test_shared_prefix_cut_from_noncanonical_only(self, spark):
+        shared = " ".join(f"s{i}" for i in range(8))  # exactly one 8-gram
+        d0 = shared + " alpha beta"
+        d1 = shared + " gamma delta"
+        out = {
+            r.doc_id: r
+            for r in D.span_dedup_rewrite(_docs(spark, [d0, d1]), n=8).collect()
+        }
+        assert out[0].n_removed == 0 and out[0].cleaned_text == d0
+        assert out[1].n_removed == 8 and out[1].cleaned_text == "gamma delta"
+
+    def test_within_doc_repeat_keeps_first_occurrence(self, spark):
+        span = " ".join(f"r{i}" for i in range(8))
+        doc = span + " middle " + span
+        row = D.span_dedup_rewrite(_docs(spark, [doc]), n=8).collect()[0]
+        assert row.n_tokens == 17
+        assert row.n_removed == 8
+        assert row.cleaned_text == span + " middle"
+
+    def test_overlapping_spans_merge_into_one_island(self, spark):
+        # 9 shared tokens -> two overlapping duplicated 8-grams in the
+        # non-canonical doc; the cut is their union (9 tokens), not 16.
+        shared = " ".join(f"o{i}" for i in range(9))
+        out = {
+            r.doc_id: r
+            for r in D.span_dedup_rewrite(
+                _docs(spark, [shared + " x", shared + " y"]), n=8
+            ).collect()
+        }
+        assert out[1].n_removed == 9
+        assert out[1].cleaned_text == "y"
+
+    def test_short_docs_pass_through(self, spark):
+        texts = ["tiny doc", "tiny doc"]  # < n tokens: no spans at all
+        for r in D.span_dedup_rewrite(_docs(spark, texts), n=8).collect():
+            assert r.n_removed == 0 and r.cleaned_text == "tiny doc"
+
+    def test_kept_text_is_subsequence_and_counts_reconcile(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        rows = D.span_dedup_rewrite(docs, n=8).join(
+            docs.select("doc_id", "text"), "doc_id"
+        ).collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            orig = r.text.split()
+            kept = r.cleaned_text.split() if r.cleaned_text else []
+            assert r.n_tokens - r.n_removed == len(kept)
+            it = iter(orig)
+            assert all(tk in it for tk in kept)  # subsequence check
+
+    def test_repartition_invariance(self, spark, sf_small):
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        a = sorted(
+            map(tuple, D.span_dedup_rewrite(docs, n=8).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                D.span_dedup_rewrite(docs.repartition(7), n=8).collect(),
+            )
+        )
+        assert a == b
