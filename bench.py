@@ -82,6 +82,68 @@ def _streaming_floor(spark) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _vs_prev_normalized(
+    timings: dict[str, float], total: float, control: float
+) -> dict | None:
+    """Control-normalized comparison against the LATEST ``BENCH_r*.json``
+    on disk (verdict r07 item 8): the next verdict's "vs last round" as
+    one generated block instead of a hand-run control protocol.
+
+    Machine weather model: the fixed synthetic control workload scales
+    with the box, so the previous round's timings re-based to TODAY's box
+    are ``prev_q · (control_now / control_prev)``. A query's normalized
+    ratio ``now / (prev · ctl_ratio)`` > 1 means the CODE got slower,
+    < 1 faster — box drift divided out. Emitted only when the previous
+    artifact carries a comparable control (same workload tag + method);
+    silently absent otherwise (r01–r06 artifacts predate the control).
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None
+    rnd, path = max(cands)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    # the driver wraps bench.py's JSON line under "parsed" (next to rc/tail)
+    prev = prev.get("parsed", prev)
+    if (
+        prev.get("control_workload") != "synthetic-v1"
+        or prev.get("method") != "warm-best-of-3"
+        or not prev.get("control_sec")
+        or not control
+    ):
+        return None
+    ctl_ratio = control / prev["control_sec"]
+    prev_q = prev.get("queries", {})
+    per_query = {
+        name: round(timings[name] / (prev_q[name] * ctl_ratio), 3)
+        for name in timings
+        if prev_q.get(name)
+    }
+    prev_total_shared = sum(prev_q[n] for n in per_query)
+    now_total_shared = sum(timings[n] for n in per_query)
+    return {
+        "baseline_round": rnd,
+        "control_ratio": round(ctl_ratio, 3),
+        "normalized_total_ratio": round(
+            now_total_shared / (prev_total_shared * ctl_ratio), 3
+        )
+        if prev_total_shared
+        else None,
+        "normalized_query_ratio": per_query,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from postgres_etl_pipeline_spark.queries import REGISTRY, queries as _load_all
@@ -127,6 +189,7 @@ def main() -> None:
     # the capability's fixed cost from actual plan cost.
     floor = _streaming_floor(spark)
     control = _machine_control(spark)
+    vs_prev = _vs_prev_normalized(timings, total, control)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -136,6 +199,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                # Control-normalized per-query ratios vs the latest
+                # BENCH_r{N}.json (>1 = code slower, <1 = faster; box
+                # drift divided out via control_sec) — verdict r07 item 8
+                **({"vs_prev": vs_prev} if vs_prev else {}),
                 "streaming_floor_sec": round(floor, 3),
                 # Same-session machine-weather control (fixed synthetic
                 # workload, never changed): compare control_sec across

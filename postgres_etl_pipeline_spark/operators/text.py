@@ -475,9 +475,13 @@ def dsir_weights(
     shuffled by token. Cost: one (doc, bucket) shuffle + one per-doc
     shuffle, both linear in corpus size; no global sort.
 
-    Returns (id_col, weight_dec DECIMAL) for every non-target document
-    with at least one token. Callers layer selection policy (top-k
-    resample, threshold gate) on top.
+    Returns (id_col, weight_dec DECIMAL) for every non-target document.
+    Empty/whitespace-only texts are still scored: ``tokens('')`` is the
+    single empty-string token (split semantics), which hashes into a
+    bucket like any other — both engines agree, and the oracle depends on
+    it (filtering empty tokens here would silently diverge from the SQL
+    twin). Callers layer selection policy (top-k resample, threshold
+    gate) on top.
 
     NULL semantics: a document whose ``is_target`` predicate evaluates
     NULL (e.g. a NULL source column) joins NEITHER distribution and is

@@ -591,3 +591,26 @@ def test_bloom_literal_probe_agrees_with_relational_probe(
         assert literal[fp] == expected, (fp, positions)
     for m in set(member):
         assert literal[m] is True, m
+
+
+def test_bloom_literal_bound_enforced(spark):
+    """bloom_bit_string accepts exactly the documented 2^24-bit literal
+    budget and raises above it (verdict r07 nit 3a) — the guard must trip
+    BEFORE any collect/unpack work, and the message must route callers to
+    the relational probe. At the boundary itself the call still works
+    (checked with an empty word relation, so the accept path costs no
+    16 MiB unpack in the suite's hot loop)."""
+    import pytest
+
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        BLOOM_LITERAL_MAX_BITS,
+        bloom_bit_string,
+    )
+
+    words = spark.createDataFrame([], "word_idx long, bits long")
+    # at the bound: accepted (empty relation → all-zero string)
+    s = bloom_bit_string(words, BLOOM_LITERAL_MAX_BITS)
+    assert len(s) == BLOOM_LITERAL_MAX_BITS and set(s) == {"0"}
+    # one past the bound: rejected before any driver-side unpack
+    with pytest.raises(ValueError, match="bloom_bit_words"):
+        bloom_bit_string(words, BLOOM_LITERAL_MAX_BITS + 1)

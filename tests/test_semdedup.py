@@ -210,11 +210,15 @@ def test_scaled_empty_input(spark):
     assert semdedup_scaled(empty).count() == 0
 
 
-def test_scaled_k_capped_by_fit_sample(spark):
-    """k never exceeds fit_sample // 8 (review finding r07: an
-    undersampled quantizer degenerates to duplicate centroids and
-    unbounded driver cost) — with a tiny sample the cluster count must
-    respect the cap, not the raw N/target ratio."""
+def test_scaled_k_past_flat_cap_uses_two_level(spark):
+    """Above the flat-fit cap (fit_sample // 8) the two-level quantizer
+    takes over and k ∝ N HOLDS instead of silently re-capping (verdict
+    r07 weak #2, closed r08): with a tiny fit_sample the old single-level
+    path would clamp to 4 clusters (expected cluster size 25× target);
+    the two-level tier must keep the cluster count near N/target and emit
+    NO warning."""
+    import warnings
+
     from postgres_etl_pipeline_spark.operators.similarity import semdedup_scaled
 
     rng = np.random.default_rng(5)
@@ -222,8 +226,42 @@ def test_scaled_k_capped_by_fit_sample(spark):
         [(i, rng.standard_normal(8).tolist()) for i in range(100)],
         "vec_id long, embedding array<float>",
     )
-    out = semdedup_scaled(
-        df, threshold=2.0, target_cluster_size=1, fit_sample=32
-    )
-    assert out.select("cid").distinct().count() <= 4  # 32 // 8
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any quantizer warning fails
+        out = semdedup_scaled(
+            df, threshold=2.0, target_cluster_size=4, fit_sample=32
+        )
+    n_clusters = out.select("cid").distinct().count()
+    # k = ceil(100/4) = 25 trained centroids >> the old cap of 4; allow
+    # a few empties but the layout must be WAY past the flat cap and the
+    # expected cluster size must stay near target, not 25× it
+    assert n_clusters > 12, n_clusters
     assert out.count() == 100  # threshold 2.0 prunes nothing
+
+
+def test_two_level_quantizer_flat_shape_and_determinism(spark):
+    """fit_two_level_quantizer returns a flat (k × dims) matrix usable by
+    assign_to_centroids, allocates Σk₂ᵢ = k centroids across branches,
+    and is deterministic across calls and partitioning layouts."""
+    from postgres_etl_pipeline_spark.operators.similarity import (
+        assign_to_centroids,
+        fit_two_level_quantizer,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    c = spark.createDataFrame(
+        rows, "neighbor_id long, cv array<double>"
+    )
+    k = 40
+    cents = fit_two_level_quantizer(c, k, fit_sample=128)
+    assert cents.shape == (k, 8)
+    again = fit_two_level_quantizer(
+        c.repartition(13), k, fit_sample=128
+    )
+    assert np.array_equal(cents, again)
+    # the flat matrix plugs into the shared assignment pass
+    assigned = assign_to_centroids(c, cents)
+    assert assigned.count() == 300
+    cids = [r["cid"] for r in assigned.select("cid").distinct().collect()]
+    assert all(0 <= x < k for x in cids)
