@@ -1364,18 +1364,30 @@ def sorted_neighborhood_pairs(
     trade-off (multi-pass with different keys is the classic remedy);
     exact and prefix-identical duplicates always qualify.
     """
+    return multipass_snm_pairs(
+        df,
+        [F.lower(normalize_ws(F.col(text_col)))],
+        window=window,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
+def _snm_candidate_pairs(
+    df: DataFrame, key: Column, window: int, id_col: str
+) -> DataFrame | None:
+    """One SNM pass: rank the corpus by ``key`` (via the ranking kernel —
+    no SinglePartition), slide the window, return unordered candidate
+    (doc_a < doc_b) pairs. None on an empty corpus."""
     from .ranking import global_rank
 
     d = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.lower(normalize_ws(F.col(text_col))).alias("_k"),
+        F.col(id_col).cast("long").alias("doc_id"), key.alias("_k")
     ).withColumn("_knum", _lex_prefix_num(F.col("_k")))
     rf = global_rank(d, "_knum", ["_k", "doc_id"])
-    empty = df.sparkSession.createDataFrame(
-        [], "doc_a long, doc_b long, jaccard double"
-    )
     if rf.n_total == 0:
-        return empty
+        return None
     ranked = rf.df.select("doc_id", "_rank")
     offs = F.explode(F.array(*[F.lit(o) for o in range(1, int(window))]))
     nb = (
@@ -1383,10 +1395,50 @@ def sorted_neighborhood_pairs(
         .withColumn("off", offs)
         .select("nb_id", (F.col("r") - F.col("off")).alias("_rank"))
     )
-    cand = ranked.join(nb, "_rank").select(
+    return ranked.join(nb, "_rank").select(
         F.least("doc_id", "nb_id").alias("doc_a"),
         F.greatest("doc_id", "nb_id").alias("doc_b"),
     )
+
+
+def multipass_snm_pairs(
+    df: DataFrame,
+    keys: list[Column],
+    window: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood: one sliding-window candidate pass
+    per blocking key in ``keys``, candidate pairs union'd DISTINCT before
+    a single exact verification — Hernández & Stolfo's classic recall
+    remedy for SNM's one blind spot (verdict r07 item 6): a single
+    blocking order only finds duplicates whose keys land within
+    ``window`` ranks, so prefix-divergent near-dups (same body, different
+    leading boilerplate) sort arbitrarily far apart and are never
+    compared. A second pass on an independent order — canonically the
+    REVERSED normalized text, i.e. suffix blocking — catches exactly
+    those, and each extra pass costs the same (window−1)·N candidate
+    bound, keeping the total linear in N per pass.
+
+    Precision stays exact (verification is the same shingle-array
+    intersect regardless of which pass surfaced the candidate); the
+    distinct before verification means a pair found by BOTH passes is
+    verified once, not twice.
+    """
+    empty = df.sparkSession.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    )
+    cand = None
+    for key in keys:
+        pairs = _snm_candidate_pairs(df, key, window, id_col)
+        if pairs is None:
+            return empty
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if cand is None:
+        return empty
+    if len(keys) > 1:
+        cand = cand.distinct()
     arr = shingle_arrays(df, text_col).filter(F.size("shs") > 0)
     a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))

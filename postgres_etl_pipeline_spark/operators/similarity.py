@@ -1169,3 +1169,212 @@ def pq_train_codebook(
         )
         subs.append(np.floor(cents * scale + 0.5).astype(np.int64))
     return np.stack(subs, axis=1)  # (C, m, d)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k: int = 5,
+    rerank: int = 4,
+    codebook_size: int = 256,
+    scale: int = 1000,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
+    fit_sample: int = 16384,
+    codebook=None,
+) -> DataFrame:
+    """IVF-PQ: the production big-ANN composition (FAISS ``IVFx,PQy``,
+    verdict r07 item 7) — the coarse quantizer prunes WHICH corpus
+    partitions each query scans (IVF: ``n_probe`` of ``n_centroids``
+    inverted lists), and product quantization compresses HOW each scanned
+    vector is scored (ADC over m sub-codebook codes). The two axes are
+    independent: IVF bounds scan fraction ≈ n_probe/n_centroids, PQ
+    bounds bytes-per-scanned-vector at m·log2(C) bits; composed they are
+    the standard trillion-vector serving shape.
+
+    Exactness structure (shared with the component operators):
+
+    * coarse stage — the same flat / two-level Lloyd tier cut as
+      :func:`ivf_topk` (two-level above ``fit_sample // 8`` centroids,
+      keeping k ∝ N); assignment is :func:`assign_to_centroids`' pure
+      argmin; the per-query probe list is a driver-side argsort over
+      bounded centroid metadata, exactly :func:`ivf_topk`'s shape.
+    * ADC stage — bit-identical arithmetic to :func:`pq_topk`: the SAME
+      hash-ordered anchor codebook derived from the FULL corpus (or a
+      provided trained codebook on the shared ``scale`` lattice — same
+      contract), the same exact-int64 LUT and assignment, the same
+      (adc, neighbor_id) candidate order. With ``n_probe =
+      n_centroids`` every list is scanned and the output EQUALS
+      :func:`pq_topk`'s — which is what lets the catalog entry
+      hash-oracle against the PQ SQL while the sub-linear n_probe <
+      n_centroids path is pinned by measured-recall tests and the
+      SCALE.md scanned-fraction row.
+
+    Scale shape: centroids, codebook, LUTs, and probe lists are bounded
+    driver/broadcast metadata; ONE Arrow-batched ``mapInPandas`` pass
+    scores the PRUNED corpus (rows whose cid no query probes are dropped
+    scan-side by a broadcast semi-join — at 100 TB the corpus is written
+    partitioned by cid and the same join prunes file reads); per-row
+    emit volume is its probing queries only (the cid→query mask applies
+    INSIDE the batch, so candidate volume is the true probed volume, not
+    n × Q). Shuffles: the per-query candidate top-k and the ≤ Q·k·rerank
+    exact re-rank join, both identical to :func:`pq_topk`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    # degenerate corpora: fall back to the unpartitioned PQ scan (same
+    # contract ivf_topk uses; no index worth building below k points)
+    if c.limit(n_centroids).count() < n_centroids:
+        return pq_topk(
+            corpus, queries, m, k, rerank, codebook_size, scale,
+            id_col, vec_col, codebook,
+        )
+    if n_centroids <= max(2, int(fit_sample) // 8):
+        cents = fit_coarse_quantizer(
+            c, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+            kmeans_init=kmeans_init, fit_sample=fit_sample,
+        )
+    else:
+        cents = fit_two_level_quantizer(
+            c, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+            kmeans_init=kmeans_init, fit_sample=fit_sample,
+        )
+    # --- PQ codebook: identical derivation to pq_topk (full corpus) ---
+    if codebook is not None:
+        As = np.asarray(codebook, dtype=np.int64)
+        if As.ndim != 3 or As.shape[1] != m:
+            raise ValueError(
+                f"codebook must have shape (C, m={m}, d); got {As.shape}"
+            )
+        d = As.shape[2]
+    else:
+        book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
+        if not book:
+            return spark.createDataFrame([], empty_schema)
+        A = np.array(book, dtype=np.int64)
+        if A.shape[1] % m:
+            raise ValueError(f"m={m} must divide vector dims={A.shape[1]}")
+        d = A.shape[1] // m
+        As = A.reshape(len(A), m, d)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("qq"),
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
+    if m * d != len(q_rows[0]["qq"]):
+        raise ValueError(
+            f"codebook subvector width d={d} gives m*d={m * d}, but "
+            f"vectors have {len(q_rows[0]['qq'])} dims"
+        )
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qs = np.array([r["qq"] for r in q_rows], dtype=np.int64).reshape(-1, m, d)
+    lut = ((Qs[:, None, :, :] - As[None, :, :, :]) ** 2).sum(-1)  # (Q, C, m)
+    lut = np.ascontiguousarray(lut.transpose(0, 2, 1))  # (Q, m, C)
+    # --- per-query probe lists over bounded centroid metadata ---
+    Qv = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    d2 = ((Qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1)  # (Q, k1)
+    probe_idx = np.argsort(d2, axis=1)[:, : int(n_probe)]  # (Q, n_probe)
+    n_cents = len(cents)
+    probe_mask = np.zeros((len(qids), n_cents), dtype=bool)
+    for qi, row in enumerate(probe_idx):
+        probe_mask[qi, row] = True
+    probed_cids = sorted({int(x) for x in probe_idx.ravel()})
+    bc = spark.sparkContext.broadcast((qids, lut, As, probe_mask))
+
+    def adc_score(batches):
+        b_qids, b_lut, b_As, b_mask = bc.value
+        a_sq = (b_As**2).sum(-1)  # (C, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["cd"]), dtype=np.int64).reshape(
+                len(nids), m, d
+            )
+            n = len(nids)
+            adc = np.zeros((n, len(b_qids)), dtype=np.int64)
+            for s in range(m):
+                g = X[:, s, :] @ b_As[:, s, :].T
+                codes_s = np.argmin(a_sq[:, s][None, :] - 2 * g, axis=1)
+                adc += b_lut[:, s, codes_s].T
+            # probe mask: emit (row, query) only where the row's list is
+            # probed by that query — candidate volume is the true probed
+            # volume, not n × Q
+            keep = b_mask[:, cids].T  # (n, Q)
+            ri, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": nids[ri],
+                    "adc": adc[ri, qi],
+                }
+            )
+
+    probed = spark.createDataFrame(
+        [(int(x),) for x in probed_cids], "cid int"
+    )
+    coded = (
+        assign_to_centroids(c, cents)
+        .join(F.broadcast(probed), "cid", "left_semi")
+        .select(
+            "neighbor_id",
+            "cid",
+            fixed_point_codes(F.col("cv"), scale).alias("cd"),
+        )
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cands = (
+        coded.mapInPandas(
+            adc_score, "query_id long, neighbor_id long, adc long"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), list(r["qv"])) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        cands.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_vec(vec_col).alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv"))
+                / (norm(F.col("cv")) * norm(F.col("qv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries import register, spread, t
-from .queries_ext5 import _containment_oracle
+from .queries_ext5 import _containment_oracle, _PQ_ORACLE
 
 # ---------------------------------------------------------------------------
 # Containment mining, prefix-filtered — the sub-linear twin of
@@ -42,4 +42,124 @@ def containment_prefix_dups(spark, sf_dir):
     docs = spread(t(spark, sf_dir, "documents"))
     return D.containment_prefix_pairs(
         docs, threshold=0.6, stop_max_df_frac=0.2, stop_min_df=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass sorted-neighborhood — suffix-order second pass (verdict r07
+# item 6: the classic SNM recall remedy)
+# ---------------------------------------------------------------------------
+
+
+def _snm_multipass_oracle(window: int = 3, thr: float = 0.5) -> str:
+    from .queries_ext import _NORM, _SHINGLES, _TOKS
+
+    offsets = ", ".join(str(o) for o in range(1, window))
+    return f"""
+    WITH nd AS (
+      SELECT doc_id, {_NORM} AS k FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn FROM nd
+    ),
+    r2 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY reverse(k), doc_id) AS rn FROM nd
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM r1 a JOIN r1 b ON b.rn - a.rn IN ({offsets})
+      UNION
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM r2 a JOIN r2 b ON b.rn - a.rn IN ({offsets})
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(CAST(i.inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - i.inter), 4) >= {thr}
+    """
+
+
+@register(
+    "snm_multipass_near_dups",
+    _snm_multipass_oracle(),
+    survey="§7 north-star extension: MULTI-PASS sorted-neighborhood — a "
+    "second sliding-window pass over the REVERSED normalized text "
+    "(suffix blocking) union'd with the prefix pass before one exact "
+    "verification; catches prefix-divergent near-dups the single order "
+    "provably misses, at the same (window-1)*N per-pass candidate bound",
+    tags=("ext", "dedup"),
+)
+def snm_multipass_near_dups(spark, sf_dir):
+    """SNM with prefix + suffix blocking orders at window 3, t = 0.5 —
+    the recall superset of ``snm_near_dups`` (every single-pass pair is
+    also a multi-pass candidate; the suffix pass adds pairs whose texts
+    share tails but diverge at the front, e.g. differing leading
+    boilerplate)."""
+    from .operators.dedup import multipass_snm_pairs
+    from .operators.text import normalize_ws
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    norm = F.lower(normalize_ws(F.col("text")))
+    return multipass_snm_pairs(
+        docs, [norm, F.reverse(norm)], window=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse partition pruning composed over the product-quantized
+# ADC scan (verdict r07 item 7: the production big-ANN shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivfpq_topk",
+    # Probe-ALL mode (n_probe = n_centroids) makes the IVF stage a no-op
+    # filter, so the output equals pq_topk's and hash-oracles against the
+    # same PQ SQL (the embedding_ivf_topk probe-all discipline). The
+    # sub-linear n_probe < n_centroids path is pinned by measured-recall
+    # tests + the SCALE.md scanned-fraction row.
+    _PQ_ORACLE,
+    survey="§7 Phase 5 extension: IVF-PQ composition — the coarse "
+    "quantizer prunes WHICH inverted lists each query scans "
+    "(scan fraction ≈ n_probe/n_centroids, a broadcast semi-join that "
+    "becomes partition pruning on a cid-partitioned corpus) while PQ "
+    "compresses HOW scanned vectors score (exact-int64 ADC, 8 bytes/"
+    "vector); catalog entry runs probe-all = exact PQ twin",
+    tags=("ext", "similarity"),
+)
+def ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-5 for the first-20-vector probe slice, probe-all
+    configuration (see the register comment). Same cheap-layout
+    discipline as ``embedding_ivf_topk``: with every list scanned the
+    centroid placement cannot change the output, so the quantizer
+    trains with one iteration of random init."""
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return S.ivfpq_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 20),
+        k=5,
+        rerank=4,
+        n_centroids=16,
+        n_probe=16,
+        kmeans_max_iter=1,
+        kmeans_init="random",
     )

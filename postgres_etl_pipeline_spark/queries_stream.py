@@ -495,3 +495,65 @@ def stream_bloom_dedup(spark, sf_dir):
     return runner.run_to_memory(
         out, "stream_bloom_dedup", "append", state_partitions=STATE_PARTITIONS
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup admission against an accreting MinHash band index —
+# the probabilistic sibling of stream_bloom_dedup, with exact verification
+# ---------------------------------------------------------------------------
+
+
+def _stream_minhash_oracle() -> str:
+    # the batch twin's oracle verbatim: the drained admission must equal
+    # the one-shot batch admission (incremental_near_dup_new_docs) —
+    # sharing the SQL is the no-drift guarantee
+    from .queries_ext5 import _incr_near_dup_oracle
+
+    return _incr_near_dup_oracle()
+
+
+@register(
+    "stream_minhash_dedup",
+    _stream_minhash_oracle(),
+    survey="§2.8 extension (verdict r07 item 5): streaming NEAR-dup "
+    "admission — each micro-batch runs incremental_minhash_dedup against "
+    "parquet state (band index + seen texts) via foreachBatch, admits "
+    "survivors, and accretes the state with keyed upserts; drained "
+    "admission == the batch twin's answer (same oracle as "
+    "incremental_near_dup_new_docs), at-least-once + idempotent-upsert "
+    "= effectively-once",
+    tags=("streaming", "dedup"),
+)
+def stream_minhash_dedup(spark, sf_dir):
+    """Stream the doc_id % 10 ∈ {8, 9} batch through near-dup admission
+    against the rest of the corpus as pre-seeded state (the same split as
+    the batch twin). State (band index, seen texts, admitted ids) lives
+    in scratch parquet and accretes per micro-batch; the admitted table
+    is collected EAGERLY so the scratch dirs can be deleted before
+    returning (the stream_cdc_apply lifecycle discipline)."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import minhash_band_rows
+
+    docs = spark.read.schema(_DOCS_SCHEMA).parquet(f"{sf_dir}/documents.parquet")
+    stored = docs.select("doc_id", "text").filter(F.col("doc_id") % 10 < 8)
+    scratch = tempfile.mkdtemp(prefix="stream_minhash_")
+    try:
+        state = scratch + "/state"
+        minhash_band_rows(stored).write.parquet(state + "/bands")
+        stored.write.parquet(state + "/seen")
+        st = sources.stream_parquet(
+            spark, f"{sf_dir}/documents.parquet", _DOCS_SCHEMA
+        ).filter(F.col("doc_id") % 10 >= 8)
+        runner.run_minhash_admission_sink(
+            st, state, threshold=0.5, checkpoint=scratch + "/ckpt"
+        )
+        admitted = runner.read_state_or_empty(
+            spark, state + "/admitted", "doc_id long"
+        )
+        rows = admitted.collect()
+        schema = admitted.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

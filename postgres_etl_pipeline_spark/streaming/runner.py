@@ -259,3 +259,124 @@ def run_cdc_jdbc_sink(
     finally:
         if q.isActive:
             q.stop()
+
+
+def read_state_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read a parquet state relation, or an empty DataFrame of ``schema``
+    when the path does not exist yet (first increment) — the tolerant
+    read every accreting foreachBatch state table needs."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def run_minhash_admission_sink(
+    stream_docs: DataFrame,
+    state_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a bounded document stream through NEAR-dup admission against
+    an accreting MinHash band index (verdict r07 item 5): each micro-batch
+    runs :func:`operators.dedup.incremental_minhash_dedup` against the
+    stored state, admits the survivors, and extends the state — the
+    reference's at-least-once + idempotent-upsert load story (K5/§2.8)
+    composed with the near-dup miner instead of the exact-fingerprint
+    gate (`stream_bloom_dedup`'s probabilistic sibling, with exact
+    verification and band-guarantee recall).
+
+    State layout under ``state_dir`` (all keyed-upsert parquet, so
+    re-delivered batches re-apply as no-ops):
+
+    * ``bands``   — (doc_id, band_key) rows of every SEEN doc
+    * ``seen``    — (doc_id, text) of every SEEN doc (verification side)
+    * ``admitted``— (doc_id) of every ADMITTED doc (the answer)
+
+    SEEN, not admitted-only, on purpose: the batch operator's rule is
+    "a lower-id near-partner dominates whether or not IT was admitted"
+    (near-dup is not transitive — admission must not depend on the
+    dominator's own fate). Accreting every seen doc's bands + text makes
+    the drained multi-batch admission equal the one-shot batch admission
+    whenever batch order respects doc_id order; admitted-only state
+    would re-admit near-dups of rejected docs.
+
+    Redelivery: a re-delivered doc collides with its own band rows in
+    the index, verifies Jaccard 1 ≥ t against itself, and is rejected —
+    but its admitted row (if any) is already in ``admitted``, so the
+    final state is unchanged. Exactly the idempotent-replay contract
+    ``run_upsert_sink`` documents.
+
+    Scale shape per batch: band the BATCH only; one band-keyed join vs
+    the index; candidates' stored text pruned via LEFT SEMI before any
+    re-shingling; three keyed upserts (O(state) rewrite locally — a
+    transactional table format MERGE on a cluster). The corpus is never
+    re-banded.
+    """
+    from pyspark.sql import functions as F
+
+    from ..connectors.sinks import upsert_parquet
+    from ..operators.dedup import incremental_minhash_dedup, minhash_band_rows
+
+    bands_path = os.path.join(state_dir, "bands")
+    seen_path = os.path.join(state_dir, "seen")
+    admitted_path = os.path.join(state_dir, "admitted")
+    ckpt = checkpoint or _scratch_checkpoint("ckpt_minhash_adm_")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = read_state_or_empty(
+            spark, bands_path, "doc_id long, band_key string"
+        )
+        seen = read_state_or_empty(
+            spark, seen_path, f"doc_id long, {text_col} string"
+        )
+        batch = batch_df.select("doc_id", text_col)
+        admitted = incremental_minhash_dedup(
+            batch,
+            index,
+            seen,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            text_col=text_col,
+        )
+        # cut lineage BEFORE mutating state: the admission plan reads the
+        # bands/seen dirs that the upserts below swap out from under it
+        # (upsert_parquet is write-to-sibling + delete/rename); an eager
+        # checkpoint pins the small admitted id set as blocks, not a plan
+        admitted = admitted.localCheckpoint(eager=True)
+        upsert_parquet(
+            spark, admitted, admitted_path, ["doc_id"], [F.col("doc_id")]
+        )
+        # accrete the WHOLE batch (seen semantics, see above); band rows
+        # keyed by (doc_id, band_key) so replays collapse
+        upsert_parquet(
+            spark,
+            minhash_band_rows(batch, num_hashes, bands, text_col),
+            bands_path,
+            ["doc_id", "band_key"],
+            [F.col("doc_id")],
+        )
+        upsert_parquet(spark, batch, seen_path, ["doc_id"], [F.col("doc_id")])
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"minhash admission drain to '{state_dir}' did not finish "
+                f"within {timeout_s}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

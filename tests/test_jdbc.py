@@ -243,3 +243,46 @@ def test_cdc_jdbc_stream_foreachbatch_applies_deletes(
         3: ("I", "c", 1),
         4: ("I", "d", 2),
     }
+
+
+def test_cdc_jdbc_tombstone_gc_compacts_without_resurrection(
+    spark, derby_cdc_target
+):
+    """Drain + GC composed on the REMOTE sink (verdict r07 item 9): the
+    Derby table physically shrinks (below-horizon tombstone deleted)
+    while an at-or-above-horizon tombstone is retained and keeps
+    defeating a still-possible redelivered pre-delete change."""
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        compact_cdc_tombstones_jdbc,
+    )
+
+    t = derby_cdc_target
+    # two soft deletes: k=3 at seq 5 (below the later horizon), k=2 at
+    # seq 9 (at/above it)
+    _drain(
+        spark,
+        _chg(spark, [(3, 5, "D", None), (2, 9, "D", None)]),
+        t,
+        hard_delete=False,
+    )
+    before = _table(spark, t)
+    assert before[3][0] == "D" and before[2][0] == "D"
+    assert len(before) == 3
+
+    # horizon 7: "no change with seq < 7 will ever arrive again" — the
+    # seq-5 tombstone is dead weight, the seq-9 one is still load-bearing
+    compact_cdc_tombstones_jdbc(
+        spark, URL, t, seq_col="seq", horizon=7, driver=DRIVER
+    )
+    after = _table(spark, t)
+    assert len(after) == 2  # the table shrank
+    assert 3 not in after  # below-horizon tombstone gone
+    assert after[2] == ("D", None, 9)  # retained tombstone intact
+
+    # a redelivered pre-delete change within the horizon's allowance
+    # (seq 8 >= horizon) must still lose to the retained tombstone
+    _drain(spark, _chg(spark, [(2, 8, "I", "b8")]), t, hard_delete=False)
+    final = _table(spark, t)
+    assert final[2] == ("D", None, 9)  # no resurrection
+    live = {k for k, (op, v, s) in final.items() if op != "D"}
+    assert live == {1}

@@ -160,3 +160,48 @@ def test_pq_codebook_shape_validation(spark, sf_small):
 def test_pq_trained_empty_corpus_returns_none(spark, sf_small):
     emb = spread(t(spark, sf_small, "embeddings")).filter(F.col("vec_id") < 0)
     assert S.pq_train_codebook(emb) is None
+
+
+def test_ivfpq_probe_all_equals_pq(spark, sf_small):
+    # with every inverted list probed the IVF stage is a no-op filter and
+    # the composition must reproduce pq_topk EXACTLY (the catalog entry's
+    # oracle-equality claim)
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    pq = _topk_sets(S.pq_topk(emb, queries, k=5, rerank=4))
+    ivfpq = _topk_sets(
+        S.ivfpq_topk(
+            emb, queries, k=5, rerank=4, n_centroids=16, n_probe=16,
+            kmeans_max_iter=1, kmeans_init="random",
+        )
+    )
+    assert ivfpq == pq
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    ivfpq = _topk_sets(
+        S.ivfpq_topk(emb, queries, k=5, rerank=4, n_centroids=16, n_probe=4)
+    )
+    assert set(ivfpq) == set(exact)  # every query answered
+    recalls = [len(ivfpq[q] & exact[q]) / 5 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # composed losses (IVF pruning × PQ quantization) still beat random
+    assert mean_recall >= 0.3, f"mean recall {mean_recall}"
+    again = _topk_sets(
+        S.ivfpq_topk(
+            emb.repartition(7), queries, k=5, rerank=4,
+            n_centroids=16, n_probe=4,
+        )
+    )
+    assert ivfpq == again
+
+
+def test_ivfpq_tiny_corpus_falls_back_to_pq(spark, sf_small):
+    emb = spread(t(spark, sf_small, "embeddings")).filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = _topk_sets(S.ivfpq_topk(emb, queries, k=3, n_centroids=16))
+    pq = _topk_sets(S.pq_topk(emb, queries, k=3))
+    assert out == pq

@@ -512,3 +512,95 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark_expiry(
     assert (2, None) in got       # expired unmatched click -> null right side
     assert (9, None) not in got   # matched advancing clicks emit no nulls
     assert (9, 9) in got          # ...they emit as ordinary inner rows
+
+
+def test_minhash_admission_multi_batch_and_replay(spark, tmp_path):
+    """Streaming near-dup admission (run_minhash_admission_sink):
+    (1) cross-batch: a batch-2 near-dup of an ADMITTED batch-1 doc is
+        rejected through the accreted band index;
+    (2) seen-semantics: a batch-2 near-dup of a REJECTED batch-1 doc is
+        ALSO rejected (the batch operator's "domination is independent
+        of the dominator's fate" rule, kept across micro-batches);
+    (3) replay from a fresh checkpoint leaves the admitted set unchanged;
+    (4) the drained multi-batch admission equals the one-shot batch call.
+    """
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_rows,
+    )
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        read_state_or_empty,
+        run_minhash_admission_sink,
+    )
+
+    P = [f"p{i}" for i in range(1, 15)]     # shared prefix tokens
+    T1 = [f"t{i}" for i in range(1, 7)]     # stored doc's unique tail
+    U = [f"u{i}" for i in range(1, 5)]      # rejected doc's unique tail
+    V = ["v1", "v2"]
+    txt = " ".join
+    stored_rows = [(1, txt(P + T1))]                     # the seeded corpus
+    batch1 = [
+        # J(d10, stored) = 12/22 ≈ 0.545 ≥ 0.5 → rejected vs stored
+        (10, txt(P + U)),
+        (11, txt([f"q{i}" for i in range(1, 13)])),      # unique → admitted
+    ]
+    batch2 = [
+        # J(d20, d10) = 12/18 ≈ 0.667 (rejected dominator!) but
+        # J(d20, stored) = 8/24 ≈ 0.333 → only seen-semantics rejects it
+        (20, txt(V + P[4:] + U)),
+        (21, batch1[1][1]),                              # copy of admitted d11
+        (22, txt([f"z{i}" for i in range(1, 13)])),      # unique → admitted
+    ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ndjson(
+        str(src / "a.ndjson"),
+        [{"doc_id": i, "text": s} for i, s in batch1],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(src / "b.ndjson"), [{"doc_id": i, "text": s} for i, s in batch2]
+    )
+    stored = spark.createDataFrame(stored_rows, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    minhash_band_rows(stored).write.parquet(state + "/bands")
+    stored.write.parquet(state + "/seen")
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    run_minhash_admission_sink(
+        stream(), state, threshold=0.5, checkpoint=str(tmp_path / "ckpt1")
+    )
+    admitted = {
+        r["doc_id"]
+        for r in read_state_or_empty(spark, state + "/admitted", "doc_id long").collect()
+    }
+    assert admitted == {11, 22}, admitted
+
+    # (3) full replay from a lost checkpoint: keyed upserts make it a no-op
+    run_minhash_admission_sink(
+        stream(), state, threshold=0.5, checkpoint=str(tmp_path / "ckpt2")
+    )
+    again = {
+        r["doc_id"]
+        for r in read_state_or_empty(spark, state + "/admitted", "doc_id long").collect()
+    }
+    assert again == {11, 22}, again
+
+    # (4) one-shot batch twin over the SAME split agrees
+    all_batch = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, text string"
+    )
+    one_shot = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            all_batch, minhash_band_rows(stored), stored, threshold=0.5
+        ).collect()
+    }
+    assert one_shot == admitted

@@ -641,6 +641,48 @@ class TestSortedNeighborhood:
         df = self._docs(spark, []).filter("doc_id > 0")
         assert sorted_neighborhood_pairs(df).collect() == []
 
+    def test_multipass_suffix_order_recovers_prefix_divergent_pair(
+        self, spark
+    ):
+        """The classic SNM blind spot and its remedy (verdict r07 item 6):
+        docs 0 and 3 share a long TAIL but diverge at the front, so the
+        prefix order sorts them to opposite ends (filler docs in between)
+        and the single pass never compares them; the reversed-key pass
+        sorts them adjacent and the pair verifies. Multi-pass must also
+        keep every single-pass pair (candidate superset)."""
+        from pyspark.sql import functions as F
+
+        from postgres_etl_pipeline_spark.operators.dedup import (
+            multipass_snm_pairs,
+            sorted_neighborhood_pairs,
+        )
+        from postgres_etl_pipeline_spark.operators.text import normalize_ws
+
+        tail = "mm nn oo pp qq rr ss tt uu vv"
+        rows = [
+            (0, "aaa " + tail),
+            (1, "ggg novel tokens one two three four five"),
+            (2, "nnn other tokens six seven eight nine ten"),
+            (3, "zzz " + tail),  # same tail, opposite end of prefix order
+        ]
+        df = self._docs(spark, rows)
+        single = {
+            (p.doc_a, p.doc_b)
+            for p in sorted_neighborhood_pairs(
+                df, window=3, threshold=0.3
+            ).collect()
+        }
+        norm = F.lower(normalize_ws(F.col("text")))
+        multi = {
+            (p.doc_a, p.doc_b)
+            for p in multipass_snm_pairs(
+                df, [norm, F.reverse(norm)], window=3, threshold=0.3
+            ).collect()
+        }
+        assert (0, 3) not in single
+        assert (0, 3) in multi
+        assert single <= multi
+
 
 class TestIncrementalNearDup:
     """incremental_minhash_dedup: admission against a stored band index +
