@@ -481,3 +481,45 @@ def test_span_rewrite_stats_shuffle_join_tokens_never_exchanged(spark, sf_small)
     assert s.shuffled_hash_joins >= 1  # the span-stats join, pinned by hint
     assert s.nested_loop_joins == 0
     assert s.broadcast_joins <= 1  # at most the interval rejoin
+
+
+def test_containment_prefix_join_shape(spark, sf_small):
+    """The A-prefix × B-full candidate join must stay a hash join on the
+    shingle key (the same post-Generate broadcast-estimator trap pinned
+    for jaccard/prefix-filter), with no sort-merge over the exploded
+    relation and no nested loop anywhere — the sub-linear claim is the
+    prefix's candidate cut, not a different join algorithm."""
+    df = q("containment_prefix_dups", spark, sf_small)
+    s = plan_summary(df)
+    assert s.sort_merge_joins == 0
+    assert s.nested_loop_joins == 0
+    assert s.shuffled_hash_joins >= 1
+
+
+def test_ivfpq_prunes_scan_and_keeps_single_adc_pass(spark, sf_small):
+    """IVF-PQ = one assignment pass + ONE fused encode/ADC scan over the
+    PRUNED corpus: the probed-cid cut is a broadcast semi-join (partition
+    pruning on a cid-partitioned 100 TB corpus), the re-rank's query side
+    is broadcast by contract, and no join may degenerate to nested loop."""
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    df = q("ivfpq_topk", spark, sf_small)
+    s = plan_summary(df)
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 2  # probed-cid semi-join + qdf re-rank side
+    p = plan_string(df, "simple")
+    # exactly two Arrow passes: centroid assignment, then encode+ADC
+    assert p.count("MapInPandas") == 2
+
+
+def test_snm_multipass_no_single_partition_and_linear_passes(spark, sf_small):
+    """Two blocking passes must still mean ZERO Exchange SinglePartition
+    (the ranking-kernel contract) — multi-pass recall must not smuggle a
+    global sort in — and verification joins stay hash/broadcast."""
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    df = q("snm_multipass_near_dups", spark, sf_small)
+    p = plan_string(df, "simple")
+    assert "Exchange SinglePartition" not in p
+    s = plan_summary(df)
+    assert s.nested_loop_joins == 0
