@@ -413,3 +413,53 @@ def triangle_stats(
         F.col("n_edges").cast("long").alias("n_edges"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    algorithm: str = "hash-to-min",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the CLUSTER REPRESENTATIVE,
+    not the document — so every member of a near-duplicate component lands
+    in the SAME split and train/test leakage through near-copies is
+    impossible by construction (the classic eval-contamination failure:
+    a test document whose near-duplicate sits in train scores as
+    memorization, not generalization; doc-keyed hashing — the plain
+    ``train_val_test_split`` — splits ~J·2·p(1−p) of each near-dup pair
+    across the boundary).
+
+    Input: the corpus and a mined near-dup pair relation (any candidate
+    tier — minhash, prefix-filter, semantic). Plan: connected components
+    over the pairs (the shared CC kernel, one shuffle per round), LEFT
+    join back to the corpus (singletons = their own representative —
+    coalesce, no row lost), then the SAME deterministic md5-bucket
+    80/10/10 rule as ``train_val_test_split`` applied to the
+    representative id. Engine-portable and reproducible: assignment is a
+    pure function of (pair graph, stable ids).
+
+    Returns (id_col, cluster_rep, split).
+    """
+    if algorithm == "star":
+        cc = connected_components_star(pairs, a_col, b_col)
+    else:
+        cc = connected_components(pairs, a_col, b_col)
+    rep = F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_rep")
+    joined = df.select(id_col).join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        joined.select(F.col(id_col), rep)
+        .withColumn(
+            "split",
+            F.when(bucket < 52429, "train")
+            .when(bucket < 58982, "val")
+            .otherwise("test"),
+        )
+    )

@@ -1378,3 +1378,114 @@ def ivfpq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
+    fit_sample: int = 16384,
+):
+    """PERSIST the IVF layout: train the coarse quantizer (same flat /
+    two-level tier cut as :func:`ivf_topk`), assign the corpus, and write
+    it as parquet PARTITIONED BY cid — the deployment shape every IVF
+    docstring in this module promises ("the corpus is written partitioned
+    by centroid id, partition pruning ≙ probing"), now an actual operator
+    instead of prose. Centroids are written alongside (``<path>_centroids``,
+    one row per cid) so search sessions need no retraining; returns the
+    centroid ndarray for same-session use.
+
+    At 100 TB this write is the index build: one assignment scan + one
+    partitioned write, after which EVERY query's probe set becomes a
+    file-level partition filter — no index structure, no service, just
+    directory layout. Rebuilds are per-partition (re-cluster a hot cell)
+    rather than global.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    if n_centroids <= max(2, int(fit_sample) // 8):
+        cents = fit_coarse_quantizer(
+            c, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+            kmeans_init=kmeans_init, fit_sample=fit_sample,
+        )
+    else:
+        cents = fit_two_level_quantizer(
+            c, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+            kmeans_init=kmeans_init, fit_sample=fit_sample,
+        )
+    assign_to_centroids(c, cents).write.partitionBy("cid").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.parquet(path + "_centroids")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str):
+    """Centroid matrix of a :func:`write_ivf_index` index, cid order."""
+    import numpy as np
+
+    rows = spark.read.parquet(path + "_centroids").orderBy("cid").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED :func:`write_ivf_index` layout: per-query probe
+    lists come from the stored centroids (bounded driver metadata), and
+    the corpus read carries ``cid IN (probed)`` — which Spark turns into
+    a PARTITION FILTER on the cid directory layout, so only the probed
+    lists' FILES are ever read (`PartitionFilters` in the scan node,
+    pinned in tests/test_plan_shapes.py). Scoring/ranking arithmetic is
+    identical to :func:`ivf_topk` (broadcast probe join, exact cosine,
+    4-dp + id tie-break total order), so probe-all reproduces exact
+    search and the catalog entry hash-oracles against the brute-force
+    SQL while n_probe < n_centroids is the measured-recall scale path.
+    """
+    import numpy as np
+
+    cents = read_ivf_centroids(spark, path)
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows or not len(cents):
+        return spark.createDataFrame([], empty_schema)
+    probes = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        d = ((cents - qv) ** 2).sum(axis=1)
+        for cid in np.argsort(d)[: int(n_probe)]:
+            probes.append((int(r[0]), int(cid), [float(x) for x in qv]))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, cid int, qv array<double>"
+    )
+    probed_cids = sorted({p[1] for p in probes})
+    scan = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
+    scored = (
+        scan.join(F.broadcast(probe_df), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

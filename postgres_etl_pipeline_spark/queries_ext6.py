@@ -1,8 +1,11 @@
 """Extension catalog, batch 6 (round 8): sub-linear candidate paths for
-the last miner family (asymmetric containment via prefix filtering), the
-IVF-PQ composition (coarse partition pruning over the product-quantized
-ADC scan — the production big-ANN shape), and the streaming near-dup
-admission drain.
+the last miner family (asymmetric containment via prefix filtering),
+multi-pass sorted-neighborhood (suffix-order second pass), the IVF-PQ
+composition (coarse pruning over the product-quantized ADC scan — the
+production big-ANN shape), the PERSISTED cid-partitioned IVF layout
+(partition pruning ≙ probing), and the leakage-safe split (near-dup
+components hash as one unit). The streaming near-dup admission drain
+lives with the other stream entries in queries_stream.py.
 
 Same registry/oracle conventions as queries_ext.py.
 """
@@ -163,3 +166,101 @@ def ivfpq_topk(spark, sf_dir):
         kmeans_max_iter=1,
         kmeans_init="random",
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — partition pruning ≙ probing, as an operator
+# ---------------------------------------------------------------------------
+
+
+def _cosine_topk_oracle() -> str:
+    from .queries_ext import _COSINE_TOPK_ORACLE
+
+    return _COSINE_TOPK_ORACLE
+
+
+@register(
+    "ivf_partitioned_topk",
+    _cosine_topk_oracle(),
+    survey="§7 Phase 5 extension: the PERSISTED IVF layout — corpus "
+    "written parquet-partitioned by centroid id (one assignment scan + "
+    "one partitioned write = the index build), probe lists becoming "
+    "file-level PartitionFilters on read (pinned in plan tests); "
+    "probe-all = exact, hash-oracled against the brute-force cosine SQL",
+    tags=("ext", "similarity"),
+)
+def ivf_partitioned_topk(spark, sf_dir):
+    """Build the cid-partitioned index in scratch, search it probe-all
+    (hash-equal to brute force; the pruned n_probe < n_centroids path is
+    pinned by plan + recall tests), collect eagerly, clean up — the
+    stream_cdc_apply scratch-lifecycle discipline."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    scratch = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        path = scratch + "/index"
+        S.write_ivf_index(
+            emb, path, n_centroids=16, kmeans_max_iter=1, kmeans_init="random"
+        )
+        out = S.ivf_index_topk(
+            spark, path, emb.filter(F.col("vec_id") < 20), k=5, n_probe=16
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split — near-dup components hash as ONE unit
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    from .queries_ext import _CC_CTES
+
+    return f"""
+    WITH RECURSIVE {_CC_CTES},
+    rep AS (
+      SELECT d.doc_id,
+             CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_rep
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN bucket < 52429 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_rep,
+                 CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 4))
+                      AS BIGINT) AS bucket
+          FROM rep)
+    """
+
+
+@register(
+    "leakage_safe_split",
+    _leakage_split_oracle(),
+    survey="§7 Phase 5 extension: LEAKAGE-SAFE train/val/test split — the "
+    "md5-bucket rule applied to the near-dup CLUSTER REPRESENTATIVE "
+    "(minhash pairs → CC → coalesce singletons), so a test doc can never "
+    "have a near-duplicate in train; composes the shared pair stage, the "
+    "CC kernel, and the split rule into the eval-decontamination "
+    "guarantee a training pipeline actually needs",
+    tags=("ext", "dedup", "assembly"),
+)
+def leakage_safe_split(spark, sf_dir):
+    """80/10/10 split keyed by near-dup component representative. Uses
+    the shared minhash pair stage (mined once per session per sf_dir —
+    the production pipeline shape where one candidate-pair table feeds
+    cluster labels, keep-lists, audits, AND the split)."""
+    from .operators.graph import leakage_safe_split as _lss
+    from .queries_ext import _minhash_pair_stage
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = _minhash_pair_stage(spark, sf_dir)
+    return _lss(docs, pairs)

@@ -211,3 +211,41 @@ def test_triangles_invariant_to_direction_duplicates_loops(spark):
 def test_triangles_empty(spark):
     r = _tri(spark, [(1, 1)])  # only a self-loop: filtered, empty graph
     assert (r.n_vertices, r.n_edges, r.n_triangles) == (0, 0, 0)
+
+
+def test_leakage_safe_split_never_splits_a_component(spark, sf_small):
+    """The guarantee itself: every mined near-dup pair lands in ONE split
+    (doc-keyed hashing provably violates this on any pair whose members
+    hash differently), every corpus doc is assigned exactly once, and
+    singletons keep the plain train_val_test_split assignment (their
+    representative IS the doc id — the two entries agree outside
+    components)."""
+    from pyspark.sql import functions as F
+
+    from postgres_etl_pipeline_spark.operators.dedup import minhash_near_dups
+    from postgres_etl_pipeline_spark.operators.graph import leakage_safe_split
+    from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all, spread, t
+
+    load_all()
+    docs = t(spark, sf_small, "documents")
+    pairs = minhash_near_dups(spread(docs), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    out = leakage_safe_split(docs, pairs)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+    a = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    crossing = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossing == 0
+
+    plain = REGISTRY["train_val_test_split"].fn(spark, sf_small)
+    joined = out.filter(F.col("cluster_rep") == F.col("doc_id")).join(
+        plain.withColumnRenamed("split", "plain_split"), "doc_id"
+    )
+    assert joined.filter(F.col("split") != F.col("plain_split")).count() == 0

@@ -205,3 +205,46 @@ def test_ivfpq_tiny_corpus_falls_back_to_pq(spark, sf_small):
     out = _topk_sets(S.ivfpq_topk(emb, queries, k=3, n_centroids=16))
     pq = _topk_sets(S.pq_topk(emb, queries, k=3))
     assert out == pq
+
+
+def test_ivf_index_partition_pruning_and_recall(spark, sf_small, tmp_path):
+    """The persisted IVF layout must turn probe lists into FILE-level
+    pruning: a pruned read touches strictly fewer files than the full
+    index, the scan carries cid PartitionFilters, and probe-all search
+    over the index reproduces brute force exactly (the catalog entry's
+    oracle claim)."""
+    from pyspark.sql import functions as F
+
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "index")
+    S.write_ivf_index(emb, path, n_centroids=16)
+
+    def files_read(df):
+        return {
+            r[0]
+            for r in df.select(F.input_file_name()).distinct().collect()
+        }
+
+    full_files = files_read(spark.read.parquet(path))
+    probed = spark.read.parquet(path).filter(F.col("cid").isin([0, 1]))
+    pruned_files = files_read(probed)
+    assert pruned_files and pruned_files < full_files
+    assert "PartitionFilters" in plan_string(probed, "formatted")
+
+    # probe-all over the persisted layout == exact brute force
+    exact = _topk_sets(S.brute_force_topk(emb, queries, k=5))
+    idx_all = _topk_sets(
+        S.ivf_index_topk(spark, path, queries, k=5, n_probe=16)
+    )
+    assert idx_all == exact
+
+    # pruned probing: every query answered, sane recall, deterministic
+    idx4 = _topk_sets(S.ivf_index_topk(spark, path, queries, k=5, n_probe=4))
+    assert set(idx4) == set(exact)
+    recalls = [len(idx4[q] & exact[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4
+    again = _topk_sets(S.ivf_index_topk(spark, path, queries, k=5, n_probe=4))
+    assert idx4 == again
