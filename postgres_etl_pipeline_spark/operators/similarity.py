@@ -1406,21 +1406,34 @@ def write_ivf_index(
     directory layout. Rebuilds are per-partition (re-cluster a hot cell)
     rather than global.
     """
+    import numpy as np
+
+    spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
     )
-    if n_centroids <= max(2, int(fit_sample) // 8):
+    # degenerate corpora: clamp k to the rows available; an EMPTY corpus
+    # writes an empty index (centroid sidecar only — searches return
+    # empty before ever touching the data directory, and the schema-
+    # explicit sidecar read needs no parquet footer to infer from)
+    n_avail = c.limit(int(n_centroids)).count()
+    if n_avail == 0:
+        spark.createDataFrame([], "cid int, centroid array<double>").write.parquet(
+            path + "_centroids"
+        )
+        return np.zeros((0, 0))
+    k = min(int(n_centroids), n_avail)
+    if k <= max(2, int(fit_sample) // 8):
         cents = fit_coarse_quantizer(
-            c, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+            c, k, seed=seed, kmeans_max_iter=kmeans_max_iter,
             kmeans_init=kmeans_init, fit_sample=fit_sample,
         )
     else:
         cents = fit_two_level_quantizer(
-            c, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+            c, k, seed=seed, kmeans_max_iter=kmeans_max_iter,
             kmeans_init=kmeans_init, fit_sample=fit_sample,
         )
     assign_to_centroids(c, cents).write.partitionBy("cid").parquet(path)
-    spark = corpus.sparkSession
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cid int, centroid array<double>",
@@ -1429,10 +1442,17 @@ def write_ivf_index(
 
 
 def read_ivf_centroids(spark, path: str):
-    """Centroid matrix of a :func:`write_ivf_index` index, cid order."""
+    """Centroid matrix of a :func:`write_ivf_index` index, cid order.
+    Schema-explicit read: an empty index has no parquet footer to infer
+    from (see the empty-corpus branch of the writer)."""
     import numpy as np
 
-    rows = spark.read.parquet(path + "_centroids").orderBy("cid").collect()
+    rows = (
+        spark.read.schema("cid int, centroid array<double>")
+        .parquet(path + "_centroids")
+        .orderBy("cid")
+        .collect()
+    )
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
