@@ -56,6 +56,14 @@ sink, best-of-2) is measured per run and printed below the table; every
 subtract it to compare plan cost. Totals swing ±15% run-to-run with
 co-tenant load (both engines), so compare per-query rows, not grand
 totals, across rounds.
+
+One row is an INDEX BUILD, not a query: `ivf_partitioned_topk` trains a
+quantizer, writes the whole corpus as a cid-partitioned parquet layout,
+and only then searches it (probe-all, so the search alone equals the
+brute-force oracle DuckDB runs in milliseconds at this SF). Its ratio is
+the cost of building a reusable ANN index measured against one exact
+scan — in deployment the build amortizes across every query served from
+the layout, and each search reads only probed partitions.
 """
 
 
