@@ -614,3 +614,81 @@ def test_bloom_literal_bound_enforced(spark):
     # one past the bound: rejected before any driver-side unpack
     with pytest.raises(ValueError, match="bloom_bit_words"):
         bloom_bit_string(words, BLOOM_LITERAL_MAX_BITS + 1)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered containment: recall-1-by-theorem, Hypothesis-checked —
+# the prefix path must equal the exact inverted-index join on corpora
+# nobody thought to write down (shared tails, subsets, repeated tokens,
+# single-token docs, every doc identical).
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+
+
+@st.composite
+def _doc_corpus(draw, max_docs=8, max_tokens=12):
+    texts = draw(
+        st.lists(
+            st.lists(_words, min_size=1, max_size=max_tokens).map(" ".join),
+            min_size=0,
+            max_size=max_docs,
+        )
+    )
+    return [(i, t) for i, t in enumerate(texts)]
+
+
+@given(rows=_doc_corpus(), thr=st.sampled_from([0.4, 0.6, 0.8, 1.0]))
+@settings(**_SETTINGS)
+def test_containment_prefix_equals_exact(spark, rows, thr):
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    if not rows:
+        df = df.filter("doc_id >= 0")
+    exact = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(df, threshold=thr).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_prefix_pairs(df, threshold=thr).collect()
+    }
+    assert prefix == exact
+
+
+@given(rows=_doc_corpus(), window=st.sampled_from([2, 3]))
+@settings(**_SETTINGS)
+def test_multipass_snm_is_candidate_superset(spark, rows, window):
+    """Every single-pass SNM pair survives multi-pass (the union can only
+    add candidates), and multi-pass output is exact Jaccard on whatever
+    it reports (precision 1 regardless of which pass surfaced the
+    pair)."""
+    from postgres_etl_pipeline_spark.operators.dedup import (
+        multipass_snm_pairs,
+        sorted_neighborhood_pairs,
+    )
+    from postgres_etl_pipeline_spark.operators.text import normalize_ws
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    if not rows:
+        df = df.filter("doc_id >= 0")
+    single = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in sorted_neighborhood_pairs(
+            df, window=window, threshold=0.3
+        ).collect()
+    }
+    norm = F.lower(normalize_ws(F.col("text")))
+    multi = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in multipass_snm_pairs(
+            df, [norm, F.reverse(norm)], window=window, threshold=0.3
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    for pair, jac in single.items():
+        assert multi[pair] == jac
