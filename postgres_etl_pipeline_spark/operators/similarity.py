@@ -1509,3 +1509,46 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def incremental_topk_update(
+    stored_topk: DataFrame,
+    new_batch: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental top-k maintenance for a growing corpus: merge a
+    PERSISTED per-query top-k relation with exact scores over the NEW
+    batch only, re-rank, keep k — the continuously-ingesting corpus never
+    rescans (per increment: one batch-sized Arrow scan + a union of two
+    k-bounded relations + the per-query window; O(batch + Q·k), never
+    O(corpus)).
+
+    Correct BY CONSTRUCTION, not approximately: cosine is a pure per-pair
+    function, so the true top-k over (old corpus ∪ batch) is the top-k of
+    (old top-k ∪ batch scores) — a vector outside the stored top-k cannot
+    enter the merged top-k, since the k stored scores already beat it and
+    scores never change. That makes the drained incremental state
+    hash-equal to a full recompute at every step (the catalog entry pins
+    it against the full-corpus brute-force oracle), the same
+    replay-equality contract the incremental dedup tiers carry.
+
+    ``stored_topk`` must be (query_id, neighbor_id, cos_sim[, rank]) —
+    :func:`brute_force_topk`'s output schema (rank is recomputed).
+    Ranking reuses the exact 4-dp + neighbor-id total order, so ties
+    resolve identically no matter which increment a neighbor arrived in.
+    """
+    batch_scores = brute_force_topk(
+        new_batch, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", "cos_sim")
+    merged = stored_topk.select("query_id", "neighbor_id", "cos_sim").unionByName(
+        batch_scores
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return merged.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

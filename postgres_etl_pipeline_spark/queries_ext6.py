@@ -264,3 +264,37 @@ def leakage_safe_split(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = _minhash_pair_stage(spark, sf_dir)
     return _lss(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k maintenance — the growing-corpus ANN story
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_topk_update",
+    # full-recompute equality is the operator's THEOREM (pure per-pair
+    # scores: top-k(old ∪ batch) = top-k(old-top-k ∪ batch-scores)), so
+    # the oracle is simply the brute-force cosine SQL over the whole
+    # corpus — a hash-green row proves the incremental merge exact
+    _cosine_topk_oracle(),
+    survey="§7 Phase 5 extension: INCREMENTAL top-k maintenance — merge "
+    "the stored per-query top-k with exact scores over the new batch "
+    "only (O(batch + Q·k) per increment, never an O(corpus) rescan), "
+    "re-rank on the shared 4-dp + id total order; hash-equal to full "
+    "recompute by construction, pinned against the brute-force oracle",
+    tags=("ext", "similarity"),
+)
+def incremental_topk_update(spark, sf_dir):
+    """The vec_id % 5 == 4 slice arrives as the new batch against a
+    stored top-k built from the rest; the merged result must equal the
+    full-corpus brute-force answer exactly (see the operator's
+    by-construction argument)."""
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    stored = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    stored_topk = S.brute_force_topk(stored, queries, k=5)
+    return S.incremental_topk_update(stored_topk, batch, queries, k=5)

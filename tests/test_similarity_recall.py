@@ -248,3 +248,30 @@ def test_ivf_index_partition_pruning_and_recall(spark, sf_small, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.4
     again = _topk_sets(S.ivf_index_topk(spark, path, queries, k=5, n_probe=4))
     assert idx4 == again
+
+
+def test_incremental_topk_chain_equals_full_recompute(spark, sf_small):
+    """Three successive increments (corpus thirds by vec_id % 3) must
+    leave the maintained top-k hash-equal to a from-scratch brute force
+    at EVERY step — the by-construction theorem exercised as a chain,
+    including ties and queries that arrive in later increments."""
+    from pyspark.sql import functions as F
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def rows(df):
+        return {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in df.collect()
+        }
+
+    state = S.brute_force_topk(
+        emb.filter(F.col("vec_id") % 3 == 0), queries, k=5
+    )
+    seen = emb.filter(F.col("vec_id") % 3 == 0)
+    for m in (1, 2):
+        batch = emb.filter(F.col("vec_id") % 3 == m)
+        state = S.incremental_topk_update(state, batch, queries, k=5)
+        seen = seen.unionByName(batch)
+        assert rows(state) == rows(S.brute_force_topk(seen, queries, k=5))
