@@ -1546,6 +1546,13 @@ def incremental_topk_update(
     merged = stored_topk.select("query_id", "neighbor_id", "cos_sim").unionByName(
         batch_scores
     )
+    # distinct makes a REDELIVERED batch a no-op (the same neighbor's
+    # rescore is an identical triple — scores are pure — and without the
+    # collapse the duplicate row would occupy two ranks and push a real
+    # neighbor out of the k). Cost: one shuffle of Q·(k + batch-top-k)
+    # rows, bounded metadata. This is what lets the streaming drain
+    # (stream_topk_maintenance) inherit the at-least-once contract.
+    merged = merged.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

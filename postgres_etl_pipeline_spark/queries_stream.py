@@ -557,3 +557,76 @@ def stream_minhash_dedup(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental top-k maintenance — ANN results kept current as
+# the corpus grows, drained state == full brute force (pure scores)
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _stream_topk_oracle() -> str:
+    # the full-corpus brute-force SQL verbatim: pure per-pair scores make
+    # the drained incremental state equal a from-scratch recompute no
+    # matter how the stream was batched (see incremental_topk_update)
+    from .queries_ext import _COSINE_TOPK_ORACLE
+
+    return _COSINE_TOPK_ORACLE
+
+
+@register(
+    "stream_topk_maintenance",
+    _stream_topk_oracle(),
+    survey="§2.8 extension: streaming INCREMENTAL top-k maintenance — "
+    "each micro-batch scores only its own vectors and the Q·k state "
+    "table is swap-rewritten per batch (foreachBatch); drained state is "
+    "hash-equal to full-corpus brute force (pure per-pair scores + the "
+    "merge's idempotent distinct), the ANN-serving twin of the "
+    "incremental dedup drains",
+    tags=("streaming", "similarity"),
+)
+def stream_topk_maintenance(spark, sf_dir):
+    """Stream the embeddings table through per-batch top-k maintenance
+    from a COLD state (no seed — the first batch creates the state), then
+    read the final state and re-rank for output. Queries are the shared
+    first-20-vector probe slice, collected up front like every ANN
+    entry's bounded query side."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import incremental_topk_update
+
+    emb = spark.read.schema(_EMB_SCHEMA).parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    scratch = tempfile.mkdtemp(prefix="stream_topk_")
+    try:
+        st = sources.stream_parquet(
+            spark, f"{sf_dir}/embeddings.parquet", _EMB_SCHEMA
+        )
+        runner.run_topk_maintenance_sink(
+            st, scratch + "/state", queries, k=5,
+            checkpoint=scratch + "/ckpt",
+        )
+        state = runner.read_state_or_empty(
+            spark,
+            scratch + "/state/topk",
+            "query_id long, neighbor_id long, cos_sim double",
+        )
+        # final ranking (the state stores the triples; rank is derived) —
+        # reuse the maintenance merge with an empty batch for the window
+        out = incremental_topk_update(
+            state, emb.filter(F.col("vec_id") < 0), queries, k=5
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

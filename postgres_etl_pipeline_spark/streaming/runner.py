@@ -380,3 +380,66 @@ def run_minhash_admission_sink(
     finally:
         if q.isActive:
             q.stop()
+
+
+def run_topk_maintenance_sink(
+    stream_vectors: DataFrame,
+    state_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a bounded vector stream through INCREMENTAL top-k
+    maintenance: each micro-batch scores only its own vectors
+    (:func:`operators.similarity.incremental_topk_update`) and the
+    per-query top-k state — bounded at Q·k rows — is rewritten via the
+    sibling-swap. Because scores are pure per-pair, the drained state
+    equals a full-corpus brute force no matter how the stream is
+    batched, and the merge's distinct makes redelivered batches no-ops —
+    the same effectively-once contract as the other foreachBatch sinks,
+    for the ANN-serving maintenance path.
+
+    State layout: ``state_dir/topk`` (query_id, neighbor_id, cos_sim).
+    Seed it with the historical corpus's top-k (or leave absent for a
+    cold start — the first batch creates it).
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    from ..connectors.sinks import _swap_into_place
+    from ..operators.similarity import incremental_topk_update
+
+    topk_path = os.path.join(state_dir, "topk")
+    ckpt = checkpoint or _scratch_checkpoint("ckpt_topk_maint_")
+    q_static = queries.select(id_col, vec_col).localCheckpoint(eager=True)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = read_state_or_empty(
+            spark, topk_path, "query_id long, neighbor_id long, cos_sim double"
+        )
+        updated = incremental_topk_update(
+            state, batch_df, q_static, k=k, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id", "cos_sim")
+        # cut lineage before the swap deletes the directory the plan reads
+        updated = updated.localCheckpoint(eager=True)
+        _swap_into_place(spark, updated, topk_path, "topk")
+
+    q = (
+        stream_vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"top-k maintenance drain to '{state_dir}' did not finish "
+                f"within {timeout_s}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

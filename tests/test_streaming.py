@@ -604,3 +604,73 @@ def test_minhash_admission_multi_batch_and_replay(spark, tmp_path):
         ).collect()
     }
     assert one_shot == admitted
+
+
+def test_topk_maintenance_multi_batch_and_replay(spark, tmp_path):
+    """Incremental top-k drain: with the corpus split across two
+    micro-batches the drained state must equal full-corpus brute force
+    (pure scores — batching cannot matter), and a full replay from a
+    fresh checkpoint must change nothing (the merge's distinct absorbs
+    redelivered rescores)."""
+    import json as _json
+
+    import numpy as np
+
+    from postgres_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        incremental_topk_update,
+    )
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        read_state_or_empty,
+        run_topk_maintenance_sink,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = [(i, rng.standard_normal(8).round(3).tolist()) for i in range(40)]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ndjson(
+        str(src / "a.ndjson"),
+        [{"vec_id": i, "embedding": v} for i, v in vecs[:25]],
+        mtime_offset_s=-60,
+    )
+    _write_ndjson(
+        str(src / "b.ndjson"),
+        [{"vec_id": i, "embedding": v} for i, v in vecs[25:]],
+    )
+    all_df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = all_df.filter(F.col("vec_id") < 5)
+    state = str(tmp_path / "state")
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    def final_state():
+        st = read_state_or_empty(
+            spark, state + "/topk",
+            "query_id long, neighbor_id long, cos_sim double",
+        )
+        empty = all_df.filter("vec_id < 0")
+        return {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in incremental_topk_update(st, empty, queries, k=5).collect()
+        }
+
+    run_topk_maintenance_sink(
+        stream(), state, queries, k=5, checkpoint=str(tmp_path / "ck1")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(all_df, queries, k=5).collect()
+    }
+    assert final_state() == exact
+
+    # lost-checkpoint replay of the whole stream: state unchanged
+    run_topk_maintenance_sink(
+        stream(), state, queries, k=5, checkpoint=str(tmp_path / "ck2")
+    )
+    assert final_state() == exact
