@@ -1559,3 +1559,85 @@ def incremental_topk_update(
     return merged.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    filter_col: str = "label",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED similarity search — per-query top-k restricted to corpus
+    vectors matching the query's metadata value (``filter_col``): the
+    production ANN-serving problem every vector system grows into
+    ("nearest within this tenant / language / license"), where
+    post-filtering an unfiltered top-k silently under-fills k whenever
+    the filter is selective.
+
+    Plan: the :func:`brute_force_topk` single-pass shape with the filter
+    applied INSIDE the Arrow batch — queries ride the broadcast with
+    their filter values, each corpus batch scores against all queries in
+    one BLAS matmul, and only (row, query) pairs whose values match are
+    emitted. The corpus is NEVER shuffled by the filter column (a
+    label-keyed join would be, and a hot label would skew it); emitted
+    candidate volume is the true per-label match volume. The only
+    shuffle is the per-query top-k window. At selectivity extremes the
+    persisted layouts compose: partition by ``filter_col`` (or cid
+    within it) and this same scan prunes files.
+
+    NULL semantics: a NULL filter value matches nothing on either side
+    (SQL equality), so NULL-labeled rows never pair — matching the
+    relational-join oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    q_rows = queries.select(id_col, vec_col, filter_col).collect()
+    q_rows = [r for r in q_rows if r[2] is not None]
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qval = np.array([r[2] for r in q_rows])
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm, qval))
+
+    def score(batches):
+        b_qids, b_q, b_qn, b_qv = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            cval = pdf[filter_col].to_numpy()
+            sims = (cmat @ b_q.T) / np.outer(cnorm, b_qn)  # (n, Q)
+            keep = cval[:, None] == b_qv[None, :]  # metadata match mask
+            ri, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": cids[ri],
+                    "raw_sim": sims[ri, qi],
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col, filter_col)
+        .filter(F.col(filter_col).isNotNull())
+        .mapInPandas(score, "query_id long, neighbor_id long, raw_sim double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round("raw_sim", 4).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

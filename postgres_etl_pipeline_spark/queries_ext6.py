@@ -298,3 +298,44 @@ def incremental_topk_update(spark, sf_dir):
     batch = emb.filter(F.col("vec_id") % 5 == 4)
     stored_topk = S.brute_force_topk(stored, queries, k=5)
     return S.incremental_topk_update(stored_topk, batch, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Filtered similarity search — per-query metadata constraint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_label_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id AND c.label = q.label
+      WHERE q.vec_id < 20
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    survey="§7 Phase 5 extension: FILTERED similarity search — per-query "
+    "top-k restricted to corpus vectors matching the query's metadata "
+    "(same-label here; the tenant/language/license constraint every "
+    "vector system grows into, where post-filtering under-fills k): "
+    "filter applied INSIDE the Arrow batch mask, corpus never shuffled "
+    "by the filter column, exact by construction",
+    tags=("ext", "similarity"),
+)
+def filtered_label_topk(spark, sf_dir):
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    return S.filtered_topk(
+        emb, emb.filter(F.col("vec_id") < 20), filter_col="label", k=5
+    )

@@ -275,3 +275,43 @@ def test_incremental_topk_chain_equals_full_recompute(spark, sf_small):
         state = S.incremental_topk_update(state, batch, queries, k=5)
         seen = seen.unionByName(batch)
         assert rows(state) == rows(S.brute_force_topk(seen, queries, k=5))
+
+
+def test_filtered_topk_exact_and_fills_k_where_postfilter_cannot(
+    spark, sf_small
+):
+    """filtered_topk must equal a per-label brute force (exactness), fill
+    k whenever the query's label group has k other members, and beat
+    post-filtering: filtering an UNFILTERED top-k after the fact
+    under-fills k for at least one query on this fixture — the reason
+    the operator exists."""
+    from pyspark.sql import functions as F
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = S.filtered_topk(emb, queries, filter_col="label", k=5)
+    rows = out.collect()
+
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    sizes = {}
+    for v, lab in labels.items():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    # exactness: neighbors share the query's label, scores rank correctly
+    per_q = {}
+    for r in rows:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_q.items():
+        expect = min(5, sizes[labels[qid]] - 1)
+        assert len(rs) == expect, (qid, len(rs), expect)
+
+    # post-filtering an unfiltered top-5 under-fills k somewhere here
+    unfiltered = S.brute_force_topk(emb, queries, k=5).collect()
+    post = {}
+    for r in unfiltered:
+        if labels[r.neighbor_id] == labels[r.query_id]:
+            post.setdefault(r.query_id, []).append(r)
+    underfilled = [
+        q for q, rs in per_q.items() if len(post.get(q, [])) < len(rs)
+    ]
+    assert underfilled, "fixture unexpectedly label-homogeneous"
