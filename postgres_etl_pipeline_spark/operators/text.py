@@ -548,3 +548,65 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("lam")).alias("weight_dec"))
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, lam: float = 0.75, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean BIGRAM log-probability under an interpolated corpus
+    LM — the next-order CCNet/Wenzek-style quality signal above
+    :func:`unigram_logprob_scores`: ``p(wᵢ|wᵢ₋₁) = λ·P_mle(wᵢ|wᵢ₋₁) +
+    (1−λ)·P_mle(wᵢ)``. The bigram term scores local word-order typicality
+    (scrambled or template-stitched text drops hard even when its token
+    MIX is corpus-typical — exactly what the unigram score cannot see);
+    the unigram interpolation term is the standard backoff mass. Trained
+    on the scored corpus itself, every scored bigram has count ≥ 1, so
+    the interpolation is a smoothing convention, not a zero-guard.
+
+    Output: (doc_id, n_bigrams, mean_logprob) over token positions 2..n;
+    docs with < 2 tokens have no bigrams and are absent (callers treat
+    missing as unscoreable). 4-dp round = the engine-portable contract.
+
+    Scale (the :func:`tf_idf_top_terms` skew discipline, one order up):
+    bigram INSTANCES aggregate to per-doc (prev, cur) counts map-side;
+    corpus bigram counts, prefix counts, unigram frequencies, and the
+    scalar total all reduce from compact relations and BROADCAST back —
+    the instance relation is never shuffled by token, so hot collocations
+    never pile onto one reducer. If the bigram vocabulary outgrows
+    broadcast, drop the hints and AQE plans skew-split joins.
+    """
+    l = tokens(text_col)
+    n1 = F.greatest(F.size(l) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(l, 1, n1).alias("prev"), F.slice(l, 2, n1).alias("cur")
+    )
+    bi = df.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    tf2 = (
+        bi.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    bg = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("bgc"))
+    pc = tf2.groupBy("prev").agg(F.sum("tf").alias("pfc"))
+    tok = df.select(F.explode(l).alias("cur"))
+    uni = tok.groupBy("cur").agg(F.count(F.lit(1)).alias("gf"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    p = (
+        F.lit(float(lam)) * F.col("bgc").cast("double") / F.col("pfc")
+        + F.lit(float(1 - lam)) * F.col("gf").cast("double") / F.col("total")
+    )
+    return (
+        tf2.join(F.broadcast(bg), ["prev", "cur"])
+        .join(F.broadcast(pc), "prev")
+        .join(F.broadcast(uni), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4).alias(
+                "mean_logprob"
+            ),
+        )
+    )

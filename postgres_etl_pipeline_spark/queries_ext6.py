@@ -339,3 +339,59 @@ def filtered_label_topk(spark, sf_dir):
     return S.filtered_topk(
         emb, emb.filter(F.col("vec_id") < 20), filter_col="label", k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-interpolated LM quality scoring — word-order typicality
+# ---------------------------------------------------------------------------
+
+
+def _bigram_logprob_oracle() -> str:
+    from .queries_ext import _TOKS
+
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(l[1:len(l)-1]) AS prev,
+             unnest(l[2:len(l)]) AS cur
+      FROM tok
+    ),
+    tf2 AS (
+      SELECT doc_id, prev, cur, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+    ),
+    bg AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS bgc
+           FROM tf2 GROUP BY 1, 2),
+    pc AS (SELECT prev, CAST(sum(tf) AS BIGINT) AS pfc FROM tf2 GROUP BY 1),
+    flat AS (SELECT unnest(l) AS tok FROM tok),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS gf FROM flat GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM flat)
+    SELECT tf2.doc_id,
+           CAST(sum(tf2.tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf2.tf * ln(
+                   0.75 * CAST(bg.bgc AS DOUBLE) / pc.pfc
+                 + 0.25 * CAST(uni.gf AS DOUBLE) / tot.total))
+                 / sum(tf2.tf), 4) AS mean_logprob
+    FROM tf2
+    JOIN bg USING (prev, cur)
+    JOIN pc USING (prev)
+    JOIN uni ON uni.tok = tf2.cur
+    CROSS JOIN tot
+    GROUP BY 1
+    """
+
+
+@register(
+    "doc_bigram_logprob",
+    _bigram_logprob_oracle(),
+    survey="§7 Phase 5 extension: bigram-interpolated LM quality signal "
+    "(λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ), λ=0.75) — word-ORDER typicality the "
+    "unigram score cannot see (scrambled/template-stitched text drops "
+    "hard at a corpus-typical token mix); same skew-safe broadcast-back "
+    "shape one n-gram order up, instance relation never shuffled by token",
+    tags=("ext", "text"),
+)
+def doc_bigram_logprob(spark, sf_dir):
+    from .operators import text as X
+
+    return X.bigram_logprob_scores(spread(t(spark, sf_dir, "documents")))

@@ -945,3 +945,33 @@ class TestSpanDedupRewrite:
             )
         )
         assert a == b
+
+
+def test_bigram_logprob_scores_semantics(spark):
+    """The bigram score must see word ORDER: a scrambled twin of a
+    corpus-typical doc scores strictly lower even though its token mix
+    (hence its unigram score) is identical; < 2-token docs are absent;
+    a doc made of the corpus's dominant collocation scores highest."""
+    from postgres_etl_pipeline_spark.operators.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    base = "the cat sat on the mat"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base),
+        (3, "mat the on sat cat the"),  # same tokens, scrambled order
+        (4, "one"),                     # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+           for r in bigram_logprob_scores(df).collect()}
+    assert 4 not in out
+    assert out[0] == out[1] == out[2]
+    assert out[3][0] == 5  # same bigram count
+    assert out[3][1] < out[0][1]  # scrambled order scores strictly lower
+    uni = {r.doc_id: r.mean_logprob
+           for r in unigram_logprob_scores(df).collect()}
+    assert uni[3] == uni[0]  # ...which the unigram score cannot see
