@@ -186,3 +186,45 @@ def test_datasource_stream_runs_deterministic(spark, tmp_path):
         .load()
     )
     assert by_run["sr-1"] == {tuple(r) for r in batch.collect()}
+
+
+def test_bench_vs_prev_normalization_math(tmp_path, monkeypatch):
+    """_vs_prev_normalized divides out box drift via the control ratio:
+    with the box 2x slower (control 0.5 -> 1.0) and raw timings equal,
+    every normalized ratio must read 0.5 (code got faster), the driver's
+    'parsed' wrapper must unwrap, and incomparable artifacts (different
+    control workload) must yield None."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {
+        "parsed": {
+            "queries": {"a": 1.0, "b": 2.0},
+            "control_sec": 0.5,
+            "control_workload": "synthetic-v1",
+            "method": "warm-best-of-3",
+        },
+        "rc": 0,
+    }
+    art = tmp_path / "BENCH_r07.json"
+    art.write_text(_json.dumps(prev))
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _p, _d=str(tmp_path): _d
+    )
+    out = bench._vs_prev_normalized({"a": 1.0, "b": 2.0}, 3.0, control=1.0)
+    assert out["baseline_round"] == 7
+    assert out["control_ratio"] == 2.0
+    assert out["normalized_query_ratio"] == {"a": 0.5, "b": 0.5}
+    assert out["normalized_total_ratio"] == 0.5
+
+    # incomparable control workload -> absent, not wrong
+    prev["parsed"]["control_workload"] = "synthetic-v2"
+    art.write_text(_json.dumps(prev))
+    assert bench._vs_prev_normalized({"a": 1.0}, 1.0, control=1.0) is None
