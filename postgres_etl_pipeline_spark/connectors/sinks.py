@@ -182,6 +182,16 @@ def recover_interrupted_swap(spark: SparkSession, target_path: str) -> bool:
     return True
 
 
+def _sql_str(v: str) -> str:
+    """Escape a value for splicing into a single-quoted SQL string
+    literal (``'`` → ``''``, the one escape ANSI defines). Statement
+    builders here ship SQL TEXT over JDBC (no parameter binding on that
+    path), so every interpolated VALUE must pass through this; bare
+    f-string splicing breaks — or worse, reinterprets — the statement the
+    moment the value contains a quote (advice r08 #3)."""
+    return str(v).replace("'", "''")
+
+
 def _swap_into_place(
     spark: SparkSession, df: DataFrame, target_path: str, tag: str
 ) -> DataFrame:
@@ -312,14 +322,15 @@ def cdc_merge_sql(
     values = ", ".join(f"s.{q(c)}" for c in cols)
     newer = f"s.{q(seq_col)} >= t.{q(seq_col)}"
     opref = f"s.{q(op_col)}"
+    dop = _sql_str(delete_op)
     if hard_delete:
         return (
             f"MERGE INTO {target} t USING {staging} s ON ({on}) "
-            f"WHEN MATCHED AND {opref} = '{delete_op}' AND {newer} "
+            f"WHEN MATCHED AND {opref} = '{dop}' AND {newer} "
             f"THEN DELETE "
-            f"WHEN MATCHED AND {opref} <> '{delete_op}' AND {newer} "
+            f"WHEN MATCHED AND {opref} <> '{dop}' AND {newer} "
             f"THEN UPDATE SET {updates} "
-            f"WHEN NOT MATCHED AND {opref} <> '{delete_op}' "
+            f"WHEN NOT MATCHED AND {opref} <> '{dop}' "
             f"THEN INSERT ({collist}) VALUES ({values})"
         )
     return (
@@ -561,11 +572,15 @@ def compact_cdc_tombstones_jdbc(
 
     Identifier quoting matches :func:`cdc_merge_sql` (the Spark JDBC
     writer creates case-preserved column names that unquoted references
-    would fold to uppercase on Derby/Postgres).
+    would fold to uppercase on Derby/Postgres); the ``delete_op`` VALUE
+    is single-quote-escaped (advice r08 #3 — an op marker containing a
+    quote must produce a correct literal, never broken/injectable SQL),
+    and ``target`` carries the same trusted-caller-identifier contract
+    :func:`cdc_merge_sql` documents.
     """
     stmt = (
         f"DELETE FROM {target} "
-        f'WHERE "{op_col}" = \'{delete_op}\' '
+        f"WHERE \"{op_col}\" = '{_sql_str(delete_op)}' "
         f'AND "{seq_col}" < {int(horizon)}'
     )
     execute_jdbc_statement(

@@ -443,10 +443,19 @@ def leakage_safe_split(
 
     Returns (id_col, cluster_rep, split).
     """
-    if algorithm == "star":
+    # validate against the known set — a typo must be an error, not a
+    # silent fall-through to hash-to-min (advice r08 #5); both the
+    # hyphen and underscore spellings are accepted because
+    # connected_components' docstrings use the underscore form
+    if algorithm in ("star",):
         cc = connected_components_star(pairs, a_col, b_col)
-    else:
+    elif algorithm in ("hash-to-min", "hash_to_min"):
         cc = connected_components(pairs, a_col, b_col)
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'hash-to-min' "
+            "(alias 'hash_to_min') or 'star'"
+        )
     rep = F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_rep")
     joined = df.select(id_col).join(
         cc.withColumnRenamed("node", id_col), id_col, "left"

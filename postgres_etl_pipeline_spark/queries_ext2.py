@@ -412,15 +412,27 @@ def _assembly_oracle() -> str:
              row_number() OVER (PARTITION BY source
                                 ORDER BY quality DESC, doc_id) AS rk
       FROM qual
-    )
+    ),
+    gedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION
+               SELECT doc_b, doc_a FROM pairs),
+    greach(a, b) AS (
+      SELECT src, dst FROM gedges
+      UNION
+      SELECT g.a, e.dst FROM greach g JOIN gedges e ON g.b = e.src
+    ),
+    gcc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM greach GROUP BY a)
     SELECT doc_id, source,
            CASE WHEN bucket < 52429 THEN 'train'
                 WHEN bucket < 58982 THEN 'val'
                 ELSE 'test' END AS split
-    FROM (SELECT doc_id, source,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+    FROM (SELECT r.doc_id, r.source,
+                 CAST(('0x' || substr(md5(CAST(
+                        coalesce(g.cluster_id, r.doc_id) AS VARCHAR)), 1, 4))
                       AS BIGINT) AS bucket
-          FROM ranked WHERE rk <= 10)
+          FROM ranked r LEFT JOIN gcc g ON g.doc_id = r.doc_id
+          WHERE r.rk <= 10)
     """
 
 
@@ -431,7 +443,10 @@ def _assembly_oracle() -> str:
     " lazy plan — quality gate (lang-id agreement + min length +"
     " repetition) → near-dup removal (shared minhash pair stage filtered"
     " to gated endpoints, CC keep-one-per-cluster) → per-source quality"
-    " quota (10) → deterministic md5 train/val/test split. One oracle"
+    " quota (10) → LEAKAGE-SAFE md5 split keyed on the GLOBAL near-dup"
+    " cluster representative (verdict r08 item 5: doc-keyed hashing can"
+    " split two survivors bridged through an ungated near-partner across"
+    " the train/test boundary; the rep-keyed rule cannot). One oracle"
     " checks the composed chain end to end, so a semantics drift in ANY"
     " stage breaks the hash",
     tags=("ext", "text", "dedup", "assembly"),
@@ -444,8 +459,22 @@ def corpus_assembly_end_to_end(spark, sf_dir):
     endpoints AFTER mining is sound because Jaccard(a, b) does not
     depend on the rest of the corpus — pairs-among-gated == gated-join
     of global pairs; CC keep-list, quota window (WindowGroupLimit), and
-    the md5 split are each one linear shuffle or scan-side."""
-    from .operators.graph import connected_components, dedup_keep_filter
+    the rep-keyed split are each one linear shuffle or scan-side.
+
+    The final split is :func:`operators.graph.leakage_safe_split` over
+    the GLOBAL pair relation (r08 item 5): the dedup stage's gated CC
+    cannot serve it, because two gated survivors bridged through an
+    UNGATED near-partner share no gated edge yet are transitive
+    near-dups — only the global graph's component representative hashes
+    them into the same split. The two CC runs operate on different edge
+    sets by necessity (subgraph components are not derivable from graph
+    components); the global run is one more linear-rounds kernel over
+    the already-mined pairs."""
+    from .operators.graph import (
+        connected_components,
+        dedup_keep_filter,
+        leakage_safe_split,
+    )
     from .queries_ext import _minhash_pair_stage
 
     docs = spread(t(spark, sf_dir, "documents"))
@@ -460,14 +489,7 @@ def corpus_assembly_end_to_end(spark, sf_dir):
     cc = connected_components(gp, "doc_a", "doc_b")
     surviving = dedup_keep_filter(gated, cc)
     capped = X.per_source_quota(surviving, quota=10)
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
-    return capped.select(
-        "doc_id",
-        "source",
-        F.when(bucket < 52429, "train")
-        .when(bucket < 58982, "val")
-        .otherwise("test")
-        .alias("split"),
+    split = leakage_safe_split(capped.select("doc_id"), pairs).select(
+        "doc_id", "split"
     )
+    return capped.select("doc_id", "source").join(split, "doc_id")

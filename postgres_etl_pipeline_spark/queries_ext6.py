@@ -305,9 +305,7 @@ def incremental_topk_update(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "filtered_label_topk",
-    """
+_FILTERED_TOPK_ORACLE = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
     ),
@@ -323,7 +321,12 @@ def incremental_topk_update(spark, sf_dir):
       FROM scored
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "filtered_label_topk",
+    _FILTERED_TOPK_ORACLE,
     survey="§7 Phase 5 extension: FILTERED similarity search — per-query "
     "top-k restricted to corpus vectors matching the query's metadata "
     "(same-label here; the tenant/language/license constraint every "

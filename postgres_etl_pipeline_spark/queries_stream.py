@@ -530,7 +530,19 @@ def stream_minhash_dedup(spark, sf_dir):
     the batch twin). State (band index, seen texts, admitted ids) lives
     in scratch parquet and accretes per micro-batch; the admitted table
     is collected EAGERLY so the scratch dirs can be deleted before
-    returning (the stream_cdc_apply lifecycle discipline)."""
+    returning (the stream_cdc_apply lifecycle discipline).
+
+    BATCH-ORDER ASSUMPTION (advice r08 #4): the drained admission equals
+    the one-shot batch twin whenever micro-batch order respects doc_id
+    order — admission keys dominance on the LOWEST doc_id, so a
+    higher-id doc admitted in an early batch whose lower-id near-partner
+    only arrives later would diverge from the batch answer. Here the
+    driver testdata is one parquet file per table, so availableNow runs
+    the whole slice as a SINGLE micro-batch (the module-docstring
+    convention for update-mode entries) and the equality is exact; the
+    multi-batch ordering semantics are exercised in
+    tests/test_streaming.py with maxFilesPerTrigger-controlled splits of
+    id-ordered files."""
     import shutil
     import tempfile
 
@@ -625,6 +637,66 @@ def stream_topk_maintenance(spark, sf_dir):
         out = incremental_topk_update(
             state, emb.filter(F.col("vec_id") < 0), queries, k=5
         )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Streaming persisted-IVF maintenance — the full growing-corpus ANN story
+# as one foreachBatch sink (verdict r08 item 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_ivf_maintenance",
+    # probe-all search over the DRAINED index is exact search over the
+    # full corpus, so the oracle is the same brute-force cosine SQL the
+    # batch rebuild would hash to — a green row IS the drained-state ==
+    # batch-rebuild proof (both equal the exact answer)
+    _stream_topk_oracle(),
+    survey="§2.8 extension (verdict r08 item 8): streaming PERSISTED-IVF "
+    "maintenance — each micro-batch assigns against the STORED centroids "
+    "and appends into its cid partitions (append_to_ivf_index; the "
+    "corpus is never re-clustered or rescanned) while the served Q·k "
+    "top-k state stays current via incremental_topk_update, one "
+    "foreachBatch sink; drained index at probe-all hash-equals the "
+    "batch rebuild (both exact)",
+    tags=("streaming", "similarity"),
+)
+def stream_ivf_maintenance(spark, sf_dir):
+    """Build the index from the vec_id % 5 != 4 slice (the FAISS
+    train-then-add split), stream the % 5 == 4 slice through the
+    maintenance sink (index append + top-k upkeep per micro-batch), then
+    search the drained index probe-all. The sink's topk state is checked
+    against the index search in tests/test_ivf_maintenance.py; the entry
+    returns the index search (the serving artifact)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import read_ivf_centroids, write_ivf_index
+    from .operators.similarity import ivf_index_topk
+
+    emb = spark.read.schema(_EMB_SCHEMA).parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    scratch = tempfile.mkdtemp(prefix="stream_ivf_")
+    try:
+        path = scratch + "/index"
+        write_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 4), path,
+            n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        )
+        st = sources.stream_parquet(
+            spark, f"{sf_dir}/embeddings.parquet", _EMB_SCHEMA
+        ).filter(F.col("vec_id") % 5 == 4)
+        runner.run_ivf_maintenance_sink(
+            st, path, queries=queries, state_dir=scratch + "/state",
+            k=5, checkpoint=scratch + "/ckpt",
+        )
+        n_lists = len(read_ivf_centroids(spark, path))
+        out = ivf_index_topk(spark, path, queries, k=5, n_probe=n_lists)
         rows = out.collect()
         schema = out.schema
     finally:

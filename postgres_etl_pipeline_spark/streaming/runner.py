@@ -264,11 +264,21 @@ def run_cdc_jdbc_sink(
 def read_state_or_empty(spark, path: str, schema: str) -> DataFrame:
     """Read a parquet state relation, or an empty DataFrame of ``schema``
     when the path does not exist yet (first increment) — the tolerant
-    read every accreting foreachBatch state table needs."""
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
+    read every accreting foreachBatch state table needs.
+
+    ONLY path-absence is tolerated (an explicit Hadoop FS existence
+    check, so it works on any FileSystem impl, not just local). Every
+    other read failure — corrupt footer, permission, transient FS error —
+    PROPAGATES: swallowing it would make a damaged state dir
+    indistinguishable from a first increment, and the very next
+    state-rewrite would persist the truncated relation, silently
+    discarding all accumulated state (advice r08 #2)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
 
 
 def run_minhash_admission_sink(
@@ -438,6 +448,96 @@ def run_topk_maintenance_sink(
         if not finished:
             raise TimeoutError(
                 f"top-k maintenance drain to '{state_dir}' did not finish "
+                f"within {timeout_s}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def run_ivf_maintenance_sink(
+    stream_vectors: DataFrame,
+    index_path: str,
+    queries: DataFrame | None = None,
+    state_dir: str | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a bounded vector stream through PERSISTED-IVF maintenance —
+    the full growing-corpus ANN story as one foreachBatch sink (verdict
+    r08 item 8): each micro-batch assigns against the STORED centroids
+    and appends into its cid partitions
+    (:func:`~..operators.similarity.append_to_ivf_index` — one Arrow
+    pass over the batch, the corpus never rescanned or re-clustered),
+    and, when ``queries`` is given, the served per-query top-k state
+    under ``state_dir/topk`` is kept current with
+    :func:`~..operators.similarity.incremental_topk_update` (the
+    :func:`run_topk_maintenance_sink` discipline — Q·k bounded state,
+    swap-rewritten, distinct-deduped merge).
+
+    Correctness contract: probe-all search over the drained index equals
+    a from-scratch rebuild's (both are exact search over the same rows —
+    the stream_ivf_maintenance catalog entry hash-pins it against the
+    brute-force oracle), and the topk state equals full brute force by
+    the incremental-merge theorem. Redelivery: an appended row lands
+    twice in its cid partition — search DEDUPES nothing here, so pair
+    at-least-once sources with upstream exactly-once (checkpointed file
+    sources, as availableNow provides) or an id-keyed compaction on the
+    maintenance cadence; the topk state side is redelivery-proof via the
+    merge's distinct (same split of responsibilities the docstring of
+    :func:`run_upsert_sink` documents for keyed vs append-only sinks).
+
+    The index must exist with trained centroids before the drain
+    (:func:`~..operators.similarity.write_ivf_index` — the FAISS
+    train-then-add split); the first batch raises otherwise."""
+    from ..operators.similarity import (
+        append_to_ivf_index,
+        incremental_topk_update,
+    )
+
+    ckpt = checkpoint or _scratch_checkpoint("ckpt_ivf_maint_")
+    topk_path = os.path.join(state_dir, "topk") if state_dir else None
+    q_static = (
+        queries.select(id_col, vec_col).localCheckpoint(eager=True)
+        if queries is not None
+        else None
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # availableNow emits one empty batch on an empty source; an
+            # empty append is a no-op by definition and must not trip the
+            # untrained-index guard (or rewrite the topk state)
+            return
+        append_to_ivf_index(batch_df, index_path, id_col, vec_col)
+        if q_static is None:
+            return
+        from ..connectors.sinks import _swap_into_place
+
+        state = read_state_or_empty(
+            spark, topk_path, "query_id long, neighbor_id long, cos_sim double"
+        )
+        updated = incremental_topk_update(
+            state, batch_df, q_static, k=k, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id", "cos_sim")
+        updated = updated.localCheckpoint(eager=True)  # cut lineage pre-swap
+        _swap_into_place(spark, updated, topk_path, "topk")
+
+    q = (
+        stream_vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"ivf maintenance drain to '{index_path}' did not finish "
                 f"within {timeout_s}s"
             )
     finally:

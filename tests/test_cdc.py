@@ -315,3 +315,23 @@ def test_recover_refuses_uncommitted_orphans(spark, tmp_path):
     with pytest.raises(IOError, match="_SUCCESS"):
         recover_interrupted_swap(spark, target)
     assert os.path.exists(junk)  # refused, not silently deleted
+
+
+def test_jdbc_sql_builders_escape_string_literals():
+    """Advice r08 #3: values spliced into single-quoted SQL literals are
+    escaped ('' doubling), so an op marker containing a quote produces a
+    well-formed literal instead of broken/injectable SQL."""
+    from postgres_etl_pipeline_spark.connectors.sinks import (
+        _sql_str,
+        cdc_merge_sql,
+    )
+
+    assert _sql_str("D") == "D"
+    assert _sql_str("D'x") == "D''x"
+    assert _sql_str("'; DROP TABLE t; --") == "''; DROP TABLE t; --"
+
+    stmt = cdc_merge_sql(
+        "tgt", "stg", ["k", "v", "op", "seq"], ["k"], "seq",
+        delete_op="D'x",
+    )
+    assert "'D''x'" in stmt and "'D'x'" not in stmt

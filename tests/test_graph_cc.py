@@ -249,3 +249,18 @@ def test_leakage_safe_split_never_splits_a_component(spark, sf_small):
         plain.withColumnRenamed("split", "plain_split"), "doc_id"
     )
     assert joined.filter(F.col("split") != F.col("plain_split")).count() == 0
+
+
+def test_leakage_safe_split_rejects_unknown_algorithm(spark):
+    """A typo'd algorithm must raise, never silently fall through to
+    hash-to-min (advice r08 #5); both documented spellings work."""
+    import pytest
+
+    from postgres_etl_pipeline_spark.operators.graph import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        leakage_safe_split(docs, pairs, algorithm="hash-to-mni")
+    for alg in ("hash-to-min", "hash_to_min", "star"):
+        assert leakage_safe_split(docs, pairs, algorithm=alg).count() == 2

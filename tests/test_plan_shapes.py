@@ -523,3 +523,52 @@ def test_snm_multipass_no_single_partition_and_linear_passes(spark, sf_small):
     assert "Exchange SinglePartition" not in p
     s = plan_summary(df)
     assert s.nested_loop_joins == 0
+
+
+def test_ivfpq_residual_is_one_fused_scan_plus_bounded_rerank(spark, sf_small):
+    """IVFADC fuses coarse assignment, residual encoding, and ADC into
+    ONE Arrow pass (vs the raw composition's assign-then-score pair) —
+    three int64 BLAS matmuls per batch, no corpus re-scan between them;
+    the re-rank's query side broadcasts and nothing nests."""
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    df = q("ivfpq_residual_topk", spark, sf_small)
+    s = plan_summary(df)
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_joins >= 1  # qdf re-rank side
+    p = plan_string(df, "simple")
+    assert p.count("MapInPandas") == 1  # the fused residual-ADC pass
+
+
+def test_filtered_ivf_scan_prunes_partitions_and_masks_inside(spark, sf_small, tmp_path):
+    """The filtered-index scan must read only PROBED cid directories
+    (PartitionFilters on the cid layout) with the label mask applied as
+    a data filter INSIDE the scan+join — the corpus is never shuffled by
+    the filter column (a label-keyed exchange would skew on hot labels)."""
+    import re
+
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    path = str(tmp_path / "index")
+    S.write_ivf_index(
+        emb, path, n_centroids=8, kmeans_max_iter=1, kmeans_init="random",
+        extra_cols=("label",),
+    )
+    probe_df = spark.createDataFrame(
+        [(0, 1, [0.0] * 64, 3)],
+        "query_id long, cid int, qv array<double>, qval int",
+    )
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin([1, 2]))
+        .join(F.broadcast(probe_df), "cid")
+        .filter(F.col("label") == F.col("qval"))
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*\]", plan)
+    assert m, plan[:800]
+    s = plan_summary(scan)
+    assert s.broadcast_joins >= 1
+    assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0

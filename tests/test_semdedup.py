@@ -265,3 +265,62 @@ def test_two_level_quantizer_flat_shape_and_determinism(spark):
     assert assigned.count() == 300
     cids = [r["cid"] for r in assigned.select("cid").distinct().collect()]
     assert all(0 <= x < k for x in cids)
+
+
+def test_two_level_quantizer_never_over_allocates_on_skew(spark):
+    """Advice r08 #1 regression: a corpus with one dominant branch plus
+    many single-point branches used to over-allocate through the
+    max(1, ·) floor (Σk₂ᵢ > k), silently breaking probe-all callers
+    configured n_probe == n_centroids. The allocation must reclaim the
+    excess and return EXACTLY k centroids."""
+    from postgres_etl_pipeline_spark.operators.similarity import (
+        fit_two_level_quantizer,
+    )
+
+    rng = np.random.default_rng(3)
+    # 991 points tightly packed near the origin + 9 far-flung singletons:
+    # the √k-split top level isolates (most of) the singletons as their
+    # own branches, so the big branch's floor(quota) ≈ k while each tiny
+    # branch still draws its ≥1 floor — the exact over-allocation shape
+    rows = [
+        (i, (rng.standard_normal(8) * 0.01).tolist()) for i in range(991)
+    ]
+    for j in range(9):
+        vec = [0.0] * 8
+        vec[j % 8] = 1000.0 * (j + 1)
+        rows.append((991 + j, vec))
+    c = spark.createDataFrame(rows, "neighbor_id long, cv array<double>")
+    k = 100
+    cents = fit_two_level_quantizer(c, k, fit_sample=2048)
+    assert cents.shape == (k, 8), cents.shape
+
+
+def test_ivf_twolevel_catalog_entry_engages_the_tier(spark, sf_small):
+    """Verdict r08 item 4: the ivf_twolevel_topk catalog entry's config
+    (n_centroids=24, fit_sample=128 → cap 16) must actually route
+    through fit_two_level_quantizer — a spy wraps the tier and the
+    entry's own registered callable is run, so a future config change
+    that silently drops below the cap fails here, not in a stale
+    docstring."""
+    from postgres_etl_pipeline_spark import queries as Q
+    from postgres_etl_pipeline_spark.operators import similarity as S
+
+    Q.queries()  # populate REGISTRY (extension catalogs load lazily)
+    calls = []
+    real = S.fit_two_level_quantizer
+
+    def spy(*args, **kwargs):
+        out = real(*args, **kwargs)
+        calls.append(out.shape)
+        return out
+
+    orig = S.fit_two_level_quantizer
+    S.fit_two_level_quantizer = spy
+    try:
+        out = Q.REGISTRY["ivf_twolevel_topk"].fn(spark, sf_small)
+        n = out.count()
+    finally:
+        S.fit_two_level_quantizer = orig
+    assert calls, "two-level tier never ran for the catalog config"
+    assert calls[0][0] == 24  # exact allocation — Σk₂ᵢ == n_centroids
+    assert n > 0

@@ -674,3 +674,32 @@ def test_topk_maintenance_multi_batch_and_replay(spark, tmp_path):
         stream(), state, queries, k=5, checkpoint=str(tmp_path / "ck2")
     )
     assert final_state() == exact
+
+
+def test_read_state_or_empty_tolerates_only_absence(spark, tmp_path):
+    """Advice r08 #2: path-not-found reads as the empty first-increment
+    relation, but a DAMAGED state dir must RAISE — swallowing it would
+    let the next state rewrite persist a truncated relation, silently
+    discarding accumulated state."""
+    import pytest
+
+    from postgres_etl_pipeline_spark.streaming.runner import read_state_or_empty
+
+    schema = "doc_id long"
+    missing = str(tmp_path / "never_written")
+    assert read_state_or_empty(spark, missing, schema).count() == 0
+
+    good = str(tmp_path / "good")
+    spark.createDataFrame([(1,), (2,)], schema).write.parquet(good)
+    assert read_state_or_empty(spark, good, schema).count() == 2
+
+    # corrupt every parquet footer in place: the path EXISTS, so the
+    # failure must propagate instead of masquerading as a cold start
+    corrupt = str(tmp_path / "corrupt")
+    spark.createDataFrame([(1,), (2,)], schema).write.parquet(corrupt)
+    import pathlib
+
+    for f in pathlib.Path(corrupt).glob("*.parquet"):
+        f.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        read_state_or_empty(spark, corrupt, schema).count()
