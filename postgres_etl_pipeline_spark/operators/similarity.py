@@ -2357,3 +2357,322 @@ def filtered_ivf_topk(
     return acc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index — residual PQ codes stored INSIDE the
+# cid-partitioned layout, so the serving scan reads m code bytes per
+# vector instead of the raw vector (round 9; composes r08 item 2's
+# persisted layout with item 1's residual encoding)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_encode_pass(c: DataFrame, Cc, As, m: int, d: int) -> DataFrame:
+    """One fused Arrow pass: coarse-assign (exact int64 argmin, ties →
+    lowest cid), residual-encode, and PQ-code-assign each corpus batch.
+    Input (neighbor_id, cv, cd lattice codes) → output (neighbor_id, cv,
+    codes array<int>, cid). Shared by the index build and the append path
+    so stored codes are bit-identical no matter when a row arrived."""
+    import numpy as np
+    import pandas as pd
+
+    bc = c.sparkSession.sparkContext.broadcast((Cc, As))
+
+    def encode(batches):
+        b_Cc, b_As = bc.value
+        c_sq = (b_Cc * b_Cc).sum(axis=1)
+        a_sq = (b_As**2).sum(-1)  # (C, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["cd"]), dtype=np.int64)  # (n, D)
+            n = len(X)
+            g = X @ b_Cc.T
+            cids = np.argmin(c_sq[None, :] - 2 * g, axis=1)
+            R = (X - b_Cc[cids]).reshape(n, m, d)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                gs = R[:, s, :] @ b_As[:, s, :].T
+                codes[:, s] = np.argmin(a_sq[:, s][None, :] - 2 * gs, axis=1)
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["codes"] = list(codes)
+            out["cid"] = cids.astype("int32")
+            yield out
+
+    return c.mapInPandas(
+        encode,
+        "neighbor_id long, cv array<double>, codes array<int>, cid int",
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    codebook_size: int = 256,
+    scale: int = 1000,
+    n_centroids: int = 8,
+    coarse: str = "anchor",
+    coarse_cents=None,
+    codebook=None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
+    fit_sample: int = 16384,
+):
+    """PERSIST the IVFADC layout: cid-partitioned parquet whose rows
+    carry the residual PQ CODE IDS next to the raw vector — encode once
+    at build (FAISS's ``add``), and the ADC search scan reads ONLY the
+    ``codes`` column (m×4 bytes/vector vs D×8 for the raw doubles;
+    parquet column pruning IS the compression win at read time, pinned
+    in plan tests), while the exact re-rank reads ``cv`` for just the
+    ≤ Q·k·rerank candidates. Sidecars: ``<path>_centroids`` (cid →
+    lattice centroid, array<long>) and ``<path>_codebook`` (code, s →
+    subvector, array<long>) — bounded metadata, so search sessions need
+    no retraining and :func:`append_to_ivfpq_index` encodes new batches
+    bit-identically to the build.
+
+    ``coarse``/``codebook`` follow :func:`ivfpq_residual_topk`'s modes
+    (anchor = SQL-expressible hash-first derivations over THIS corpus;
+    lloyd/trained = production). ``coarse_cents``/``codebook`` override
+    the derivations with explicit int64 lattice arrays — how the append
+    tests pin that a split build + append equals the one-shot build.
+    Returns (Cc, As). Raises on an empty corpus (nothing to derive a
+    codebook from — mirror of the untrained-append guard)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
+    )
+    if coarse_cents is not None:
+        Cc = np.asarray(coarse_cents, dtype=np.int64)
+    elif coarse == "anchor":
+        Cc = lattice_anchor_centroids(
+            corpus, n_centroids, id_col, vec_col, scale
+        )
+    elif coarse == "lloyd":
+        cf = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(vec_col).alias("cv"),
+        )
+        if n_centroids <= max(2, int(fit_sample) // 8):
+            cents_f = fit_coarse_quantizer(
+                cf, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+                kmeans_init=kmeans_init, fit_sample=fit_sample,
+            )
+        else:
+            cents_f = fit_two_level_quantizer(
+                cf, n_centroids, seed=seed, kmeans_max_iter=kmeans_max_iter,
+                kmeans_init=kmeans_init, fit_sample=fit_sample,
+            )
+        Cc = np.floor(cents_f * scale + 0.5).astype(np.int64)
+    else:
+        raise ValueError(
+            f"unknown coarse {coarse!r}: expected 'anchor' or 'lloyd'"
+        )
+    if not len(Cc):
+        raise ValueError("cannot build an IVFADC index over an empty corpus")
+    D = Cc.shape[1]
+    if D % m:
+        raise ValueError(f"m={m} must divide vector dims={D}")
+    d = D // m
+    if codebook is not None:
+        _check_codebook_scale(codebook, scale, "write_ivfpq_index")
+        As = np.asarray(codebook, dtype=np.int64)
+        if As.ndim != 3 or As.shape[1] != m or As.shape[2] != d:
+            raise ValueError(
+                f"codebook must have shape (C, m={m}, d={d}); got {As.shape}"
+            )
+    else:
+        book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
+        if not book:
+            raise ValueError(
+                "cannot build an IVFADC index over an empty corpus"
+            )
+        A = np.array(book, dtype=np.int64)
+        a_d2 = (
+            (A * A).sum(axis=1)[:, None]
+            - 2 * (A @ Cc.T)
+            + (Cc * Cc).sum(axis=1)[None, :]
+        )
+        As = (A - Cc[a_d2.argmin(axis=1)]).reshape(len(A), m, d)
+    _ivfpq_encode_pass(c, Cc, As, m, d).write.partitionBy("cid").parquet(path)
+    spark.createDataFrame(
+        [(int(i), [int(x) for x in row]) for i, row in enumerate(Cc)],
+        "cid int, centroid array<long>",
+    ).coalesce(1).write.parquet(path + "_centroids")
+    spark.createDataFrame(
+        [
+            (int(code), int(s), [int(x) for x in As[code, s]])
+            for code in range(len(As))
+            for s in range(m)
+        ],
+        "code int, s int, sub array<long>",
+    ).coalesce(1).write.parquet(path + "_codebook")
+    return Cc, As
+
+
+def read_ivfpq_sidecars(spark, path: str):
+    """(lattice centroid matrix, residual codebook) of a
+    :func:`write_ivfpq_index` layout — the bounded search metadata."""
+    import numpy as np
+
+    cents = (
+        spark.read.schema("cid int, centroid array<long>")
+        .parquet(path + "_centroids")
+        .orderBy("cid")
+        .collect()
+    )
+    Cc = np.array([r["centroid"] for r in cents], dtype=np.int64)
+    rows = (
+        spark.read.schema("code int, s int, sub array<long>")
+        .parquet(path + "_codebook")
+        .orderBy("code", "s")
+        .collect()
+    )
+    n_codes = max(r["code"] for r in rows) + 1
+    m = max(r["s"] for r in rows) + 1
+    d = len(rows[0]["sub"])
+    As = np.zeros((n_codes, m, d), dtype=np.int64)
+    for r in rows:
+        As[r["code"], r["s"]] = r["sub"]
+    return Cc, As
+
+
+def append_to_ivfpq_index(
+    batch: DataFrame,
+    path: str,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Append a new batch to a persisted IVFADC layout WITHOUT
+    retraining: encode against the STORED centroids + codebook (the same
+    fused pass the build ran — codes are a pure function of (vector,
+    sidecars), so an appended row's stored codes are bit-identical to
+    what a one-shot build would have written) and append into the cid
+    partitions. The compressed-tier twin of :func:`append_to_ivf_index`."""
+    spark = batch.sparkSession
+    Cc, As = read_ivfpq_sidecars(spark, path)
+    if not len(Cc):
+        raise ValueError(f"IVFADC index at {path!r} has no centroids")
+    m, d = As.shape[1], As.shape[2]
+    c = batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
+    )
+    _ivfpq_encode_pass(c, Cc, As, m, d).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path)
+    return Cc, As
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    n_probe: int = 4,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN from a persisted IVFADC layout: probe lists and
+    per-(query, probed-list) residual LUTs come from the sidecars
+    (bounded driver metadata, :func:`ivfpq_residual_topk`'s compact
+    slot-keyed shape); the candidate scan reads ONLY ``(neighbor_id,
+    cid, codes)`` of the PROBED partitions — partition pruning bounds
+    WHICH rows are read and column pruning bounds HOW MANY BYTES per
+    row (m×4 code bytes, never the D×8 vector) — and ADC is a pure LUT
+    gather per batch (codes were assigned at build). The exact re-rank
+    joins the ≤ Q·k·rerank candidates back to the layout's ``cv``
+    column. At probe-all the output EQUALS :func:`ivfpq_residual_topk`
+    on the same corpus and derivations — which is what lets the catalog
+    entry share the residual oracle."""
+    import numpy as np
+    import pandas as pd
+
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    Cc, As = read_ivfpq_sidecars(spark, path)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("qq"),
+    ).collect()
+    if not q_rows or not len(Cc):
+        return spark.createDataFrame([], empty_schema)
+    m, d = As.shape[1], As.shape[2]
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qq = np.array([r["qq"] for r in q_rows], dtype=np.int64)
+    n_cents = len(Cc)
+    n_probe = max(1, min(int(n_probe), n_cents))
+    qd2 = (
+        (Qq * Qq).sum(axis=1)[:, None]
+        - 2 * (Qq @ Cc.T)
+        + (Cc * Cc).sum(axis=1)[None, :]
+    )
+    probe_idx = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    nq = len(qids)
+    lut = np.zeros((nq, n_probe, m, len(As)), dtype=np.int64)
+    slot_of = np.full((nq, n_cents), -1, dtype=np.int64)
+    probe_mask = np.zeros((nq, n_cents), dtype=bool)
+    for qi in range(nq):
+        probe_mask[qi, probe_idx[qi]] = True
+        slot_of[qi, probe_idx[qi]] = np.arange(n_probe)
+        qres = (Qq[qi][None, :] - Cc[probe_idx[qi]]).reshape(n_probe, m, d)
+        diffs = qres[:, :, None, :] - As.transpose(1, 0, 2)[None, :, :, :]
+        lut[qi] = (diffs * diffs).sum(-1)
+    bc = spark.sparkContext.broadcast((qids, lut, slot_of, probe_mask))
+
+    def adc_gather(batches):
+        b_qids, b_lut, b_slot, b_mask = bc.value
+        q_arange = np.arange(len(b_qids))[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            slots = b_slot[:, cids]  # (Q, n)
+            adc = np.zeros((len(nids), len(b_qids)), dtype=np.int64)
+            for s in range(codes.shape[1]):
+                adc += b_lut[q_arange, slots, s, codes[:, s][None, :]].T
+            keep = b_mask[:, cids].T
+            ri, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": nids[ri],
+                    "adc": adc[ri, qi],
+                }
+            )
+
+    probed_cids = sorted({int(x) for x in probe_idx.ravel()})
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probed_cids))
+        .select("neighbor_id", "cid", "codes")
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cands = (
+        scan.mapInPandas(
+            adc_gather, "query_id long, neighbor_id long, adc long"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    stored = spark.read.parquet(path).select(
+        F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    return _rerank_exact_cosine(cands, stored, q_rows, k, id_col, vec_col)

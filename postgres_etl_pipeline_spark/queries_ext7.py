@@ -336,3 +336,57 @@ def ivf_twolevel_topk(spark, sf_dir):
         fit_sample=128,
         kmeans_max_iter=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index — residual PQ codes stored in the partitioned
+# layout; the serving scan reads code bytes, not vectors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivfpq_index_search",
+    # build-then-search at probe-all equals ivfpq_residual_topk on the
+    # same corpus and anchor derivations (codes are a pure function of
+    # (vector, sidecars) whether assigned at build or at search), so the
+    # entry shares the FULL residual-pipeline oracle — a hash-green row
+    # certifies the persisted codes themselves
+    _IVFPQ_RESIDUAL_ORACLE,
+    survey="§7 Phase 5 extension (round 9): the persisted IVFADC layout "
+    "— residual PQ code ids stored NEXT TO each vector in the "
+    "cid-partitioned parquet (encode once at build, FAISS add); the ADC "
+    "scan reads ONLY (neighbor_id, cid, codes) of probed partitions — "
+    "partition pruning bounds rows read, parquet column pruning bounds "
+    "bytes per row (m×4 vs D×8) — and ADC is a pure LUT gather; exact "
+    "rerank reads cv for candidates only; probe-all = the residual "
+    "operator twin, shared oracle",
+    tags=("ext", "similarity"),
+)
+def ivfpq_index_search(spark, sf_dir):
+    """Build the IVFADC layout (anchor coarse + anchor residual
+    codebook, the oracle-expressible derivations), search probe-all —
+    hash-equal to ivfpq_residual_topk's output and oracle; scratch
+    lifecycle as the other persisted-index entries."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    scratch = tempfile.mkdtemp(prefix="ivfadc_")
+    try:
+        path = scratch + "/index"
+        if emb.limit(1).count() == 0:  # empty corpus: nothing to encode
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
+        S.write_ivfpq_index(emb, path, n_centroids=8, coarse="anchor")
+        out = S.ivfpq_index_topk(
+            spark, path, emb.filter(F.col("vec_id") < 20),
+            k=5, rerank=4, n_probe=8,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

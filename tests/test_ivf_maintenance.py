@@ -279,3 +279,95 @@ def test_filtered_ivf_expansion_fills_k_for_selective_label(spark, tmp_path):
         map(tuple, S.filtered_topk(emb, q, filter_col="label", k=5).collect())
     )
     assert got == bf
+
+
+def test_ivfpq_index_probe_all_equals_residual_operator(spark, sf_small, tmp_path):
+    """Persisted-codes search == the in-memory residual operator at
+    probe-all: code assignment is a pure function of (vector, sidecars),
+    so encoding at build and encoding at search are interchangeable."""
+    emb = _emb(spark, sf_small)
+    q = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "index")
+    S.write_ivfpq_index(emb, path, n_centroids=8, coarse="anchor")
+    got = sorted(
+        map(
+            tuple,
+            S.ivfpq_index_topk(spark, path, q, k=5, rerank=4, n_probe=8).collect(),
+        )
+    )
+    twin = sorted(
+        map(
+            tuple,
+            S.ivfpq_residual_topk(
+                emb, q, k=5, rerank=4, n_centroids=8, n_probe=8
+            ).collect(),
+        )
+    )
+    assert got == twin and len(got) > 0
+
+
+def test_ivfpq_index_append_equals_one_shot_build(spark, sf_small, tmp_path):
+    """Split build + append == one-shot build, bit-for-bit, when the
+    sidecars are held fixed (the explicit coarse_cents/codebook override
+    is exactly the stored-sidecar path append_to_ivfpq_index reads)."""
+    emb = _emb(spark, sf_small)
+    q = emb.filter(F.col("vec_id") < 20)
+    full = str(tmp_path / "full")
+    Cc, As = S.write_ivfpq_index(emb, full, n_centroids=8, coarse="anchor")
+    split = str(tmp_path / "split")
+    S.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 5 != 4), split,
+        coarse_cents=Cc, codebook=S.LatticeCodebook(As, 1000),
+    )
+    S.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 4), split)
+    a = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, full, q, k=5, n_probe=8).collect())
+    )
+    b = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, split, q, k=5, n_probe=8).collect())
+    )
+    assert a == b
+    # the appended rows' STORED codes are bit-identical to the full
+    # build's (pure-function encoding), not just the search output
+    fa = spark.read.parquet(full).select("neighbor_id", "cid", "codes")
+    fb = spark.read.parquet(split).select("neighbor_id", "cid", "codes")
+    assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, fb.collect()))
+
+
+def test_ivfpq_index_scan_reads_codes_never_vectors(spark, sf_small, tmp_path):
+    """The ADC candidate scan must read (neighbor_id, cid, codes) ONLY —
+    parquet column pruning is the compression win (m×4 bytes vs D×8 per
+    row); a scan that drags cv in reads 16× the bytes at 64 dims."""
+    import re
+
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "index")
+    S.write_ivfpq_index(emb, path, n_centroids=8, coarse="anchor")
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin([0, 1]))
+        .select("neighbor_id", "cid", "codes")
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "cv" not in rs.group(1), plan[:600]
+    assert re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*\]", plan), plan[:600]
+
+
+def test_ivfpq_index_validations(spark, sf_small, tmp_path):
+    import numpy as np
+
+    emb = _emb(spark, sf_small)
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.write_ivfpq_index(empty, str(tmp_path / "e"), n_centroids=8)
+    path = str(tmp_path / "index")
+    Cc, As = S.write_ivfpq_index(emb, path, n_centroids=8)
+    with pytest.raises(ValueError, match="shared-scale"):
+        S.write_ivfpq_index(
+            emb, str(tmp_path / "m"), coarse_cents=Cc,
+            codebook=S.LatticeCodebook(As, 500), scale=1000,
+        )
+    # sidecar round-trip is exact
+    Cc2, As2 = S.read_ivfpq_sidecars(spark, path)
+    assert (Cc2 == Cc).all() and (As2 == np.asarray(As)).all()
