@@ -2367,16 +2367,22 @@ def filtered_ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_encode_pass(c: DataFrame, Cc, As, m: int, d: int) -> DataFrame:
+def _ivfpq_encode_pass(
+    c: DataFrame, Cc, As, m: int, d: int, extra_cols: tuple = ()
+) -> DataFrame:
     """One fused Arrow pass: coarse-assign (exact int64 argmin, ties →
     lowest cid), residual-encode, and PQ-code-assign each corpus batch.
-    Input (neighbor_id, cv, cd lattice codes) → output (neighbor_id, cv,
-    codes array<int>, cid). Shared by the index build and the append path
-    so stored codes are bit-identical no matter when a row arrived."""
+    Input (neighbor_id, cv, cd lattice codes[, extras]) → output
+    (neighbor_id, cv[, extras], codes array<int>, cid). Shared by the
+    index build and the append path so stored codes are bit-identical no
+    matter when a row arrived; ``extra_cols`` metadata rides the batch
+    unchanged (the :func:`assign_to_centroids` convention)."""
     import numpy as np
     import pandas as pd
 
+    extra_cols = tuple(extra_cols)
     bc = c.sparkSession.sparkContext.broadcast((Cc, As))
+    keep = ["neighbor_id", "cv", *extra_cols]
 
     def encode(batches):
         b_Cc, b_As = bc.value
@@ -2394,14 +2400,57 @@ def _ivfpq_encode_pass(c: DataFrame, Cc, As, m: int, d: int) -> DataFrame:
             for s in range(m):
                 gs = R[:, s, :] @ b_As[:, s, :].T
                 codes[:, s] = np.argmin(a_sq[:, s][None, :] - 2 * gs, axis=1)
-            out = pdf[["neighbor_id", "cv"]].copy()
+            out = pdf[keep].copy()
             out["codes"] = list(codes)
             out["cid"] = cids.astype("int32")
             yield out
 
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in c.schema.fields
+        if f.name in extra_cols
+    )
     return c.mapInPandas(
         encode,
-        "neighbor_id long, cv array<double>, codes array<int>, cid int",
+        f"neighbor_id long, cv array<double>{extra_schema}, "
+        "codes array<int>, cid int",
+    )
+
+
+def anchor_residual_codebook(
+    corpus: DataFrame,
+    coarse_cents,
+    m: int = 8,
+    codebook_size: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The SQL-expressible residual codebook: residuals of the
+    ``codebook_size`` hash-first corpus vectors against ``coarse_cents``
+    (exact int64 assignment, ties → lowest cid) — the derivation
+    :func:`ivfpq_residual_topk` and :func:`write_ivfpq_index` default
+    to, exposed so callers can hold sidecars FIXED across a split
+    build + append (the stream entry's one-shot-equality contract).
+    Returns a scale-stamped (C, m, d) :class:`LatticeCodebook`, or None
+    on an empty corpus."""
+    import numpy as np
+
+    Cc = np.asarray(coarse_cents, dtype=np.int64)
+    book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
+    if not book:
+        return None
+    A = np.array(book, dtype=np.int64)
+    if A.shape[1] % m:
+        raise ValueError(f"m={m} must divide vector dims={A.shape[1]}")
+    d = A.shape[1] // m
+    a_d2 = (
+        (A * A).sum(axis=1)[:, None]
+        - 2 * (A @ Cc.T)
+        + (Cc * Cc).sum(axis=1)[None, :]
+    )
+    return LatticeCodebook(
+        (A - Cc[a_d2.argmin(axis=1)]).reshape(len(A), m, d), scale
     )
 
 
@@ -2421,6 +2470,7 @@ def write_ivfpq_index(
     kmeans_max_iter: int = 20,
     kmeans_init: str = "k-means||",
     fit_sample: int = 16384,
+    extra_cols: tuple = (),
 ):
     """PERSIST the IVFADC layout: cid-partitioned parquet whose rows
     carry the residual PQ CODE IDS next to the raw vector — encode once
@@ -2448,6 +2498,7 @@ def write_ivfpq_index(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("cv"),
         fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
+        *[F.col(x) for x in extra_cols],
     )
     if coarse_cents is not None:
         Cc = np.asarray(coarse_cents, dtype=np.int64)
@@ -2489,19 +2540,17 @@ def write_ivfpq_index(
                 f"codebook must have shape (C, m={m}, d={d}); got {As.shape}"
             )
     else:
-        book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
-        if not book:
+        As = anchor_residual_codebook(
+            corpus, Cc, m, codebook_size, scale, id_col, vec_col
+        )
+        if As is None:
             raise ValueError(
                 "cannot build an IVFADC index over an empty corpus"
             )
-        A = np.array(book, dtype=np.int64)
-        a_d2 = (
-            (A * A).sum(axis=1)[:, None]
-            - 2 * (A @ Cc.T)
-            + (Cc * Cc).sum(axis=1)[None, :]
-        )
-        As = (A - Cc[a_d2.argmin(axis=1)]).reshape(len(A), m, d)
-    _ivfpq_encode_pass(c, Cc, As, m, d).write.partitionBy("cid").parquet(path)
+        As = np.asarray(As, dtype=np.int64)
+    _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols).write.partitionBy(
+        "cid"
+    ).parquet(path)
     spark.createDataFrame(
         [(int(i), [int(x) for x in row]) for i, row in enumerate(Cc)],
         "cid int, centroid array<long>",
@@ -2550,6 +2599,7 @@ def append_to_ivfpq_index(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple = (),
 ):
     """Append a new batch to a persisted IVFADC layout WITHOUT
     retraining: encode against the STORED centroids + codebook (the same
@@ -2566,10 +2616,11 @@ def append_to_ivfpq_index(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("cv"),
         fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
+        *[F.col(x) for x in extra_cols],
     )
-    _ivfpq_encode_pass(c, Cc, As, m, d).write.mode("append").partitionBy(
-        "cid"
-    ).parquet(path)
+    _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(path)
     return Cc, As
 
 
@@ -2676,3 +2727,268 @@ def ivfpq_index_topk(
         F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
     )
     return _rerank_exact_cosine(cands, stored, q_rows, k, id_col, vec_col)
+
+
+def filtered_ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    filter_col: str = "label",
+    k: int = 5,
+    rerank: int = 4,
+    n_probe: int = 4,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED search over a persisted IVFADC layout — the compressed
+    tier of :func:`filtered_ivf_topk`: the metadata mask rides INSIDE
+    the ADC gather batch (a (row, query) pair is emitted only when the
+    query probes the row's list AND the filter values match), so the
+    candidate scan still reads only ``(neighbor_id, cid, codes,
+    filter_col)`` of probed partitions, and per-query probe EXPANSION
+    keeps scanning nearest-first lists until the query has ``k·rerank``
+    matched ADC candidates (the full re-rank pool) or every list is
+    exhausted — a selective filter cannot under-fill the way
+    post-filtering the unfiltered candidate list does.
+
+    Round structure mirrors :func:`filtered_ivf_topk`: ≤ ⌈k₁/n_probe⌉
+    rounds, each scanning only the NEXT lists of still-unfilled queries
+    (file-level partition pruning); the per-round candidate merge keeps
+    the per-query top-``k·rerank`` by the exact int64 (adc,
+    neighbor_id) order — ADC scores are a pure function of (row codes,
+    query, row's list), so the merged pool is exact over every list
+    scanned so far (the :func:`incremental_topk_update` argument, ADC
+    flavor). The final exact re-rank reads ``cv`` for candidates only.
+
+    At probe-all one round scans everything and the output equals the
+    residual pipeline restricted to matching labels — the hash-oracled
+    catalog configuration. NULL filter values match nothing on either
+    side (null-rejecting equality, the relational-oracle convention).
+    The layout must have been built with ``extra_cols=(filter_col,)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    Cc, As = read_ivfpq_sidecars(spark, path)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+        fixed_point_codes(as_double_vec(vec_col), scale).alias("qq"),
+        F.col(filter_col).alias("qval"),
+    ).collect()
+    q_rows = [r for r in q_rows if r["qval"] is not None]
+    if not q_rows or not len(Cc):
+        return spark.createDataFrame([], empty_schema)
+    m, d = As.shape[1], As.shape[2]
+    n_cents = len(Cc)
+    n_probe = max(1, min(int(n_probe), n_cents))
+    pool = k * rerank
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qq = np.array([r["qq"] for r in q_rows], dtype=np.int64)
+    qvals = np.array([r["qval"] for r in q_rows])
+    qd2 = (
+        (Qq * Qq).sum(axis=1)[:, None]
+        - 2 * (Qq @ Cc.T)
+        + (Cc * Cc).sum(axis=1)[None, :]
+    )
+    order = np.argsort(qd2, axis=1, kind="stable")  # (Q, k1) nearest-first
+    nq = len(qids)
+    filled = np.zeros(nq, dtype=np.int64)
+    probed_upto = np.zeros(nq, dtype=np.int64)
+    acc = spark.createDataFrame([], "query_id long, neighbor_id long, adc long")
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    while True:
+        # this round's (query slot → cid) assignment: the next n_probe
+        # unexhausted lists of each unfilled query
+        round_lists = {}  # qi -> list of cids
+        for qi in range(nq):
+            if filled[qi] >= pool or probed_upto[qi] >= n_cents:
+                continue
+            upto = int(probed_upto[qi])
+            round_lists[qi] = [
+                int(x) for x in order[qi, upto : upto + n_probe]
+            ]
+            probed_upto[qi] = min(upto + n_probe, n_cents)
+        if not round_lists:
+            break
+        width = max(len(v) for v in round_lists.values())
+        lut = np.zeros((nq, width, m, len(As)), dtype=np.int64)
+        slot_of = np.full((nq, n_cents), -1, dtype=np.int64)
+        probe_mask = np.zeros((nq, n_cents), dtype=bool)
+        for qi, cids_q in round_lists.items():
+            idx = np.array(cids_q, dtype=np.int64)
+            probe_mask[qi, idx] = True
+            slot_of[qi, idx] = np.arange(len(idx))
+            qres = (Qq[qi][None, :] - Cc[idx]).reshape(len(idx), m, d)
+            diffs = qres[:, :, None, :] - As.transpose(1, 0, 2)[None, :, :, :]
+            lut[qi, : len(idx)] = (diffs * diffs).sum(-1)
+        bc = spark.sparkContext.broadcast(
+            (qids, qvals, lut, slot_of, probe_mask)
+        )
+
+        def adc_gather(batches):
+            b_qids, b_qvals, b_lut, b_slot, b_mask = bc.value
+            q_arange = np.arange(len(b_qids))[:, None]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                cids = pdf["cid"].to_numpy(dtype=np.int64)
+                codes = np.array(list(pdf["codes"]), dtype=np.int64)
+                cvals = pdf[filter_col].to_numpy()
+                slots = b_slot[:, cids]  # (Q, n)
+                adc = np.zeros((len(nids), len(b_qids)), dtype=np.int64)
+                for s in range(codes.shape[1]):
+                    adc += b_lut[
+                        q_arange, slots, s, codes[:, s][None, :]
+                    ].T
+                # mask: probed list AND metadata match (NULL never matches)
+                keep = b_mask[:, cids].T & (
+                    cvals[:, None] == b_qvals[None, :]
+                )
+                ri, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi],
+                        "neighbor_id": nids[ri],
+                        "adc": adc[ri, qi],
+                    }
+                )
+
+        round_cids = sorted({c for v in round_lists.values() for c in v})
+        scan = (
+            spark.read.parquet(path)
+            .filter(F.col("cid").isin(round_cids))
+            .filter(F.col(filter_col).isNotNull())
+            .select("neighbor_id", "cid", "codes", filter_col)
+        )
+        scored = (
+            scan.mapInPandas(
+                adc_gather, "query_id long, neighbor_id long, adc long"
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("crank", F.row_number().over(cand_w))
+            .filter(F.col("crank") <= pool)
+            .select("query_id", "neighbor_id", "adc")
+        )
+        acc = (
+            acc.unionByName(scored)
+            .withColumn("crank", F.row_number().over(cand_w))
+            .filter(F.col("crank") <= pool)
+            .select("query_id", "neighbor_id", "adc")
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            int(r["query_id"]): int(r["n"])
+            for r in acc.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for qi in range(nq):
+            filled[qi] = counts.get(int(qids[qi]), 0)
+    cands = acc.select("query_id", "neighbor_id")
+    stored = spark.read.parquet(path).select(
+        F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    return _rerank_exact_cosine(cands, stored, q_rows, k, id_col, vec_col)
+
+
+def resplit_ivfpq_cell(
+    spark,
+    path: str,
+    cid: int | None = None,
+    n_sub: int = 2,
+    scale: int = 1000,
+    seed: int = 7,
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
+    fit_sample: int = 16384,
+):
+    """Hot-cell re-split for a persisted IVFADC layout — the compressed
+    twin of :func:`resplit_ivf_cell`: fit ``n_sub`` sub-centroids on the
+    cell's own rows, RE-ENCODE the cell (residuals — and therefore PQ
+    codes — are defined against the owning centroid, so a split must
+    re-derive them against the child each row lands in; the residual
+    CODEBOOK stays global, the FAISS convention), rewrite only that
+    partition, and swap the centroid sidecar. Cold cells' files are
+    byte-identical before/after; repair cost is O(hot cell).
+
+    Unlike the exact tier, the probe-all SEARCH answer may legitimately
+    move: ADC candidate scores are residual-dependent, so re-anchoring a
+    cell re-ranks its rows' candidates (recall is measured, not
+    hash-pinned, for every post-split configuration — the same contract
+    as any n_probe < k₁ serving path). What IS invariant is pinned in
+    tests: no row lost, stored codes re-derivable from (vector, owning
+    child centroid, codebook), cold partitions untouched.
+
+    ``scale`` must be the build's lattice scale (the sidecars store
+    centroids already on it; the cell's vectors re-quantize with it).
+    ``cid=None`` splits the largest list. Cells with fewer than
+    ``n_sub`` rows are left alone."""
+    import numpy as np
+
+    Cc, As = read_ivfpq_sidecars(spark, path)
+    if not len(Cc):
+        raise ValueError(f"IVFADC index at {path!r} has no centroids")
+    m, d = As.shape[1], As.shape[2]
+    if cid is None:
+        top = (
+            ivf_list_sizes(spark, path)
+            .orderBy(F.col("n").desc(), F.col("cid"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            return Cc
+        cid = int(top[0]["cid"])
+    df = spark.read.parquet(path).filter(F.col("cid") == cid)
+    extra = tuple(
+        c for c in df.columns
+        if c not in ("neighbor_id", "cv", "codes", "cid")
+    )
+    cell = df.select("neighbor_id", "cv", *extra)
+    if cell.limit(n_sub).count() < n_sub:
+        return Cc
+    sub_f = fit_coarse_quantizer(
+        cell.select("neighbor_id", "cv"), n_sub, seed=seed,
+        kmeans_max_iter=kmeans_max_iter, kmeans_init=kmeans_init,
+        fit_sample=fit_sample,
+    )
+    sub = np.floor(sub_f * scale + 0.5).astype(np.int64)
+    new_ids = [cid] + [len(Cc) + j for j in range(n_sub - 1)]
+    id_map = F.create_map(
+        *[F.lit(x) for j in range(n_sub) for x in (j, new_ids[j])]
+    )
+    # re-encode against the CHILD centroids only (rows split among the
+    # children, the exact-tier convention), same global codebook; local
+    # cids 0..n_sub-1 remap to (old cid, fresh tail ids)
+    c = cell.select(
+        "neighbor_id",
+        "cv",
+        fixed_point_codes(F.col("cv"), scale).alias("cd"),
+        *[F.col(x) for x in extra],
+    )
+    reencoded = (
+        _ivfpq_encode_pass(c, sub, As, m, d, extra)
+        .withColumn("cid", id_map[F.col("cid")].cast("int"))
+        .localCheckpoint(eager=True)  # cut lineage before the dir delete
+    )
+    jvm = spark._jvm
+    cell_dir = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + f"/cid={cid}")
+    fs = cell_dir.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(cell_dir, True)
+    reencoded.write.mode("append").partitionBy("cid").parquet(path)
+    new_cents = np.vstack([Cc, sub[1:]])
+    new_cents[cid] = sub[0]
+    from ..connectors.sinks import _swap_into_place
+
+    updated = spark.createDataFrame(
+        [(int(i), [int(x) for x in row]) for i, row in enumerate(new_cents)],
+        "cid int, centroid array<long>",
+    ).coalesce(1)
+    _swap_into_place(spark, updated, path + "_centroids", "ivfpq_resplit")
+    return new_cents

@@ -22,9 +22,21 @@ from .queries import register, spread, t
 # Residual-encoded IVF-PQ (IVFADC) — verdict r08 item 1
 # ---------------------------------------------------------------------------
 
-_IVFPQ_RESIDUAL_ORACLE = """
+def _ivfpq_residual_oracle_sql(filtered: bool = False) -> str:
+    """The full-residual-pipeline oracle, optionally restricted to
+    same-label (query, neighbor) pairs BEFORE the candidate cut — the
+    filtered_ivfpq_search configuration (the mask applies inside the
+    scan, so it must bind before crank, not after)."""
+    label_join = (
+        """
+      JOIN v nv ON nv.vec_id = c.vec_id
+      JOIN v qv2 ON qv2.vec_id = l.query_id AND qv2.label = nv.label"""
+        if filtered
+        else ""
+    )
+    return f"""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
       FROM embeddings
@@ -103,7 +115,7 @@ _IVFPQ_RESIDUAL_ORACLE = """
              CAST(SUM(l.dist) AS BIGINT) AS adc
       FROM codes c
       JOIN assign a ON a.vec_id = c.vec_id
-      JOIN lut l ON l.cid = a.cid AND l.s = c.s AND l.code = c.code
+      JOIN lut l ON l.cid = a.cid AND l.s = c.s AND l.code = c.code{label_join}
       WHERE c.vec_id <> l.query_id
       GROUP BY 1, 2
     ),
@@ -127,6 +139,9 @@ _IVFPQ_RESIDUAL_ORACLE = """
     FROM exact
     QUALIFY rank <= 5
     """
+
+
+_IVFPQ_RESIDUAL_ORACLE = _ivfpq_residual_oracle_sql()
 
 
 @register(
@@ -384,6 +399,55 @@ def ivfpq_index_search(spark, sf_dir):
         out = S.ivfpq_index_topk(
             spark, path, emb.filter(F.col("vec_id") < 20),
             k=5, rerank=4, n_probe=8,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "filtered_ivfpq_search",
+    # probe-all + the label mask inside the ADC gather == the residual
+    # pipeline with the same-label restriction bound BEFORE the
+    # candidate cut; the oracle is the shared residual SQL with exactly
+    # that join added (filtered=True)
+    _ivfpq_residual_oracle_sql(filtered=True),
+    survey="§7 Phase 5 extension (round 9): FILTERED ANN at the "
+    "COMPRESSED tier — the metadata mask rides inside the IVFADC gather "
+    "batch (candidates restricted before the ADC cut, never "
+    "post-filtered), the scan reads only (neighbor_id, cid, codes, "
+    "label) of probed partitions, and per-query probe expansion refills "
+    "the k·rerank candidate pool for selective filters; probe-all "
+    "hash-oracled against the residual pipeline SQL with the label join",
+    tags=("ext", "similarity"),
+)
+def filtered_ivfpq_search(spark, sf_dir):
+    """Build the IVFADC layout with the label column persisted, search
+    probe-all with the same-label constraint — the compressed twin of
+    filtered_ivf_topk (scratch lifecycle as its siblings). The
+    probe-expansion fill path is pinned in tests/test_ivf_maintenance.py
+    with a selective-label corpus at n_probe=1."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    scratch = tempfile.mkdtemp(prefix="filtered_ivfadc_")
+    try:
+        if emb.limit(1).count() == 0:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
+        path = scratch + "/index"
+        S.write_ivfpq_index(
+            emb, path, n_centroids=8, coarse="anchor", extra_cols=("label",)
+        )
+        out = S.filtered_ivfpq_topk(
+            spark, path, emb.filter(F.col("vec_id") < 20),
+            filter_col="label", k=5, rerank=4, n_probe=8,
         )
         rows = out.collect()
         schema = out.schema

@@ -702,3 +702,73 @@ def stream_ivf_maintenance(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def _ivfpq_residual_oracle() -> str:
+    from .queries_ext7 import _IVFPQ_RESIDUAL_ORACLE
+
+    return _IVFPQ_RESIDUAL_ORACLE
+
+
+@register(
+    "stream_ivfpq_maintenance",
+    # sidecars (anchor centroids + anchor residual codebook) derive from
+    # the FULL corpus and are held fixed, so drained append-encoding is
+    # bit-identical to the one-shot build (codes are a pure function of
+    # vector + sidecars) — the drained layout's probe-all search shares
+    # the full residual-pipeline oracle with ivfpq_residual_topk
+    _ivfpq_residual_oracle(),
+    survey="§2.8 extension (round 9): streaming PERSISTED-IVFADC "
+    "maintenance — micro-batches are residual-PQ-ENCODED against the "
+    "stored sidecars and appended into cid partitions "
+    "(append_to_ivfpq_index via run_ivf_maintenance_sink "
+    "index_kind='ivfpq'); drained layout == one-shot build bit-for-bit "
+    "(pure-function encoding), probe-all search hash-oracled against "
+    "the residual pipeline SQL",
+    tags=("streaming", "similarity"),
+)
+def stream_ivfpq_maintenance(spark, sf_dir):
+    """FAISS train-then-add, streamed at the COMPRESSED tier: derive the
+    anchor sidecars from the full corpus (what a one-shot build would
+    use), build the layout from the vec_id % 5 != 4 slice with those
+    sidecars pinned, stream the % 5 == 4 slice through the maintenance
+    sink (each batch encoded against the STORED sidecars), then search
+    the drained layout probe-all."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        LatticeCodebook,
+        anchor_residual_codebook,
+        ivfpq_index_topk,
+        lattice_anchor_centroids,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.schema(_EMB_SCHEMA).parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    if emb.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    scratch = tempfile.mkdtemp(prefix="stream_ivfpq_")
+    try:
+        path = scratch + "/index"
+        Cc = lattice_anchor_centroids(emb, 8)
+        As = anchor_residual_codebook(emb, Cc)
+        write_ivfpq_index(
+            emb.filter(F.col("vec_id") % 5 != 4), path,
+            coarse_cents=Cc, codebook=As,
+        )
+        st = sources.stream_parquet(
+            spark, f"{sf_dir}/embeddings.parquet", _EMB_SCHEMA
+        ).filter(F.col("vec_id") % 5 == 4)
+        runner.run_ivf_maintenance_sink(
+            st, path, index_kind="ivfpq", checkpoint=scratch + "/ckpt"
+        )
+        out = ivfpq_index_topk(spark, path, queries, k=5, rerank=4, n_probe=8)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -463,6 +463,7 @@ def run_ivf_maintenance_sink(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_kind: str = "ivf",
     checkpoint: str | None = None,
     timeout_s: int = 300,
 ) -> None:
@@ -492,12 +493,29 @@ def run_ivf_maintenance_sink(
 
     The index must exist with trained centroids before the drain
     (:func:`~..operators.similarity.write_ivf_index` — the FAISS
-    train-then-add split); the first batch raises otherwise."""
+    train-then-add split); the first batch raises otherwise.
+
+    ``index_kind='ivfpq'`` maintains a persisted IVFADC layout instead
+    (:func:`~..operators.similarity.append_to_ivfpq_index` — each batch
+    is encoded against the STORED sidecars, bit-identically to the
+    build, so the drained layout equals a one-shot build over the full
+    corpus whenever the sidecars are held fixed)."""
     from ..operators.similarity import (
         append_to_ivf_index,
+        append_to_ivfpq_index,
         incremental_topk_update,
     )
 
+    if index_kind == "ivf":
+        _append = lambda df: append_to_ivf_index(df, index_path, id_col, vec_col)  # noqa: E731
+    elif index_kind == "ivfpq":
+        _append = lambda df: append_to_ivfpq_index(  # noqa: E731
+            df, index_path, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        raise ValueError(
+            f"unknown index_kind {index_kind!r}: expected 'ivf' or 'ivfpq'"
+        )
     ckpt = checkpoint or _scratch_checkpoint("ckpt_ivf_maint_")
     topk_path = os.path.join(state_dir, "topk") if state_dir else None
     q_static = (
@@ -513,7 +531,7 @@ def run_ivf_maintenance_sink(
             # empty append is a no-op by definition and must not trip the
             # untrained-index guard (or rewrite the topk state)
             return
-        append_to_ivf_index(batch_df, index_path, id_col, vec_col)
+        _append(batch_df)
         if q_static is None:
             return
         from ..connectors.sinks import _swap_into_place

@@ -371,3 +371,153 @@ def test_ivfpq_index_validations(spark, sf_small, tmp_path):
     # sidecar round-trip is exact
     Cc2, As2 = S.read_ivfpq_sidecars(spark, path)
     assert (Cc2 == Cc).all() and (As2 == np.asarray(As)).all()
+
+
+def test_filtered_ivfpq_expansion_fills_pool_for_selective_label(spark, tmp_path):
+    """Compressed-tier under-fill regression: the same selective-label
+    corpus as the exact-tier test — the query's k matches all sit in
+    far lists, so n_probe=1 must expand until the candidate pool fills;
+    with exactly k global matches the answer is unique and must equal
+    the exact filtered brute force."""
+    rows = []
+    for i in range(30):
+        vec = [0.0] * 8
+        vec[0] = 100.0 + (i % 7)
+        rows.append((i, vec, 7 if i == 0 else 1))
+    for vid, axis in [(40, 2), (41, 2), (42, 4), (43, 4), (44, 6)]:
+        vec = [0.0] * 8
+        vec[axis] = 100.0 + (vid % 5)
+        rows.append((vid, vec, 7))
+    for i in range(50, 70):
+        vec = [0.0] * 8
+        vec[(i % 3) * 2 + 2] = 100.0 + (i % 7)
+        rows.append((i, vec, 1))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], int(lab)) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "index")
+    # m=4 over 8 dims; lloyd coarse so lists align with the clusters
+    S.write_ivfpq_index(
+        emb, path, m=4, n_centroids=4, coarse="lloyd", kmeans_max_iter=5,
+        extra_cols=("label",),
+    )
+    out = S.filtered_ivfpq_topk(
+        spark, path, q, filter_col="label", k=5, rerank=4, n_probe=1
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert len(got) == 5, got
+    assert {g[1] for g in got} == {40, 41, 42, 43, 44}
+    bf = sorted(
+        map(tuple, S.filtered_topk(emb, q, filter_col="label", k=5).collect())
+    )
+    assert got == bf
+
+
+def test_streaming_ivfpq_maintenance_multi_batch(spark, sf_small, tmp_path):
+    """The compressed-tier drain: sidecars pinned up front, the growth
+    slice split into several files (maxFilesPerTrigger=1 forces multiple
+    micro-batches) — the drained layout must equal the one-shot build
+    file-content-for-file-content (pure-function encoding), regardless
+    of batch order."""
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        run_ivf_maintenance_sink,
+    )
+    from postgres_etl_pipeline_spark.streaming.sources import stream_parquet
+
+    emb = _emb(spark, sf_small)
+    full = str(tmp_path / "full")
+    Cc, As = S.write_ivfpq_index(emb, full, n_centroids=8, coarse="anchor")
+    split = str(tmp_path / "split")
+    S.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 5 != 4), split,
+        coarse_cents=Cc, codebook=S.LatticeCodebook(As, 1000),
+    )
+    growth_dir = str(tmp_path / "growth")
+    emb.filter(F.col("vec_id") % 5 == 4).repartition(4).write.parquet(
+        growth_dir
+    )
+    st = stream_parquet(
+        spark, growth_dir,
+        "vec_id long, embedding array<float>, label int",
+        max_files_per_trigger=1,
+    )
+    run_ivf_maintenance_sink(
+        st, split, index_kind="ivfpq", checkpoint=str(tmp_path / "ckpt")
+    )
+    fa = spark.read.parquet(full).select("neighbor_id", "cid", "codes")
+    fb = spark.read.parquet(split).select("neighbor_id", "cid", "codes")
+    assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, fb.collect()))
+
+
+def test_ivf_maintenance_sink_rejects_unknown_kind(spark, sf_small, tmp_path):
+    import pytest as _pytest
+
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        run_ivf_maintenance_sink,
+    )
+    from postgres_etl_pipeline_spark.streaming.sources import stream_parquet
+
+    st = stream_parquet(
+        spark, f"{sf_small}/embeddings.parquet",
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(ValueError, match="index_kind"):
+        run_ivf_maintenance_sink(st, str(tmp_path / "x"), index_kind="hnsw")
+
+
+def test_ivfpq_resplit_invariants(spark, sf_small, tmp_path):
+    """Compressed-tier hot-cell re-split: no row lost, cold partitions
+    byte-identical, sidecar grows by n_sub-1, and every row in the split
+    cell carries codes that RE-DERIVE from (its vector, its owning child
+    centroid, the global codebook) — the consistency the search LUT
+    assumes. Search still fills k and recalls above the random floor
+    (the probe-all answer may legitimately move: ADC is
+    residual-dependent)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_small)
+    q = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "index")
+    S.write_ivfpq_index(emb, path, n_centroids=8, coarse="anchor")
+    sizes = {r["cid"]: r["n"] for r in S.ivf_list_sizes(spark, path).collect()}
+    hot = max(sizes, key=lambda c: (sizes[c], -c))
+    dirs_before, _ = _file_sets(path)
+    new_cents = S.resplit_ivfpq_cell(
+        spark, path, n_sub=2, kmeans_max_iter=2
+    )
+    assert new_cents.shape[0] == 9
+    dirs_after, _ = _file_sets(path)
+    for dname, files in dirs_before.items():
+        if dname != f"cid={hot}":
+            assert dirs_after[dname] == files, dname
+    assert "cid=8" in dirs_after
+    assert spark.read.parquet(path).count() == emb.count()
+    # stored codes of the re-split cell re-derive exactly
+    Cc, As = S.read_ivfpq_sidecars(spark, path)
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin([int(hot), 8]))
+        .select("neighbor_id", "cv", "codes", "cid")
+        .collect()
+    )
+    assert rows
+    a_sq = (As.astype(np.int64) ** 2).sum(-1)
+    for r in rows:
+        qx = np.floor(np.array(r["cv"]) * 1000 + 0.5).astype(np.int64)
+        res = (qx - Cc[r["cid"]]).reshape(As.shape[1], As.shape[2])
+        for s in range(As.shape[1]):
+            g = res[s] @ As[:, s, :].T
+            assert r["codes"][s] == int(np.argmin(a_sq[:, s] - 2 * g)), r
+    out = S.ivfpq_index_topk(spark, path, q, k=5, rerank=4, n_probe=9)
+    got = {}
+    for row in out.collect():
+        got.setdefault(row.query_id, set()).add(row.neighbor_id)
+    exact = {}
+    for row in S.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(row.query_id, set()).add(row.neighbor_id)
+    assert set(got) == set(exact)
+    assert all(len(v) == 5 for v in got.values())
+    recall = sum(len(got[x] & exact[x]) / 5 for x in exact) / len(exact)
+    assert recall >= 0.4, recall
