@@ -317,6 +317,57 @@ def _lloyd(X, n_centroids, seed=7, kmeans_max_iter=20, kmeans_init="k-means||"):
     return cents
 
 
+def _largest_remainder_allocation(counts: dict, k: int) -> dict:
+    """Largest-remainder allocation of ``k`` centroids over non-empty
+    branches, proportional to exact branch size — the pure allocation
+    core of :func:`fit_two_level_quantizer`, extracted so its invariants
+    are Hypothesis-property-tested without a Spark fit around them.
+
+    Contract domain (what the caller guarantees): ``#branches ≤ k ≤
+    Σcounts`` — the √k top-level split yields ≤ ⌈√k⌉ non-empty branches
+    and every public caller clamps ``k`` to the corpus size. Invariants
+    on that domain (Hypothesis-pinned in tests/test_properties.py):
+    every branch gets ``1 ≤ k₂ᵢ ≤ countᵢ``, ``Σk₂ᵢ = k`` exactly, and
+    the result is a deterministic function of (counts, k) (ties by
+    branch id).
+
+    The grant loop hands the positive remainder out by LARGEST
+    fractional part (ties: low id). Skewed mixes can also OVER-allocate
+    through the ``max(1, ·)`` floor (one branch owning ~all rows plus
+    many 1-row branches: the big branch's ``floor(quota)`` alone ≈ k
+    while every tiny branch still draws its floor) — advice r08 #1;
+    the reclaim loop walks by SMALLEST fractional part (ties: high id —
+    the exact mirror of the grant order), respecting the ≥1 floor. The
+    floors sum to #branches ≤ k₁ = ⌈√k⌉ ≤ k, so the walk always lands
+    on Σ = k."""
+    branches = sorted(counts)
+    n_total = sum(counts.values())
+    quota = {b: k * counts[b] / n_total for b in branches}
+    k2 = {b: max(1, min(counts[b], int(quota[b]))) for b in branches}
+    rem = k - sum(k2.values())
+    # one unit per branch in fractional order (the classic method; with
+    # k ≤ Σcounts every uncapped branch has ≥ 1 capacity and rem ≤
+    # #uncapped, so a single pass always lands — the callers' k ≤ N
+    # guard is what makes that bound hold)
+    for b in sorted(branches, key=lambda b: (-(quota[b] - int(quota[b])), b)):
+        if rem <= 0:
+            break
+        if k2[b] < counts[b]:
+            k2[b] += 1
+            rem -= 1
+    if rem < 0:
+        for b in sorted(
+            branches, key=lambda b: (quota[b] - int(quota[b]), -b)
+        ):
+            if rem >= 0:
+                break
+            give_back = min(k2[b] - 1, -rem)
+            if give_back > 0:
+                k2[b] -= give_back
+                rem += give_back
+    return k2
+
+
 def fit_two_level_quantizer(
     c: DataFrame,
     n_centroids: int,
@@ -380,40 +431,8 @@ def fit_two_level_quantizer(
     n_total = sum(counts.values())
     if n_total == 0:
         return top[:0]
-    # largest-remainder allocation of k over non-empty branches,
-    # proportional to exact branch size; every branch gets ≥ 1 and never
-    # more centroids than member rows
+    k2 = _largest_remainder_allocation(counts, n_centroids)
     branches = sorted(counts)
-    quota = {b: n_centroids * counts[b] / n_total for b in branches}
-    k2 = {b: max(1, min(counts[b], int(quota[b]))) for b in branches}
-    # hand out the remainder by largest fractional part (ties: low cid)
-    rem = n_centroids - sum(k2.values())
-    for b in sorted(
-        branches, key=lambda b: (-(quota[b] - int(quota[b])), b)
-    ):
-        if rem <= 0:
-            break
-        if k2[b] < counts[b]:
-            k2[b] += 1
-            rem -= 1
-    # skewed branch mixes can OVER-allocate through the max(1, ·) floor
-    # (e.g. one branch owning ~all rows plus many 1-row branches: the big
-    # branch's floor(quota) alone ≈ k while every tiny branch still gets
-    # its 1) — without this, Σk₂ᵢ > k and probe-all callers configured
-    # n_probe == n_centroids silently stop scanning every list (advice
-    # r08 #1). Reclaim by SMALLEST fractional part, ties to the highest
-    # cid (the exact mirror of the grant order), respecting the ≥1 floor;
-    # Σ of floors is ≤ k₁ = ⌈√k⌉ ≤ k, so the walk always lands on Σ = k.
-    if rem < 0:
-        for b in sorted(
-            branches, key=lambda b: (quota[b] - int(quota[b]), -b)
-        ):
-            if rem >= 0:
-                break
-            give_back = min(k2[b] - 1, -rem)
-            if give_back > 0:
-                k2[b] -= give_back
-                rem += give_back
     # per-branch hash-first sample, one job: window rank within branch
     per_branch = {
         b: min(int(fit_sample), max(64, points_per_centroid * k2[b]))

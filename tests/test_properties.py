@@ -692,3 +692,32 @@ def test_multipass_snm_is_candidate_superset(spark, rows, window):
     assert set(single) <= set(multi)
     for pair, jac in single.items():
         assert multi[pair] == jac
+
+
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=40,
+    ),
+    k_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_two_level_allocation_invariants(counts, k_frac):
+    """The quantizer's largest-remainder allocation (advice r08 #1), on
+    its contract domain (#branches <= k <= sum(counts)): every branch
+    gets 1 <= k2 <= count, the total is EXACTLY k (the probe-all
+    guarantee), and the result is deterministic."""
+    from postgres_etl_pipeline_spark.operators.similarity import (
+        _largest_remainder_allocation,
+    )
+
+    n_total = sum(counts.values())
+    lo, hi = len(counts), n_total
+    k = lo + int(k_frac * (hi - lo))
+    k2 = _largest_remainder_allocation(counts, k)
+    assert set(k2) == set(counts)
+    assert all(1 <= k2[b] <= counts[b] for b in counts)
+    assert sum(k2.values()) == k, (counts, k, k2)
+    assert _largest_remainder_allocation(dict(counts), k) == k2
