@@ -3,11 +3,15 @@ made production-shaped — residual-encoded IVF-PQ (IVFADC: PQ codes over
 x − centroid(x), the FAISS-standard composition and the recall lever at
 serving n_probe), incremental maintenance of the persisted cid-partitioned
 IVF index (append against STORED centroids — a growing corpus never
-re-clusters the world), filtered ANN over the persisted index (metadata
-mask inside the probed scan with per-query probe expansion), and a driver
-hash row for the two-level quantizer tier (k past the flat-fit cap,
-probe-all). The streaming IVF maintenance drain lives with the other
-stream entries in queries_stream.py.
+re-clusters the world), the persisted IVFADC layout (residual PQ code ids
+stored next to each vector, so the serving scan reads m×4 code bytes per
+row instead of the D×8 vector — measured 0.56% of a full raw scan per
+query at n_probe=4/64, SCALE.md), filtered ANN at both tiers (metadata
+mask inside the probed scan / the ADC gather batch, with per-query probe
+expansion), and a driver hash row for the two-level quantizer tier
+(k past the flat-fit cap, probe-all). The streaming maintenance drains
+(raw + compressed) live with the other stream entries in
+queries_stream.py.
 
 Same registry/oracle conventions as queries_ext.py.
 """
