@@ -818,6 +818,137 @@ def semdedup_scaled(
     return _prune_within_clusters(assigned, threshold)
 
 
+SEMDEDUP_INVARIANTS: tuple[str, ...] = (
+    "assignment_partitions_corpus",
+    "deterministic_under_repartition",
+    "dropped_rows_have_lower_id_witness",
+    "every_cluster_keeps_min_id",
+    "no_kept_pair_reaches_threshold",
+)
+
+
+def semdedup_scaled_invariants(
+    df: DataFrame,
+    threshold: float = 0.35,
+    target_cluster_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    fit_sample: int = 8192,
+    kmeans_max_iter: int = 10,
+) -> DataFrame:
+    """The INVARIANT AUDIT of :func:`semdedup_scaled` (verdict r09
+    item 8): the sample-trained centroids make the keep-list's VALUES
+    engine-specific (no SQL oracle exists), but the relation's
+    STRUCTURAL properties are centroid-independent truths — so the audit
+    emits (invariant, holds, n_corpus) rows a constant DuckDB oracle can
+    hash-pin, flipping the entry from rows-only to green. The five
+    checks characterize the prune completely:
+
+    * ``assignment_partitions_corpus`` — the cluster assignment covers
+      every corpus row exactly once;
+    * ``every_cluster_keeps_min_id`` — each cluster's lowest id
+      survives (the prune only ever drops the HIGHER id of a pair);
+    * ``no_kept_pair_reaches_threshold`` — no two survivors in one
+      cluster are ≥ threshold similar (if they were, the higher id
+      would have been dropped by the lower);
+    * ``dropped_rows_have_lower_id_witness`` — every dropped row has a
+      lower-id row in ITS cluster at ≥ threshold (nothing is dropped
+      without a witness; the witness may itself be dropped — the rule
+      drops against ANY lower id, so chains 1≥2, 2≥3 legitimately drop
+      3 even when cos(1,3) < threshold);
+    * ``deterministic_under_repartition`` — the keep-list is identical
+      when the input arrives repartitioned (the fit samples by hash
+      order, not partition order).
+
+    Together: kept ∪ dropped is a justified partition of the corpus and
+    the rule is total — the same properties the NumPy twin pins
+    locally, now driver-checkable. Cost class = the operator itself
+    (the pair checks are the same cid-keyed self-join shape)."""
+    import math
+
+    spark = df.sparkSession
+    schema = "invariant string, holds boolean, n_corpus long"
+    v = df.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+    )
+    n_corpus = v.count()
+    if n_corpus == 0:
+        return spark.createDataFrame(
+            [(name, True, 0) for name in SEMDEDUP_INVARIANTS], schema
+        )
+    k = min(
+        max(2, math.ceil(n_corpus / max(1, target_cluster_size))), n_corpus
+    )
+    flat_cap = max(2, int(fit_sample) // 8)
+    fit = fit_coarse_quantizer if k <= flat_cap else fit_two_level_quantizer
+    cents = fit(
+        v, k, seed=seed, kmeans_max_iter=kmeans_max_iter,
+        fit_sample=fit_sample,
+    )
+    assigned = assign_to_centroids(v, cents).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("e"), "cid"
+    )
+    kept = _prune_within_clusters(assigned, threshold).localCheckpoint(
+        eager=True
+    )
+    part_ok = (
+        assigned.count() == n_corpus
+        and assigned.select("vec_id").distinct().count() == n_corpus
+    )
+    mins = assigned.groupBy("cid").agg(F.min("vec_id").alias("vec_id"))
+    min_ok = mins.join(kept, ["vec_id", "cid"], "left_anti").isEmpty()
+    kv = kept.join(assigned, ["vec_id", "cid"]).select("vec_id", "cid", "e")
+    a, b = kv.alias("a"), kv.alias("b")
+    pair_ok = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 4) >= threshold
+        )
+        .isEmpty()
+    )
+    dropped = assigned.join(kept.select("vec_id"), "vec_id", "left_anti")
+    justified = (
+        dropped.alias("d")
+        .join(
+            # the witness pool is ALL lower-id cluster rows (kept or
+            # dropped) — the rule's actual quantifier
+            assigned.alias("w"),
+            (F.col("d.cid") == F.col("w.cid"))
+            & (F.col("w.vec_id") < F.col("d.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("d.e"), F.col("w.e")), 4) >= threshold
+        )
+        .select(F.col("d.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    justify_ok = dropped.join(justified, "vec_id", "left_anti").isEmpty()
+    again = semdedup_scaled(
+        df.repartition(7), threshold, target_cluster_size, id_col, vec_col,
+        seed, fit_sample, kmeans_max_iter,
+    )
+    det_ok = sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    holds = {
+        "assignment_partitions_corpus": part_ok,
+        "deterministic_under_repartition": det_ok,
+        "dropped_rows_have_lower_id_witness": justify_ok,
+        "every_cluster_keeps_min_id": min_ok,
+        "no_kept_pair_reaches_threshold": pair_ok,
+    }
+    return spark.createDataFrame(
+        [(name, bool(holds[name]), int(n_corpus)) for name in SEMDEDUP_INVARIANTS],
+        schema,
+    )
+
+
 def sq8_scales(
     corpus: DataFrame, vec_col: str = "embedding", levels: int = 127
 ) -> list[float]:
@@ -1550,6 +1681,14 @@ def write_ivf_index(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cid int, centroid array<double>",
     ).coalesce(1).write.parquet(path + "_centroids")
+    if extra_cols:
+        # selectivity sidecars (verdict r09 item 6): per-(cid, value)
+        # match counts for every metadata column, read back from the
+        # just-written layout (one column-pruned scan per column) —
+        # filtered_ivf_topk sizes its first probe set with these
+        _write_ivf_list_stats(
+            spark.read.parquet(path), path, tuple(extra_cols)
+        )
     return cents
 
 
@@ -2127,11 +2266,31 @@ def ivfpq_residual_topk(
 # ---------------------------------------------------------------------------
 
 
+def _check_layout_extra_cols(
+    spark, path: str, extra_cols: tuple, reserved: tuple, caller: str
+) -> None:
+    """An append whose ``extra_cols`` miss metadata columns the LAYOUT
+    stores would write rows that read back as NULL in those columns —
+    filtered search silently excludes them (NULL never matches). One
+    parquet-footer schema read turns that into a loud argument error."""
+    layout_cols = set(spark.read.parquet(path).columns) - set(reserved)
+    missing = layout_cols - set(extra_cols)
+    if missing:
+        raise ValueError(
+            f"{caller}: the layout at {path!r} stores metadata columns "
+            f"{sorted(missing)} but this append's extra_cols="
+            f"{tuple(extra_cols)!r} omits them — appended rows would "
+            "read back NULL there and filtered search would silently "
+            "skip them; pass the build's extra_cols"
+        )
+
+
 def append_to_ivf_index(
     batch: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple = (),
 ):
     """Append a new batch to a :func:`write_ivf_index` layout WITHOUT
     retraining: assign the batch against the STORED centroids
@@ -2150,7 +2309,13 @@ def append_to_ivf_index(
     their ``cid=<x>`` directories (partitionBy append; pinned in tests),
     so partition pruning keeps working unchanged. Raises ``ValueError``
     on an index with no centroids (nothing to assign against — build
-    with :func:`write_ivf_index` first)."""
+    with :func:`write_ivf_index` first).
+
+    ``extra_cols`` must name every metadata column the layout stores
+    (validated against the layout schema — an append that silently
+    dropped the filter column would write rows filtered search can never
+    match); any ``<path>_stats_*`` selectivity sidecars are sum-merged
+    with the batch's counts so the first-probe sizing stays current."""
     spark = batch.sparkSession
     cents = read_ivf_centroids(spark, path)
     if not len(cents):
@@ -2158,13 +2323,238 @@ def append_to_ivf_index(
             f"IVF index at {path!r} has no centroids — build a non-empty "
             "index with write_ivf_index before appending"
         )
-    c = batch.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    extra_cols = tuple(extra_cols)
+    _check_layout_extra_cols(
+        spark, path, extra_cols, ("neighbor_id", "cv", "cid"),
+        "append_to_ivf_index",
     )
-    assign_to_centroids(c, cents).write.mode("append").partitionBy(
-        "cid"
-    ).parquet(path)
+    c = batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+        *[F.col(x) for x in extra_cols],
+    )
+    assigned = assign_to_centroids(c, cents, extra_cols)
+    if extra_cols:
+        # pin the batch's assignment once: the same rows feed the append
+        # AND the stats merge
+        assigned = assigned.localCheckpoint(eager=True)
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    if extra_cols:
+        _merge_ivf_list_stats(spark, assigned, path)
     return cents
+
+
+def _stage_and_swap_partitions(
+    spark,
+    path: str,
+    replaced_cids,
+    new_rows: DataFrame,
+    tag: str,
+    sidecars: dict[str, DataFrame] | None = None,
+) -> None:
+    """Crash-safe per-partition rewrite of a cid-partitioned layout — the
+    shared back half of every maintenance op that replaces whole cells
+    (re-split, tombstone delete, codebook re-encode). The round-9
+    implementation deleted the live cell dir and only then appended the
+    replacement, so a crash in between permanently lost the cell
+    (advice r09 #2); this protocol makes every step after the staging
+    write an atomic filesystem rename, so a crash at ANY point leaves
+    either the old or the new cells readable:
+
+    1. write ``new_rows`` (partitioned by cid) to a sibling stage dir —
+       Spark's job commit leaves the ``_SUCCESS`` marker;
+    2. write any ``sidecars`` (suffix → relation, e.g. ``_centroids``)
+       into the stage as ``__new_sidecar<suffix>`` dirs — the sidecar
+       update is part of the SAME recoverable unit, so a crash can never
+       leave new data cells invisible behind a stale sidecar;
+    3. write a ``__replaced_manifest`` file into the stage dir naming
+       the cids being replaced (the recovery unit of truth);
+    4. rename each replaced LIVE ``cid=<x>`` dir INTO the stage dir as
+       ``__replaced_cid=<x>`` — the old cell leaves the layout but stays
+       on disk;
+    5. rename each staged ``cid=*`` dir into the layout (targets never
+       exist: replaced dirs left in step 4, other staged cids are fresh
+       tail ids by contract);
+    6. promote each staged sidecar (delete live, rename staged copy in —
+       both metadata ops, the staged copy stays durable throughout);
+    7. delete the stage dir.
+
+    :func:`recover_interrupted_partition_swap` rolls back (no manifest →
+    nothing renamed yet) or completes (manifest present → resume 4-7) an
+    interrupted run. Same single-writer contract as the sidecar swaps.
+    """
+    import uuid as _uuid
+
+    base = path.rstrip("/")
+    stage = base + f".__{tag}_{_uuid.uuid4().hex[:8]}"
+    new_rows.write.partitionBy("cid").parquet(stage)
+    for suffix, df in sorted((sidecars or {}).items()):
+        df.coalesce(1).write.parquet(stage + f"/__new_sidecar{suffix}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path
+    stage_p = hp(stage)
+    fs = stage_p.getFileSystem(conf)
+    manifest = hp(stage + "/__replaced_manifest")
+    out = fs.create(manifest, True)
+    out.write(bytearray("\n".join(str(int(c)) for c in replaced_cids).encode()))
+    out.close()
+    _finish_partition_swap(fs, hp, base, stage, replaced_cids)
+    # drop any cached file listing for the layout — a reader session that
+    # scanned it before the swap must not chase renamed-away part files
+    spark.catalog.refreshByPath(base)
+
+
+def _finish_partition_swap(fs, hp, base: str, stage: str, replaced_cids):
+    """Steps 4-7 of :func:`_stage_and_swap_partitions` — idempotent, so
+    recovery can resume from any crash point: a replaced cid whose
+    ``__replaced_cid`` dir already exists was already moved; a staged
+    ``cid=*`` dir whose live twin exists would be a contract violation
+    and dies loudly instead of nesting dirs (local-FS rename moves INTO
+    an existing dir — silent corruption); a staged sidecar that is gone
+    was already promoted."""
+    for cid in replaced_cids:
+        live = hp(f"{base}/cid={int(cid)}")
+        moved = hp(f"{stage}/__replaced_cid={int(cid)}")
+        if fs.exists(moved) or not fs.exists(live):
+            continue  # this cid's step 4 already ran (or cell was empty)
+        if not fs.rename(live, moved):
+            raise IOError(f"rename {live} -> {moved} failed mid-swap")
+    for st in fs.listStatus(hp(stage)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cid=")):
+            continue
+        tgt = hp(f"{base}/{name}")
+        if fs.exists(tgt):
+            raise IOError(
+                f"staged partition {name} collides with a live partition "
+                f"not named in the replace manifest — refusing to rename "
+                f"into an existing dir (stage kept at {stage})"
+            )
+        if not fs.rename(st.getPath(), tgt):
+            raise IOError(f"rename {st.getPath()} -> {tgt} failed mid-swap")
+    marker = "__new_sidecar"
+    for st in fs.listStatus(hp(stage)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(marker)):
+            continue
+        live = hp(base + name[len(marker):])
+        fs.delete(live, True)
+        if not fs.rename(st.getPath(), live):
+            raise IOError(f"rename {st.getPath()} -> {live} failed mid-swap")
+    fs.delete(hp(stage), True)
+
+
+def recover_interrupted_partition_swap(spark, path: str) -> bool:
+    """Repair a layout after a crash inside
+    :func:`_stage_and_swap_partitions`: roll back stages that never
+    started swapping (uncommitted write, or committed but no manifest —
+    the live layout is untouched, so the orphan is just deleted) and
+    COMPLETE stages whose manifest exists (steps 4-7 are idempotent
+    renames, sidecar promotion included — recovery leaves the layout and
+    its sidecars mutually consistent). Returns True when anything was
+    repaired. Run it before a
+    maintenance loop starts, like :func:`~..connectors.sinks.recover_interrupted_swap`
+    for the full-table swaps."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    glob = hp(base + ".__*")
+    fs = glob.getFileSystem(conf)
+    statuses = fs.globStatus(glob)
+    repaired = False
+    for st in statuses or []:
+        stage = str(st.getPath())
+        if not fs.exists(hp(stage + "/_SUCCESS")):
+            fs.delete(st.getPath(), True)  # uncommitted staging write
+            repaired = True
+            continue
+        manifest = hp(stage + "/__replaced_manifest")
+        if not fs.exists(manifest):
+            fs.delete(st.getPath(), True)  # swap never started
+            repaired = True
+            continue
+        stream = fs.open(manifest)
+        try:
+            raw = bytes(
+                stream.readAllBytes()  # Java 9+ InputStream API
+            ).decode()
+        finally:
+            stream.close()
+        cids = [int(x) for x in raw.split() if x.strip()]
+        _finish_partition_swap(fs, hp, base, stage, cids)
+        repaired = True
+    return repaired
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    tombstones: DataFrame,
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Tombstone DELETES against a persisted cid-partitioned ANN layout
+    — the other half of the maintenance story append-only left open
+    (verdict r09 item 2): license revocation / right-to-be-forgotten is
+    the first compliance requirement a production corpus hits, and until
+    now it cost a full rebuild. Reuses the CDC tombstone discipline
+    (``operators/cdc.py:34`` — ids-with-no-payload mark rows dead) at
+    the index layout: anti-join each AFFECTED cid partition against the
+    tombstone ids and rewrite ONLY those partitions through the staged
+    atomic-rename swap (:func:`_stage_and_swap_partitions`), so the
+    repair cost is O(affected cells), never O(corpus), and a crash
+    leaves every cell readable (old or new).
+
+    Works unchanged on BOTH tiers — the raw :func:`write_ivf_index`
+    shape and the IVFADC :func:`write_ivfpq_index` shape — because
+    deletion never touches codes, centroids, or sidecars: dropping rows
+    from an inverted list leaves every surviving row's cell assignment
+    and encoding exactly what a rebuild-from-survivors with the SAME
+    sidecars would produce, which is what lets the catalog entries pin
+    delete-then-search == rebuild-from-survivors at probe-all. A cell
+    whose rows are all deleted becomes an EMPTY list (its centroid stays
+    in the sidecar — the FAISS convention; probing it scans nothing).
+
+    Scale shape: one column-pruned (neighbor_id, cid) scan finds the
+    affected cells (bounded output — ≤ n_centroids values collected);
+    the rewrite reads and writes only those cells' files. Returns the
+    sorted list of rewritten cids (empty = nothing matched, zero files
+    touched — pinned in tests)."""
+    ids = tombstones.select(
+        F.col(id_col).cast("long").alias("neighbor_id")
+    ).distinct()
+    idx = spark.read.parquet(path)
+    affected = sorted(
+        int(r["cid"])
+        for r in idx.join(ids, "neighbor_id")
+        .select("cid")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    survivors = idx.filter(F.col("cid").isin(affected)).join(
+        ids, "neighbor_id", "left_anti"
+    )
+    _stage_and_swap_partitions(spark, path, affected, survivors, "ivf_delete")
+    _refresh_ivf_list_stats(spark, path, affected)
+    return affected
+
+
+def delete_from_ivfpq_index(
+    spark,
+    path: str,
+    tombstones: DataFrame,
+    id_col: str = "vec_id",
+) -> list[int]:
+    """The IVFADC twin of :func:`delete_from_ivf_index` — same code
+    path by construction (see that docstring: deletes never touch codes
+    or sidecars), named separately so call sites read as the tier they
+    maintain. Validates the layout IS an IVFADC one (the ``_meta``
+    stamp) before rewriting anything."""
+    _read_ivfpq_meta(spark, path)  # stamped layout or loud failure
+    return delete_from_ivf_index(spark, path, tombstones, id_col)
 
 
 def ivf_list_sizes(spark, path: str) -> DataFrame:
@@ -2204,13 +2594,13 @@ def resplit_ivf_cell(
     than ``n_sub`` rows are left alone (returns the stored centroids
     unchanged — nothing to split).
 
-    Durability window: the cell's rows are pinned driver-side-free via
-    ``localCheckpoint`` BEFORE its directory is deleted (the
-    foreachBatch sinks' lineage-cut discipline), and the sidecar swap
-    uses the shared sibling-write machinery; a crash between the data
-    delete and re-append loses availability of that one cell until the
-    checkpointed write re-runs — run it on the compaction cadence, like
-    the other merge-by-rewrite maintenance ops."""
+    Durability: the reassigned rows are STAGED to a sibling dir while
+    the old cell is still live, then swapped in by atomic renames
+    (:func:`_stage_and_swap_partitions`, advice r09 #2) — a crash at any
+    point leaves either the old or the new cell readable, and
+    :func:`recover_interrupted_partition_swap` completes or rolls back
+    the window. The sidecar swap uses the shared sibling-write
+    machinery, as before."""
     import numpy as np
 
     cents = read_ivf_centroids(spark, path)
@@ -2226,41 +2616,142 @@ def resplit_ivf_cell(
         if not top:
             return cents
         cid = int(top[0]["cid"])
-    cell = spark.read.parquet(path).filter(F.col("cid") == cid).select(
-        "neighbor_id", "cv"
+    df = spark.read.parquet(path).filter(F.col("cid") == cid)
+    # metadata columns ride the re-split unchanged — dropping them would
+    # write the rewritten cell without its filter columns (filtered
+    # search would silently skip those rows forever)
+    extra = tuple(
+        c for c in df.columns if c not in ("neighbor_id", "cv", "cid")
     )
+    cell = df.select("neighbor_id", "cv", *extra)
     if cell.limit(n_sub).count() < n_sub:
         return cents
     sub = fit_coarse_quantizer(
-        cell, n_sub, seed=seed, kmeans_max_iter=kmeans_max_iter,
+        cell.select("neighbor_id", "cv"), n_sub, seed=seed,
+        kmeans_max_iter=kmeans_max_iter,
         kmeans_init=kmeans_init, fit_sample=fit_sample,
     )
     new_ids = [cid] + [len(cents) + j for j in range(n_sub - 1)]
     id_map = F.create_map(
         *[F.lit(x) for j in range(n_sub) for x in (j, new_ids[j])]
     )
-    reassigned = (
-        assign_to_centroids(cell, sub)
-        .withColumn("cid", id_map[F.col("cid")].cast("int"))
-        .localCheckpoint(eager=True)  # cut lineage before deleting the dir
+    reassigned = assign_to_centroids(cell, sub, extra).withColumn(
+        "cid", id_map[F.col("cid")].cast("int")
     )
-    jvm = spark._jvm
-    cell_dir = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + f"/cid={cid}")
-    fs = cell_dir.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(cell_dir, True)
-    reassigned.write.mode("append").partitionBy("cid").parquet(path)
     # sidecar: replace the split cell's centroid with sub-centroid 0,
     # append the rest at the tail ids (cid order preserved for readers)
     new_cents = np.vstack([cents, sub[1:]])
     new_cents[cid] = sub[0]
-    from ..connectors.sinks import _swap_into_place  # avoid a module cycle
-
     updated = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(new_cents)],
         "cid int, centroid array<double>",
-    ).coalesce(1)
-    _swap_into_place(spark, updated, path + "_centroids", "ivf_resplit")
+    )
+    # stage-then-rename (advice r09 #2): the staging write runs while the
+    # old cell dir is still live (so no lineage hazard and no checkpoint
+    # needed); everything after the committed stage is an atomic rename,
+    # and the centroid sidecar rides the SAME recoverable unit so a
+    # crash can never leave the tail cell invisible behind a stale
+    # sidecar
+    _stage_and_swap_partitions(
+        spark, path, [cid], reassigned, "ivf_resplit",
+        sidecars={"_centroids": updated},
+    )
+    _refresh_ivf_list_stats(spark, path, new_ids)
     return new_cents
+
+
+def read_ivf_list_stats(spark, path: str, filter_col: str):
+    """(cid, value, n) match counts of a ``<path>_stats_<filter_col>``
+    sidecar, or None when the index was built without stats for that
+    column. The selectivity metadata :func:`filtered_ivf_topk` sizes its
+    first probe set with (verdict r09 item 6)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+        path + f"_stats_{filter_col}"
+    )
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return None
+    return spark.read.parquet(path + f"_stats_{filter_col}")
+
+
+def _write_ivf_list_stats(assigned: DataFrame, path: str, cols: tuple) -> None:
+    """Per-(cid, value) match counts for each metadata column, written as
+    ``<path>_stats_<col>`` sidecars at BUILD time — one output-sized
+    aggregation over the already-assigned corpus per column (at 100 TB
+    this rides the build scan's output; the sidecar itself is
+    n_centroids × |values| rows, bounded metadata)."""
+    for col in cols:
+        (
+            assigned.groupBy("cid", F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.parquet(path + f"_stats_{col}")
+        )
+
+
+def _merge_ivf_list_stats(spark, batch_assigned: DataFrame, path: str) -> None:
+    """Fold an appended batch's (cid, value) counts into every existing
+    stats sidecar (sum-merge + swap) — appends keep the selectivity
+    metadata current (verdict r09 item 6's 'computed at build/append
+    time')."""
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(path + "_stats_*")
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(glob)
+    from ..connectors.sinks import _swap_into_place  # avoid a module cycle
+
+    prefix = path + "_stats_"
+    for st in statuses or []:
+        spath = str(st.getPath())
+        col = spath[spath.rindex("_stats_") + len("_stats_"):]
+        delta = batch_assigned.groupBy(
+            "cid", F.col(col).alias("value")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        merged = (
+            spark.read.parquet(prefix + col)
+            .unionByName(delta)
+            .groupBy("cid", "value")
+            .agg(F.sum("n").alias("n"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # cut lineage before the swap
+        )
+        _swap_into_place(spark, merged, prefix + col, "liststats")
+
+
+def _refresh_ivf_list_stats(spark, path: str, cids) -> None:
+    """Recount every stats sidecar's rows for the given cells from the
+    live layout (delete-and-resplit maintenance moves or removes rows,
+    which would stale the counts — and the probe-jump's output-identity
+    proof needs TRUE counts, since an overstated count could jump past
+    the prefix the fill-driven loop would stop at). O(affected cells)
+    per sidecar, same cost class as the maintenance op itself."""
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(path + "_stats_*")
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(glob)
+    if not statuses:
+        return
+    from ..connectors.sinks import _swap_into_place  # avoid a module cycle
+
+    cids = [int(c) for c in cids]
+    prefix = path + "_stats_"
+    for st in statuses:
+        spath = str(st.getPath())
+        col = spath[spath.rindex("_stats_") + len("_stats_"):]
+        recount = (
+            spark.read.parquet(path)
+            .filter(F.col("cid").isin(cids))
+            .groupBy("cid", F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        merged = (
+            spark.read.parquet(prefix + col)
+            .filter(~F.col("cid").isin(cids))
+            .unionByName(recount)
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        _swap_into_place(spark, merged, prefix + col, "liststats")
 
 
 def filtered_ivf_topk(
@@ -2272,6 +2763,7 @@ def filtered_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed_cut: int = 10_000,
 ) -> DataFrame:
     """FILTERED search over a PERSISTED IVF index (verdict r08 item 3):
     per-query top-k restricted to corpus vectors matching the query's
@@ -2287,21 +2779,87 @@ def filtered_ivf_topk(
     Round structure (≤ ⌈k₁/n_probe⌉ rounds, usually 1): each round scans
     only the NEXT ``n_probe`` unexhausted lists of still-unfilled
     queries — ``cid IN (…)`` is a file-level partition filter on the
-    cid layout — joins the broadcast (query, cid) probe pairs, masks on
+    cid layout — joins the (query, cid) probe pairs, masks on
     ``filter_col = query value`` (null-rejecting SQL equality, matching
     the relational oracle), scores exact cosine JVM-side, and merges the
     per-query top-k with the accumulator (pure scores: top-k of
     accumulated ∪ round candidates is exact over every list scanned so
-    far — the :func:`incremental_topk_update` theorem). Driver state per
-    round is Q fill-counts + the Q·k accumulator, bounded metadata.
+    far — the :func:`incremental_topk_update` theorem).
+
+    Two execution tiers, one semantics (verdict r09 item 3):
+
+    * ≤ ``distributed_cut`` queries — the SERVING shape: probe orders
+      and fill counts are bounded driver metadata (Q·n_probe pairs,
+      broadcast probe join).
+    * above the cut — the OFFLINE batch shape ("re-rank 10M queries
+      nightly"): probe orders come from the same elementwise-ℓ²
+      broadcast-centroid Arrow pass the corpus assignment uses, rounds
+      are driven by an aggregated fill-count RELATION, and no per-query
+      driver loop or collect runs — driver state is the ≤ n_centroids
+      probed-cid list per round. Identical arithmetic (same nearest-
+      first stable argsort, same chunk boundaries, same merge), so both
+      tiers produce the SAME output — pinned in tests.
+
+    When the index carries a ``<path>_stats_<filter_col>`` sidecar
+    (written at build, merged on append), the first probe set is
+    SELECTIVITY-SIZED (verdict r09 item 6): a query jumps straight to
+    the first ``n_probe``-multiple prefix whose cumulative (cid, value)
+    match count reaches k. Because fill(p) ≤ cum(p), the fill-driven
+    loop can never stop BEFORE that prefix, so the jump changes no
+    output — it only collapses the first ⌈p₁/n_probe⌉ round trips into
+    one (pinned: identical output + fewer rounds on a selective corpus).
 
     Fill-vs-recall semantics (the FAISS convention): expansion is for
     FILLING k, not for recall — a query stops expanding once k matches
     exist, so its results are exact over its probed prefix of lists. At
     probe-all (``n_probe = n_centroids``) one round scans everything and
     the output equals the filtered brute force — the hash-oracled
-    catalog configuration.
+    catalog configuration (driver-checked through the DISTRIBUTED tier:
+    the catalog entry forces ``distributed_cut=0``).
     """
+    # bounded peek: LIMIT cut+1 keeps the dispatch probe O(cut) even on
+    # a 10M-row query relation
+    over_cut = (
+        queries.limit(int(distributed_cut) + 1).count() > distributed_cut
+    )
+    args = (spark, path, queries, filter_col, k, n_probe, id_col, vec_col)
+    if over_cut:
+        return _filtered_ivf_topk_distributed(*args)
+    return _filtered_ivf_topk_driver(*args)
+
+
+def _probe_jump_starts(stats_rows, order, qmeta, k: int, n_probe: int, n_cents: int):
+    """Per-query first-round prefix from the stats sidecar: the first
+    n_probe-multiple p with cumulative match count ≥ k along the query's
+    nearest-first list order (n_cents when the value can't fill k —
+    straight to exhaustion, as the fill-driven loop would eventually).
+    Returns {} when no stats exist (fall back to one-chunk starts)."""
+    if stats_rows is None:
+        return {}
+    counts = {}  # (cid, value) -> n
+    for r in stats_rows:
+        if r["value"] is not None:
+            counts[(int(r["cid"]), r["value"])] = int(r["n"])
+    starts = {}
+    for qid, (_qv, qval) in qmeta.items():
+        cum = 0
+        start = n_cents
+        for pos, cid in enumerate(order[qid]):
+            cum += counts.get((cid, qval), 0)
+            if cum >= k:
+                # round up to the chunk boundary the fill-driven loop
+                # probes at — output-identity depends on it
+                start = min(-(-(pos + 1) // n_probe) * n_probe, n_cents)
+                break
+        starts[qid] = max(start, n_probe)
+    return starts
+
+
+def _filtered_ivf_topk_driver(
+    spark, path, queries, filter_col, k, n_probe, id_col, vec_col
+) -> DataFrame:
+    """The bounded-Q serving tier of :func:`filtered_ivf_topk` (see its
+    docstring for the semantics and the round structure)."""
     import numpy as np
 
     cents = read_ivf_centroids(spark, path)
@@ -2319,6 +2877,16 @@ def filtered_ivf_topk(
         d = ((cents - qv) ** 2).sum(axis=1)
         order[int(r[0])] = [int(x) for x in np.argsort(d, kind="stable")]
     qmeta = {int(r[0]): (list(map(float, r[1])), r[2]) for r in q_rows}
+    # selectivity-sized first probe set (verdict r09 item 6): bounded
+    # sidecar read — only the probe queries' values matter
+    stats = read_ivf_list_stats(spark, path, filter_col)
+    qvals = {v for _, v in qmeta.values()}
+    stats_rows = (
+        stats.filter(F.col("value").isin(list(qvals))).collect()
+        if stats is not None and qvals
+        else None
+    )
+    starts = _probe_jump_starts(stats_rows, order, qmeta, k, n_probe, n_cents)
     acc = spark.createDataFrame(
         [], "query_id long, neighbor_id long, cos_sim double"
     )
@@ -2327,17 +2895,23 @@ def filtered_ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    first_round = True
+    rounds = 0
     while True:
         probes = []
         for qid, upto in probed_upto.items():
             if filled[qid] >= k or upto >= n_cents:
                 continue
+            step = starts.get(qid, n_probe) if first_round else n_probe
             qv, qval = qmeta[qid]
-            for cid in order[qid][upto : upto + n_probe]:
+            for cid in order[qid][upto : upto + step]:
                 probes.append((qid, cid, qv, qval))
-            probed_upto[qid] = min(upto + n_probe, n_cents)
+            probed_upto[qid] = min(upto + step, n_cents)
+        first_round = False
         if not probes:
             break
+        rounds += 1
+        _filtered_ivf_topk_driver.last_rounds = rounds  # test observable
         probe_df = spark.createDataFrame(
             probes,
             f"query_id long, cid int, qv array<double>, "
@@ -2373,6 +2947,143 @@ def filtered_ivf_topk(
             acc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
         ):
             filled[int(row["query_id"])] = int(row["n"])
+    return acc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _filtered_ivf_topk_distributed(
+    spark, path, queries, filter_col, k, n_probe, id_col, vec_col
+) -> DataFrame:
+    """The large-Q offline tier of :func:`filtered_ivf_topk`: NO
+    per-query driver state. Probe orders are a (query_id, probe_rank,
+    cid) RELATION from one broadcast-centroid Arrow pass (elementwise ℓ²
+    + stable argsort — bit-identical to the driver tier's ordering);
+    per-round fill counts and probed-upto watermarks live in a
+    (query_id, filled, upto) relation updated by one aggregation per
+    round. The only driver-side values are the round's distinct probed
+    cids (≤ n_centroids — the partition-pruning literal) and the loop
+    counter (≤ ⌈k₁/n_probe⌉)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = read_ivf_centroids(spark, path)
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    if not len(cents):
+        return spark.createDataFrame([], empty_schema)
+    n_cents = len(cents)
+    n_probe = max(1, min(int(n_probe), n_cents))
+    qdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("qv"),
+            F.col(filter_col).alias("qval"),
+        )
+        .filter(F.col("qval").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    if qdf.isEmpty():
+        return spark.createDataFrame([], empty_schema)
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    def probe_order(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(list(pdf["qv"]), dtype=np.float64)
+            # elementwise (C - q)² sum, NOT the expanded dot-product form:
+            # the driver tier uses this formula and float rounding must
+            # agree for the stable-argsort tie order to be identical
+            d2 = ((C[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")
+            n = len(Q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype=np.int64), n_cents
+                    ),
+                    "probe_rank": np.tile(np.arange(n_cents), n),
+                    "cid": order.ravel(),
+                }
+            )
+
+    porder = qdf.select("query_id", "qv").mapInPandas(
+        probe_order, "query_id long, probe_rank int, cid int"
+    ).localCheckpoint(eager=True)
+    state = qdf.select(
+        "query_id", F.lit(0).alias("filled"), F.lit(0).alias("upto")
+    ).localCheckpoint(eager=True)
+    acc = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    for _round in range(-(-n_cents // n_probe)):
+        active = state.filter(
+            (F.col("filled") < k) & (F.col("upto") < n_cents)
+        )
+        probes = (
+            active.select("query_id", "upto")
+            .join(porder, "query_id")
+            .filter(
+                (F.col("probe_rank") >= F.col("upto"))
+                & (F.col("probe_rank") < F.col("upto") + n_probe)
+            )
+            .select("query_id", "cid")
+        )
+        # the round's partition-pruning literal — bounded by n_centroids,
+        # the ONLY thing collected per round
+        round_cids = sorted(
+            int(r["cid"]) for r in probes.select("cid").distinct().collect()
+        )
+        if not round_cids:
+            break
+        pairs = probes.join(qdf, "query_id")
+        scan = spark.read.parquet(path).filter(F.col("cid").isin(round_cids))
+        # cid has ≤ n_centroids distinct values, so this join is skewed
+        # by construction (every (corpus row, probing query) pair must
+        # be scored — the algorithm's work, not an accident); AQE's
+        # skew-join splitting spreads the per-cid partitions
+        scored = (
+            scan.join(pairs, "cid")
+            .filter(
+                (F.col("query_id") != F.col("neighbor_id"))
+                & (F.col(filter_col) == F.col("qval"))
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim")
+        )
+        acc = (
+            acc.unionByName(scored)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim")
+            .localCheckpoint(eager=True)
+        )
+        counts = acc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+        state = (
+            state.join(counts, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("filled"),
+                F.when(
+                    (F.col("filled") < k) & (F.col("upto") < n_cents),
+                    F.least(F.col("upto") + n_probe, F.lit(n_cents)),
+                )
+                .otherwise(F.col("upto"))
+                .cast("int")
+                .alias("upto"),
+            )
+            .localCheckpoint(eager=True)
+        )
     return acc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -2434,6 +3145,66 @@ def _ivfpq_encode_pass(
         f"neighbor_id long, cv array<double>{extra_schema}, "
         "codes array<int>, cid int",
     )
+
+
+def _lattice_quantization_error(X, Cc, As) -> float:
+    """Mean squared residual-quantization error of int64 lattice vectors
+    ``X`` against (coarse ``Cc``, residual codebook ``As``) — coarse
+    assignment and per-subspace code choice exactly as
+    :func:`_ivfpq_encode_pass` computes them (exact int64, ties → lowest
+    index), then the squared distance the CHOSEN code leaves behind.
+    This is the number ADC accuracy decays with: it is what
+    :func:`write_ivfpq_index` records at build time (``train_err`` in
+    the ``_meta`` sidecar) and what :func:`measure_ivfpq_drift` re-measures
+    on later data to decide whether the codebook needs retraining."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.int64)
+    if not len(X):
+        return 0.0
+    _, m, d = As.shape
+    c_full = (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ Cc.T)
+        + (Cc * Cc).sum(axis=1)[None, :]
+    )
+    cids = np.argmin(c_full, axis=1)
+    R = (X - Cc[cids]).reshape(len(X), m, d)
+    a_sq = (As**2).sum(-1)  # (C, m)
+    total = np.zeros(len(X), dtype=np.float64)
+    for s in range(m):
+        gs = R[:, s, :] @ As[:, s, :].T
+        dist = (
+            a_sq[:, s][None, :]
+            - 2 * gs
+            + (R[:, s, :] ** 2).sum(axis=1)[:, None]
+        )
+        total += dist.min(axis=1)
+    return float(total.mean())
+
+
+def _hash_first_lattice_sample(
+    df: DataFrame, scale: int, n: int, id_col: str, vec_col: str
+):
+    """Bounded hash-first sample of a vector relation, already quantized
+    to the int64 lattice — the shared sampling shape of every driver-side
+    fit/measure in this module (``orderBy(xxhash64(id), id).limit(n)`` =
+    TakeOrderedAndProject, no global sort)."""
+    import numpy as np
+
+    pdf = (
+        df.select(
+            F.col(id_col).alias("i"),
+            fixed_point_codes(as_double_vec(vec_col), scale).alias("q"),
+        )
+        .orderBy(F.xxhash64("i"), "i")
+        .limit(int(n))
+        .select("q")
+        .toPandas()
+    )
+    if not len(pdf):
+        return np.zeros((0, 0), dtype=np.int64)
+    return np.array(list(pdf["q"]), dtype=np.int64)
 
 
 def anchor_residual_codebook(
@@ -2498,10 +3269,14 @@ def write_ivfpq_index(
     parquet column pruning IS the compression win at read time, pinned
     in plan tests), while the exact re-rank reads ``cv`` for just the
     ≤ Q·k·rerank candidates. Sidecars: ``<path>_centroids`` (cid →
-    lattice centroid, array<long>) and ``<path>_codebook`` (code, s →
-    subvector, array<long>) — bounded metadata, so search sessions need
-    no retraining and :func:`append_to_ivfpq_index` encodes new batches
-    bit-identically to the build.
+    lattice centroid, array<long>), ``<path>_codebook`` (code, s →
+    subvector, array<long>) and ``<path>_meta`` (the lattice scale, the
+    (m, d) shape, and the codebook's training-time quantization error —
+    the drift baseline) — bounded metadata, so search sessions need no
+    retraining, :func:`append_to_ivfpq_index` encodes new batches
+    bit-identically to the build, and no maintenance or serving call can
+    silently mix lattices (the scale is read back and validated, never
+    trusted from a caller default).
 
     ``coarse``/``codebook`` follow :func:`ivfpq_residual_topk`'s modes
     (anchor = SQL-expressible hash-first derivations over THIS corpus;
@@ -2582,14 +3357,74 @@ def write_ivfpq_index(
         ],
         "code int, s int, sub array<long>",
     ).coalesce(1).write.parquet(path + "_codebook")
+    # the lattice-scale stamp, PERSISTED (advice r09 #1): the in-memory
+    # LatticeCodebook stamp was lost at this boundary, so an index built
+    # with a non-default scale and later maintained/served with the
+    # default silently mixed lattices. The _meta sidecar makes the stored
+    # layout self-describing; readers validate instead of trusting a
+    # caller default. train_err is the codebook's quantization error on
+    # a bounded hash-first sample at build time — the drift baseline
+    # measure_ivfpq_drift compares against.
+    train_err = _lattice_quantization_error(
+        _hash_first_lattice_sample(corpus, scale, fit_sample, id_col, vec_col),
+        Cc,
+        As,
+    )
+    spark.createDataFrame(
+        [(int(scale), int(m), int(d), float(train_err))],
+        "scale int, m int, d int, train_err double",
+    ).coalesce(1).write.parquet(path + "_meta")
     return Cc, As
 
 
+def _read_ivfpq_meta(spark, path: str) -> dict:
+    """The ``_meta`` sidecar of a :func:`write_ivfpq_index` layout as a
+    dict (scale, m, d, train_err). Raises ``ValueError`` with guidance on
+    a layout that predates the sidecar — a missing stamp must never
+    silently become a default scale (advice r09 #1)."""
+    try:
+        rows = (
+            spark.read.schema("scale int, m int, d int, train_err double")
+            .parquet(path + "_meta")
+            .collect()
+        )
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+        raise ValueError(
+            f"IVFADC index at {path!r} has no _meta sidecar (lattice "
+            "scale stamp) — rebuild it with write_ivfpq_index; appending "
+            "to or serving an unstamped layout risks silently mixing "
+            "lattices"
+        ) from e
+    if not rows:
+        raise ValueError(f"IVFADC _meta sidecar at {path!r}_meta is empty")
+    return rows[0].asDict()
+
+
+def _resolve_index_scale(stored: int, given, caller: str) -> int:
+    """The persisted-scale trust rule: ``given=None`` means 'use the
+    stored stamp'; an EXPLICIT value must agree with the stamp or the
+    call dies loudly — the persistence-boundary half of the
+    :class:`LatticeCodebook` contract."""
+    if given is None:
+        return int(stored)
+    if int(given) != int(stored):
+        raise ValueError(
+            f"{caller}: index was built on the scale={stored} integer "
+            f"lattice but this call passed scale={given} — omit scale "
+            "(the _meta sidecar is authoritative) or pass the build's "
+            "value (shared-scale contract)"
+        )
+    return int(stored)
+
+
 def read_ivfpq_sidecars(spark, path: str):
-    """(lattice centroid matrix, residual codebook) of a
-    :func:`write_ivfpq_index` layout — the bounded search metadata."""
+    """(lattice centroid matrix, scale-stamped residual codebook, lattice
+    scale) of a :func:`write_ivfpq_index` layout — the bounded search
+    metadata. The codebook comes back as a :class:`LatticeCodebook` so
+    downstream scale checks keep firing past the persistence boundary."""
     import numpy as np
 
+    meta = _read_ivfpq_meta(spark, path)
     cents = (
         spark.read.schema("cid int, centroid array<long>")
         .parquet(path + "_centroids")
@@ -2609,13 +3444,13 @@ def read_ivfpq_sidecars(spark, path: str):
     As = np.zeros((n_codes, m, d), dtype=np.int64)
     for r in rows:
         As[r["code"], r["s"]] = r["sub"]
-    return Cc, As
+    return Cc, LatticeCodebook(As, meta["scale"]), int(meta["scale"])
 
 
 def append_to_ivfpq_index(
     batch: DataFrame,
     path: str,
-    scale: int = 1000,
+    scale: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple = (),
@@ -2625,11 +3460,19 @@ def append_to_ivfpq_index(
     fused pass the build ran — codes are a pure function of (vector,
     sidecars), so an appended row's stored codes are bit-identical to
     what a one-shot build would have written) and append into the cid
-    partitions. The compressed-tier twin of :func:`append_to_ivf_index`."""
+    partitions. The compressed-tier twin of :func:`append_to_ivf_index`.
+    The lattice scale comes from the ``_meta`` sidecar (``scale=None``);
+    an explicit mismatching value raises instead of mis-encoding the
+    batch onto the wrong lattice (advice r09 #1)."""
     spark = batch.sparkSession
-    Cc, As = read_ivfpq_sidecars(spark, path)
+    Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
+    scale = _resolve_index_scale(stored_scale, scale, "append_to_ivfpq_index")
     if not len(Cc):
         raise ValueError(f"IVFADC index at {path!r} has no centroids")
+    _check_layout_extra_cols(
+        spark, path, tuple(extra_cols), ("neighbor_id", "cv", "codes", "cid"),
+        "append_to_ivfpq_index",
+    )
     m, d = As.shape[1], As.shape[2]
     c = batch.select(
         F.col(id_col).alias("neighbor_id"),
@@ -2650,7 +3493,7 @@ def ivfpq_index_topk(
     k: int = 5,
     rerank: int = 4,
     n_probe: int = 4,
-    scale: int = 1000,
+    scale: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2670,7 +3513,8 @@ def ivfpq_index_topk(
     import pandas as pd
 
     empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
-    Cc, As = read_ivfpq_sidecars(spark, path)
+    Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
+    scale = _resolve_index_scale(stored_scale, scale, "ivfpq_index_topk")
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_vec(vec_col).alias("qv"),
@@ -2756,7 +3600,7 @@ def filtered_ivfpq_topk(
     k: int = 5,
     rerank: int = 4,
     n_probe: int = 4,
-    scale: int = 1000,
+    scale: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2790,7 +3634,8 @@ def filtered_ivfpq_topk(
     import pandas as pd
 
     empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
-    Cc, As = read_ivfpq_sidecars(spark, path)
+    Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
+    scale = _resolve_index_scale(stored_scale, scale, "filtered_ivfpq_topk")
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_vec(vec_col).alias("qv"),
@@ -2921,11 +3766,12 @@ def resplit_ivfpq_cell(
     path: str,
     cid: int | None = None,
     n_sub: int = 2,
-    scale: int = 1000,
+    scale: int | None = None,
     seed: int = 7,
     kmeans_max_iter: int = 20,
     kmeans_init: str = "k-means||",
     fit_sample: int = 16384,
+    split_mode: str = "lloyd",
 ):
     """Hot-cell re-split for a persisted IVFADC layout — the compressed
     twin of :func:`resplit_ivf_cell`: fit ``n_sub`` sub-centroids on the
@@ -2944,13 +3790,24 @@ def resplit_ivfpq_cell(
     tests: no row lost, stored codes re-derivable from (vector, owning
     child centroid, codebook), cold partitions untouched.
 
-    ``scale`` must be the build's lattice scale (the sidecars store
-    centroids already on it; the cell's vectors re-quantize with it).
-    ``cid=None`` splits the largest list. Cells with fewer than
-    ``n_sub`` rows are left alone."""
+    The lattice scale comes from the ``_meta`` sidecar (``scale=None``);
+    an explicit mismatching value raises (advice r09 #1). ``cid=None``
+    splits the largest list. Cells with fewer than ``n_sub`` rows are
+    left alone.
+
+    ``split_mode`` picks the child-centroid derivation (verdict r09
+    item 4): ``'lloyd'`` (production — the bounded-sample driver fit) or
+    ``'anchor'`` — the children are the LATTICE codes of the cell's
+    ``n_sub`` hash-first rows (:func:`pq_anchor_codebook`'s derivation),
+    which keeps the ENTIRE post-split pipeline exact int64 and
+    SQL-expressible, so the composed build→append→re-split→search entry
+    hash-pins against a DuckDB oracle that re-derives the split — the
+    "drained == rebuild" bit-identity the other maintenance ops keep,
+    restored at the compressed tier."""
     import numpy as np
 
-    Cc, As = read_ivfpq_sidecars(spark, path)
+    Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
+    scale = _resolve_index_scale(stored_scale, scale, "resplit_ivfpq_cell")
     if not len(Cc):
         raise ValueError(f"IVFADC index at {path!r} has no centroids")
     m, d = As.shape[1], As.shape[2]
@@ -2972,12 +3829,22 @@ def resplit_ivfpq_cell(
     cell = df.select("neighbor_id", "cv", *extra)
     if cell.limit(n_sub).count() < n_sub:
         return Cc
-    sub_f = fit_coarse_quantizer(
-        cell.select("neighbor_id", "cv"), n_sub, seed=seed,
-        kmeans_max_iter=kmeans_max_iter, kmeans_init=kmeans_init,
-        fit_sample=fit_sample,
-    )
-    sub = np.floor(sub_f * scale + 0.5).astype(np.int64)
+    if split_mode == "anchor":
+        sub = np.array(
+            pq_anchor_codebook(cell, n_sub, "neighbor_id", "cv", scale),
+            dtype=np.int64,
+        )
+    elif split_mode == "lloyd":
+        sub_f = fit_coarse_quantizer(
+            cell.select("neighbor_id", "cv"), n_sub, seed=seed,
+            kmeans_max_iter=kmeans_max_iter, kmeans_init=kmeans_init,
+            fit_sample=fit_sample,
+        )
+        sub = np.floor(sub_f * scale + 0.5).astype(np.int64)
+    else:
+        raise ValueError(
+            f"unknown split_mode {split_mode!r}: expected 'lloyd' or 'anchor'"
+        )
     new_ids = [cid] + [len(Cc) + j for j in range(n_sub - 1)]
     id_map = F.create_map(
         *[F.lit(x) for j in range(n_sub) for x in (j, new_ids[j])]
@@ -2991,23 +3858,220 @@ def resplit_ivfpq_cell(
         fixed_point_codes(F.col("cv"), scale).alias("cd"),
         *[F.col(x) for x in extra],
     )
-    reencoded = (
-        _ivfpq_encode_pass(c, sub, As, m, d, extra)
-        .withColumn("cid", id_map[F.col("cid")].cast("int"))
-        .localCheckpoint(eager=True)  # cut lineage before the dir delete
+    reencoded = _ivfpq_encode_pass(c, sub, As, m, d, extra).withColumn(
+        "cid", id_map[F.col("cid")].cast("int")
     )
-    jvm = spark._jvm
-    cell_dir = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + f"/cid={cid}")
-    fs = cell_dir.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(cell_dir, True)
-    reencoded.write.mode("append").partitionBy("cid").parquet(path)
     new_cents = np.vstack([Cc, sub[1:]])
     new_cents[cid] = sub[0]
-    from ..connectors.sinks import _swap_into_place
-
     updated = spark.createDataFrame(
         [(int(i), [int(x) for x in row]) for i, row in enumerate(new_cents)],
         "cid int, centroid array<long>",
-    ).coalesce(1)
-    _swap_into_place(spark, updated, path + "_centroids", "ivfpq_resplit")
+    )
+    # stage-then-rename with the sidecar in the same recoverable unit
+    # (advice r09 #2) — see resplit_ivf_cell
+    _stage_and_swap_partitions(
+        spark, path, [cid], reencoded, "ivfpq_resplit",
+        sidecars={"_centroids": updated},
+    )
+    _refresh_ivf_list_stats(spark, path, new_ids)
     return new_cents
+
+
+# ---------------------------------------------------------------------------
+# Drift-triggered codebook maintenance (round 10, verdict r09 item 1):
+# measure residual-quantization drift against the build-time baseline and,
+# past threshold, retrain the residual codebook + ONE linear re-encode
+# pass — the repair for the top documented gap in SCALE.md ("a 100 TB
+# corpus under domain drift silently loses ADC ranking quality with no
+# repair trigger")
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_reencode_codes_pass(
+    c: DataFrame, Cc, As, m: int, d: int, extra_cols: tuple = ()
+) -> DataFrame:
+    """CODES-ONLY re-encode: residual against the row's STORED owning
+    centroid (``cid`` rides through unchanged — after a re-split, stored
+    assignments are deliberately NOT globally-nearest, so recomputing
+    them here would silently move rows between cells), codes re-chosen
+    against the new codebook. Input (neighbor_id, cv, cd, cid[, extras])
+    → same relation with fresh ``codes``. The retrain path's one linear
+    pass."""
+    import numpy as np
+    import pandas as pd
+
+    extra_cols = tuple(extra_cols)
+    bc = c.sparkSession.sparkContext.broadcast((Cc, As))
+    keep = ["neighbor_id", "cv", *extra_cols]
+
+    def encode(batches):
+        b_Cc, b_As = bc.value
+        a_sq = (b_As**2).sum(-1)  # (C, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["cd"]), dtype=np.int64)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            n = len(X)
+            R = (X - b_Cc[cids]).reshape(n, m, d)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                gs = R[:, s, :] @ b_As[:, s, :].T
+                codes[:, s] = np.argmin(a_sq[:, s][None, :] - 2 * gs, axis=1)
+            out = pdf[keep].copy()
+            out["codes"] = list(codes)
+            out["cid"] = cids.astype("int32")
+            yield out
+
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in c.schema.fields
+        if f.name in extra_cols
+    )
+    return c.mapInPandas(
+        encode,
+        f"neighbor_id long, cv array<double>{extra_schema}, "
+        "codes array<int>, cid int",
+    )
+
+
+def measure_ivfpq_drift(
+    spark,
+    path: str,
+    sample_of: DataFrame | None = None,
+    sample: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[float, float]:
+    """(current_err, train_err): the residual-quantization error of the
+    stored codebook on a bounded hash-first sample of ``sample_of``
+    (pass the recently-appended batch — the drift signal; default: the
+    whole layout), next to the build-time baseline from the ``_meta``
+    sidecar. Error is measured along the APPEND encode path (nearest
+    stored centroid, then best code) because that is the arithmetic new
+    data actually flows through. Bounded work: one
+    TakeOrderedAndProject sample + driver numpy."""
+    Cc, As, scale = read_ivfpq_sidecars(spark, path)
+    meta = _read_ivfpq_meta(spark, path)
+    if sample_of is None:
+        sample_of = spark.read.parquet(path)
+        id_col, vec_col = "neighbor_id", "cv"
+    X = _hash_first_lattice_sample(sample_of, scale, sample, id_col, vec_col)
+    return _lattice_quantization_error(X, Cc, As), float(meta["train_err"])
+
+
+def retrain_ivfpq_codebook(
+    spark,
+    path: str,
+    drift_threshold: float = 2.0,
+    mode: str = "trained",
+    sample_of: DataFrame | None = None,
+    fit_sample: int = 16384,
+    seed: int = 7,
+    kmeans_max_iter: int = 20,
+    force: bool = False,
+) -> bool:
+    """Drift-triggered IVFADC codebook maintenance (verdict r09 item 1):
+    :func:`append_to_ivfpq_index` reuses the stored codebook forever
+    (the FAISS ``add`` contract), so under domain drift the RESIDUAL
+    distribution walks away from what the codebook was trained on and
+    ADC ranking quality decays with no error raised. This operator is
+    the scheduled repair: measure the codebook's quantization error on a
+    bounded sample (:func:`measure_ivfpq_drift` — pass ``sample_of`` =
+    the recent appends for the sharpest signal) and, when it exceeds
+    ``drift_threshold × train_err``, retrain the residual codebook over
+    the CURRENT corpus and pay ONE linear re-encode pass.
+
+    Below threshold it is a guaranteed NO-OP: returns False having
+    written nothing (zero files touched — pinned in tests). Above it:
+
+    * ``mode='trained'`` (production): :func:`pq_train_residual_codebook`
+      — per-subspace Lloyd on residual samples of the current corpus;
+    * ``mode='anchor'`` (oracle-expressible): the hash-first
+      :func:`anchor_residual_codebook` derivation over the layout's own
+      rows — after an append, this equals the codebook a ONE-SHOT build
+      over the full corpus would derive, which is what lets the catalog
+      entry hash-pin drift-append-retrain-then-search against the full
+      residual-pipeline oracle.
+
+    The re-encode preserves every row's stored cell
+    (:func:`_ivfpq_reencode_codes_pass` — coarse geometry is untouched;
+    only code ids move), rewrites the layout through the crash-safe
+    staged swap, swaps the codebook sidecar, and re-baselines
+    ``train_err`` in ``_meta`` to the NEW codebook's error on the
+    retrain sample. Cost shape at 100 TB: the trigger is bounded
+    metadata + sample work on every call; the linear pass is paid only
+    when it fires — exactly the "rebuilds are per-partition, retrains
+    are scheduled" split the layout promises. Returns True when the
+    retrain ran."""
+    import numpy as np
+
+    Cc, As, scale = read_ivfpq_sidecars(spark, path)
+    if not len(Cc):
+        raise ValueError(f"IVFADC index at {path!r} has no centroids")
+    m, d = As.shape[1], As.shape[2]
+    err, train_err = measure_ivfpq_drift(spark, path, sample_of=sample_of)
+    if not force and err <= float(drift_threshold) * train_err:
+        return False
+    layout = spark.read.parquet(path)
+    corpus = layout.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    if mode == "anchor":
+        As_new = anchor_residual_codebook(
+            corpus, Cc, m=m, codebook_size=len(As), scale=scale
+        )
+    elif mode == "trained":
+        As_new = pq_train_residual_codebook(
+            corpus, Cc, m=m, codebook_size=len(As), scale=scale, seed=seed,
+            fit_sample=fit_sample, kmeans_max_iter=kmeans_max_iter,
+        )
+    else:
+        raise ValueError(
+            f"unknown mode {mode!r}: expected 'trained' or 'anchor'"
+        )
+    if As_new is None:
+        return False  # empty layout — nothing to retrain on
+    As_new = np.asarray(As_new, dtype=np.int64)
+    extra = tuple(
+        c for c in layout.columns
+        if c not in ("neighbor_id", "cv", "codes", "cid")
+    )
+    c = layout.select(
+        "neighbor_id",
+        "cv",
+        "cid",
+        fixed_point_codes(F.col("cv"), scale).alias("cd"),
+        *[F.col(x) for x in extra],
+    )
+    reencoded = _ivfpq_reencode_codes_pass(c, Cc, As_new, m, d, extra)
+    live_cids = sorted(
+        int(r["cid"]) for r in layout.select("cid").distinct().collect()
+    )
+    book_df = spark.createDataFrame(
+        [
+            (int(code), int(s), [int(x) for x in As_new[code, s]])
+            for code in range(len(As_new))
+            for s in range(m)
+        ],
+        "code int, s int, sub array<long>",
+    )
+    # re-baseline the drift trigger to the NEW codebook's error — on a
+    # PRE-swap sample (vectors are unchanged by a codes-only re-encode,
+    # so the sample is the same relation either way) so the codebook,
+    # the baseline, and the re-encoded cells all land in ONE recoverable
+    # swap unit
+    new_train_err = _lattice_quantization_error(
+        _hash_first_lattice_sample(layout, scale, fit_sample, "neighbor_id", "cv"),
+        Cc,
+        As_new,
+    )
+    meta_df = spark.createDataFrame(
+        [(int(scale), int(m), int(d), float(new_train_err))],
+        "scale int, m int, d int, train_err double",
+    )
+    _stage_and_swap_partitions(
+        spark, path, live_cids, reencoded, "ivfpq_retrain",
+        sidecars={"_codebook": book_df, "_meta": meta_df},
+    )
+    return True

@@ -26,11 +26,17 @@ from .queries import register, spread, t
 # Residual-encoded IVF-PQ (IVFADC) — verdict r08 item 1
 # ---------------------------------------------------------------------------
 
-def _ivfpq_residual_oracle_sql(filtered: bool = False) -> str:
+def _ivfpq_residual_oracle_sql(
+    filtered: bool = False, survivor_pred: str | None = None
+) -> str:
     """The full-residual-pipeline oracle, optionally restricted to
     same-label (query, neighbor) pairs BEFORE the candidate cut — the
     filtered_ivfpq_search configuration (the mask applies inside the
-    scan, so it must bind before crank, not after)."""
+    scan, so it must bind before crank, not after) — and/or to SURVIVOR
+    corpus rows (``survivor_pred``, a SQL predicate over ``c.vec_id``) —
+    the tombstone-delete configuration: sidecars and codes derive from
+    the FULL corpus (they were built before the delete and deletion
+    never touches them), only the candidate pool shrinks."""
     label_join = (
         """
       JOIN v nv ON nv.vec_id = c.vec_id
@@ -38,6 +44,7 @@ def _ivfpq_residual_oracle_sql(filtered: bool = False) -> str:
         if filtered
         else ""
     )
+    survivor = f" AND ({survivor_pred})" if survivor_pred else ""
     return f"""
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
@@ -120,7 +127,7 @@ def _ivfpq_residual_oracle_sql(filtered: bool = False) -> str:
       FROM codes c
       JOIN assign a ON a.vec_id = c.vec_id
       JOIN lut l ON l.cid = a.cid AND l.s = c.s AND l.code = c.code{label_join}
-      WHERE c.vec_id <> l.query_id
+      WHERE c.vec_id <> l.query_id{survivor}
       GROUP BY 1, 2
     ),
     cands AS (
@@ -234,13 +241,22 @@ def ivf_append_topk(spark, sf_dir):
     scratch = tempfile.mkdtemp(prefix="ivf_append_")
     try:
         path = scratch + "/index"
+        build_df = emb.filter(F.col("vec_id") % 5 != 4)
+        append_df = emb.filter(F.col("vec_id") % 5 == 4)
+        if build_df.limit(1).count() == 0:
+            # train slice empty ≠ corpus empty (advice r09 #3): falling
+            # through would write a centroid-less index and silently
+            # DROP the append slice while the oracle still sees it —
+            # build from the full corpus instead (nothing to append)
+            build_df, append_df = emb, None
         cents = S.write_ivf_index(
-            emb.filter(F.col("vec_id") % 5 != 4), path,
+            build_df, path,
             n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
         )
         if len(cents):  # an EMPTY corpus has no centroids to append
             # against (append raises by contract); search returns empty
-            S.append_to_ivf_index(emb.filter(F.col("vec_id") % 5 == 4), path)
+            if append_df is not None:
+                S.append_to_ivf_index(append_df, path)
             cents = S.resplit_ivf_cell(
                 spark, path, n_sub=2, kmeans_max_iter=1, kmeans_init="random"
             )
@@ -273,23 +289,31 @@ def _filtered_topk_oracle() -> str:
     # equals the filtered brute force and shares filtered_label_topk's
     # oracle verbatim — the same-SQL no-drift guarantee the prefix miners
     # use; the expansion path (selective filter at n_probe < k1 still
-    # fills k) is pinned by the under-fill regression test
+    # fills k) is pinned by the under-fill regression test. Round 10:
+    # distributed_cut=0 forces the DISTRIBUTED probe tier (verdict r09
+    # item 3 — probe orders as a relation, fill counts as an
+    # aggregation, no per-query driver loop), so the hash-green row
+    # certifies the offline 10M-query shape, while the bounded-driver
+    # serving tier is pinned equal in tests/test_filtered_probe.py
     _filtered_topk_oracle(),
-    survey="§7 Phase 5 extension (verdict r08 item 3): FILTERED ANN over "
-    "the persisted cid-partitioned index — metadata mask INSIDE the "
-    "probed scan (null-rejecting equality, corpus never shuffled by the "
-    "filter column) with per-query probe EXPANSION: unfilled queries "
-    "keep probing nearest-first lists until k matches or exhaustion, so "
-    "selective filters don't under-fill the way post-filtering an "
-    "unfiltered top-k does; probe-all = exact, shared oracle with "
-    "filtered_label_topk",
+    survey="§7 Phase 5 extension (verdict r08 item 3 + r09 item 3): "
+    "FILTERED ANN over the persisted cid-partitioned index — metadata "
+    "mask INSIDE the probed scan (null-rejecting equality, corpus never "
+    "shuffled by the filter column) with per-query probe EXPANSION and "
+    "TWO execution tiers: bounded-driver serving and a distributed "
+    "offline tier (probe-order relation from one broadcast-centroid "
+    "Arrow pass, relation-driven rounds, O(n_centroids) driver state) "
+    "that engages above a query-count cut; probe-all = exact, shared "
+    "oracle with filtered_label_topk, driver-checked through the "
+    "distributed tier",
     tags=("ext", "similarity"),
 )
 def filtered_ivf_topk(spark, sf_dir):
     """Build the index with the label column persisted next to each
     vector (extra_cols), search probe-all with the same-label constraint
-    — hash-equal to the brute-force filtered oracle; scratch-lifecycle
-    discipline as the other persisted-index entries."""
+    — hash-equal to the brute-force filtered oracle — THROUGH the
+    distributed tier (distributed_cut=0); scratch-lifecycle discipline
+    as the other persisted-index entries."""
     import shutil
     import tempfile
 
@@ -305,7 +329,7 @@ def filtered_ivf_topk(spark, sf_dir):
         )
         out = S.filtered_ivf_topk(
             spark, path, emb.filter(F.col("vec_id") < 20),
-            filter_col="label", k=5, n_probe=16,
+            filter_col="label", k=5, n_probe=16, distributed_cut=0,
         )
         rows = out.collect()
         schema = out.schema

@@ -772,3 +772,83 @@ def stream_ivfpq_maintenance(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def _stream_delete_oracle() -> str:
+    from .queries_ext8 import _DELETE_TOPK_ORACLE
+
+    return _DELETE_TOPK_ORACLE
+
+
+@register(
+    "stream_ivf_delete_maintenance",
+    # the drained index holds (build slice + streamed inserts − streamed
+    # tombstones); probe-all search is exact over those survivors, so
+    # the oracle is brute-force cosine restricted to the surviving ids —
+    # shared verbatim with the batch delete entry
+    _stream_delete_oracle(),
+    survey="§2.8 extension (verdict r09 item 2): CDC-SHAPED streaming "
+    "index maintenance — one foreachBatch drain carrying BOTH inserts "
+    "and tombstones (op_col): inserts append against the stored "
+    "centroids, 'D' rows anti-join-delete their cells through the "
+    "crash-safe staged swap, same-batch delete wins over insert "
+    "(last-write-wins, the CDC sink convention); probe-all = exact over "
+    "survivors, hash-oracled",
+    tags=("streaming", "similarity"),
+)
+def stream_ivf_delete_maintenance(spark, sf_dir):
+    """Build the index from the vec_id % 3 == 0 slice, stream the rest
+    as inserts PLUS tombstones for every vec_id % 7 == 3 row (some of
+    which are inserted in the same drain — the same-batch
+    insert+delete → absent path), then search the drained index
+    probe-all."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ivf_index_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.schema(_EMB_SCHEMA).parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    scratch = tempfile.mkdtemp(prefix="stream_ivf_del_")
+    try:
+        path = scratch + "/index"
+        build_df = emb.filter(F.col("vec_id") % 3 == 0)
+        if build_df.limit(1).count() == 0:
+            build_df = emb  # advice r09 #3 discipline: never train on a
+            # silently-empty slice while the corpus has rows
+        cents = write_ivf_index(
+            build_df, path,
+            n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        )
+        if not len(cents):  # empty corpus: nothing to maintain
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
+        inserts = emb.filter(F.col("vec_id") % 3 != 0).withColumn(
+            "op", F.lit("I")
+        )
+        tombs = emb.filter(F.col("vec_id") % 7 == 3).withColumn(
+            "op", F.lit("D")
+        )
+        changes = scratch + "/changes"
+        inserts.unionByName(tombs).write.parquet(changes)
+        # fresh StructType — StructType.add mutates the receiver, which
+        # would grow an op column onto the SHARED _EMB_SCHEMA
+        op_schema = T.StructType(
+            list(_EMB_SCHEMA.fields) + [T.StructField("op", T.StringType())]
+        )
+        st = spark.readStream.schema(op_schema).parquet(changes)
+        runner.run_ivf_maintenance_sink(
+            st, path, op_col="op", checkpoint=scratch + "/ckpt"
+        )
+        n_lists = len(read_ivf_centroids(spark, path))
+        out = ivf_index_topk(spark, path, queries, k=5, n_probe=n_lists)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,395 @@
+"""Round-10 ANN index lifecycle: the persisted-scale stamp, the
+crash-safe staged partition swap, tombstone deletes, and drift-triggered
+codebook retraining.
+
+Contracts pinned here:
+* the lattice scale survives the persistence boundary — maintenance and
+  serving read it from the ``_meta`` sidecar and an explicit mismatch
+  dies loudly instead of silently mixing lattices (advice r09 #1);
+* every per-partition rewrite goes stage-then-rename: a crash at any
+  point leaves either the old or the new cells readable, and
+  recover_interrupted_partition_swap completes or rolls back the window
+  (advice r09 #2);
+* delete-then-search equals rebuild-from-surviving-rows at probe-all,
+  only affected cid directories are rewritten, and an unmatched
+  tombstone set touches zero files (verdict r09 item 2);
+* drift-append-retrain-then-search equals a ONE-SHOT build at probe-all
+  (anchor mode — codes are a pure function of (vector, sidecars)), and
+  below the drift threshold the retrain is a guaranteed no-op with zero
+  files rewritten (verdict r09 item 1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_etl_pipeline_spark.operators import similarity as S
+from postgres_etl_pipeline_spark.queries import spread, t
+
+
+def _emb(spark, sf_small):
+    return spread(t(spark, sf_small, "embeddings"))
+
+
+def _q(emb):
+    return emb.filter(F.col("vec_id") < 20)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _mtimes(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            out[fp] = os.path.getmtime(fp)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted lattice scale (advice r09 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_scale_stamp_survives_persistence(spark, sf_small, tmp_path):
+    """An index built on a NON-default lattice must be served and
+    maintained on that lattice with no caller cooperation — and an
+    explicit wrong scale must raise, not mis-encode."""
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "s500")
+    S.write_ivfpq_index(emb.filter(F.col("vec_id") % 5 != 4), path,
+                        n_centroids=8, scale=500)
+    Cc, As, scale = S.read_ivfpq_sidecars(spark, path)
+    assert scale == 500
+    assert getattr(As, "scale", None) == 500  # stamped codebook
+    # maintenance with NO scale argument re-encodes on the stored lattice
+    S.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 4), path)
+    # ... bit-identically to a one-shot scale-500 build
+    full = str(tmp_path / "full500")
+    S.write_ivfpq_index(emb, full, coarse_cents=Cc,
+                        codebook=S.LatticeCodebook(As, 500), scale=500)
+    q = _q(emb)
+    assert _rows(S.ivfpq_index_topk(spark, path, q, k=5, n_probe=8)) == _rows(
+        S.ivfpq_index_topk(spark, full, q, k=5, n_probe=8)
+    )
+    # explicit mismatch: every maintenance/serving surface dies loudly
+    for fn in (
+        lambda: S.append_to_ivfpq_index(emb.limit(1), path, scale=1000),
+        lambda: S.ivfpq_index_topk(spark, path, q, scale=1000),
+        lambda: S.filtered_ivfpq_topk(spark, path, q, scale=1000),
+        lambda: S.resplit_ivfpq_cell(spark, path, scale=1000),
+    ):
+        with pytest.raises(ValueError, match="shared-scale"):
+            fn()
+
+
+def test_unstamped_layout_is_rejected(spark, sf_small, tmp_path):
+    """A layout missing the _meta sidecar must never silently become a
+    default-scale index."""
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_index(emb, path, n_centroids=8)
+    import shutil
+
+    shutil.rmtree(path + "_meta")
+    with pytest.raises(ValueError, match="_meta sidecar"):
+        S.read_ivfpq_sidecars(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe staged partition swap (advice r09 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_resplit_crash_window_leaves_old_cell_readable(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """Kill the swap right after the staging write commits (before any
+    rename): the LIVE layout must be untouched, and recovery must roll
+    the orphan stage back."""
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivf_index(emb, path, n_centroids=8, kmeans_max_iter=1,
+                      kmeans_init="random")
+    before = _rows(spark.read.parquet(path).select("neighbor_id", "cid"))
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the first rename")
+
+    monkeypatch.setattr(S, "_finish_partition_swap", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.resplit_ivf_cell(spark, path, n_sub=2, kmeans_max_iter=1,
+                           kmeans_init="random")
+    monkeypatch.undo()
+    # live layout unchanged; one orphan stage dir exists
+    assert _rows(spark.read.parquet(path).select("neighbor_id", "cid")) == before
+    parent = os.path.dirname(path)
+    orphans = [e for e in os.listdir(parent) if e.startswith("idx.__")]
+    assert len(orphans) == 1
+    # the manifest was written, so recovery COMPLETES the swap (the
+    # finish steps are idempotent renames, sidecar included) — after it
+    # the layout holds every row, the centroid sidecar matches the new
+    # geometry (the tail cell is NOT invisible), and probe-all search is
+    # still exact
+    assert S.recover_interrupted_partition_swap(spark, path) is True
+    assert not [e for e in os.listdir(parent) if e.startswith("idx.__")]
+    assert spark.read.parquet(path).count() == emb.count()
+    cents = S.read_ivf_centroids(spark, path)
+    assert len(cents) == 9  # 8 + the split's tail cell
+    q = _q(emb)
+    got = _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=9))
+    assert got == _rows(S.brute_force_topk(emb, q, k=5))
+
+
+def test_recovery_rolls_back_uncommitted_and_manifestless_stages(
+    spark, sf_small, tmp_path
+):
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivf_index(emb, path, n_centroids=4, kmeans_max_iter=1,
+                      kmeans_init="random")
+    before = _rows(spark.read.parquet(path).select("neighbor_id", "cid"))
+    # uncommitted stage: data but no _SUCCESS
+    os.makedirs(path + ".__t_aaaa/cid=0")
+    with open(path + ".__t_aaaa/cid=0/junk", "w") as f:
+        f.write("partial")
+    # committed stage whose swap never started: _SUCCESS, no manifest
+    os.makedirs(path + ".__t_bbbb")
+    open(path + ".__t_bbbb/_SUCCESS", "w").close()
+    assert S.recover_interrupted_partition_swap(spark, path) is True
+    parent = os.path.dirname(path)
+    assert not [e for e in os.listdir(parent) if e.startswith("idx.__")]
+    assert _rows(spark.read.parquet(path).select("neighbor_id", "cid")) == before
+    # nothing left to repair
+    assert S.recover_interrupted_partition_swap(spark, path) is False
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (verdict r09 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _file_sets(path):
+    out = {}
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            out[entry] = frozenset(os.listdir(full))
+    return out
+
+
+def test_delete_rewrites_only_affected_cells(spark, sf_small, tmp_path):
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivf_index(emb, path, n_centroids=8, kmeans_max_iter=1,
+                      kmeans_init="random")
+    # tombstone exactly one stored row → exactly its cell rewrites
+    victim = spark.read.parquet(path).select("neighbor_id", "cid").limit(1).collect()[0]
+    dirs_before = _file_sets(path)
+    affected = S.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == victim["neighbor_id"])
+    )
+    assert affected == [int(victim["cid"])]
+    dirs_after = _file_sets(path)
+    for dname, files in dirs_before.items():
+        if dname != f"cid={victim['cid']}":
+            assert dirs_after[dname] == files, dname
+    assert spark.read.parquet(path).count() == emb.count() - 1
+
+
+def test_delete_then_search_equals_rebuild_from_survivors(
+    spark, sf_small, tmp_path
+):
+    emb = _emb(spark, sf_small)
+    q = _q(emb)
+    path = str(tmp_path / "idx")
+    S.write_ivf_index(emb, path, n_centroids=8, kmeans_max_iter=1,
+                      kmeans_init="random")
+    tombs = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    S.delete_from_ivf_index(spark, path, tombs)
+    got = _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=8))
+    exact = _rows(S.brute_force_topk(emb.filter(F.col("vec_id") % 7 != 3), q, k=5))
+    assert got == exact
+    # idempotent: re-deleting the same ids touches zero files
+    m = _mtimes(path)
+    assert S.delete_from_ivf_index(spark, path, tombs) == []
+    assert _mtimes(path) == m
+
+
+def test_delete_can_empty_a_cell(spark, sf_small, tmp_path):
+    """A fully-deleted inverted list becomes EMPTY (centroid stays in
+    the sidecar, probing it scans nothing) — search still works."""
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivf_index(emb, path, n_centroids=4, kmeans_max_iter=1,
+                      kmeans_init="random")
+    # materialize the doomed ids FIRST — a lazy plan over the index would
+    # chase renamed-away files after the swap
+    ids0 = sorted(
+        r["neighbor_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cid") == 0)
+        .select("neighbor_id")
+        .collect()
+    )
+    assert ids0
+    S.delete_from_ivf_index(
+        spark, path,
+        spark.createDataFrame([(int(i),) for i in ids0], "vec_id long"),
+    )
+    assert spark.read.parquet(path).filter(F.col("cid") == 0).count() == 0
+    q = _q(emb)
+    got = _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=4))
+    survivors = emb.filter(~F.col("vec_id").isin([int(i) for i in ids0]))
+    assert got == _rows(S.brute_force_topk(survivors, q, k=5))
+
+
+def test_ivfpq_delete_twin(spark, sf_small, tmp_path):
+    """Compressed tier: deletion never touches codes or sidecars, so
+    delete-then-search equals a rebuild from survivors with the SAME
+    sidecars held fixed."""
+    emb = _emb(spark, sf_small)
+    q = _q(emb)
+    path = str(tmp_path / "idx")
+    Cc, As = S.write_ivfpq_index(emb, path, n_centroids=8, coarse="anchor")
+    tombs = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    S.delete_from_ivfpq_index(spark, path, tombs)
+    rebuilt = str(tmp_path / "rebuilt")
+    S.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 7 != 3), rebuilt,
+        coarse_cents=Cc, codebook=S.LatticeCodebook(As, 1000),
+    )
+    assert _rows(S.ivfpq_index_topk(spark, path, q, k=5, n_probe=8)) == _rows(
+        S.ivfpq_index_topk(spark, rebuilt, q, k=5, n_probe=8)
+    )
+    # the twin refuses a raw (unstamped) layout
+    raw = str(tmp_path / "raw")
+    S.write_ivf_index(emb, raw, n_centroids=4, kmeans_max_iter=1,
+                      kmeans_init="random")
+    with pytest.raises(ValueError, match="_meta sidecar"):
+        S.delete_from_ivfpq_index(spark, raw, tombs)
+
+
+# ---------------------------------------------------------------------------
+# Drift-triggered codebook retraining (verdict r09 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_retrain_equals_one_shot_build(spark, sf_small, tmp_path):
+    """Build with a deliberately STALE codebook (trained on the build
+    slice only), append the rest, retrain in anchor mode: the layout's
+    probe-all search must hash-equal a one-shot build over the full
+    corpus — codes are a pure function of (vector, sidecars)."""
+    emb = _emb(spark, sf_small)
+    q = _q(emb)
+    Cc = S.lattice_anchor_centroids(emb, 8)
+    full = str(tmp_path / "full")
+    S.write_ivfpq_index(emb, full, coarse_cents=Cc,
+                        codebook=S.anchor_residual_codebook(emb, Cc))
+    split = str(tmp_path / "split")
+    sliceA = emb.filter(F.col("vec_id") % 5 != 4)
+    S.write_ivfpq_index(sliceA, split, coarse_cents=Cc,
+                        codebook=S.anchor_residual_codebook(sliceA, Cc))
+    S.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 4), split)
+    assert S.retrain_ivfpq_codebook(
+        spark, split, drift_threshold=0.0, mode="anchor"
+    ) is True
+    assert _rows(S.ivfpq_index_topk(spark, split, q, k=5, n_probe=8)) == _rows(
+        S.ivfpq_index_topk(spark, full, q, k=5, n_probe=8)
+    )
+
+
+def test_retrain_below_threshold_is_a_guaranteed_noop(
+    spark, sf_small, tmp_path
+):
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_index(emb, path, n_centroids=8)
+    before = _mtimes(path)
+    before_side = {
+        p: _mtimes(path + p) for p in ("_centroids", "_codebook", "_meta")
+    }
+    assert S.retrain_ivfpq_codebook(spark, path, drift_threshold=1e9) is False
+    assert _mtimes(path) == before
+    assert {
+        p: _mtimes(path + p) for p in ("_centroids", "_codebook", "_meta")
+    } == before_side
+
+
+def test_retrain_rebaselines_the_drift_trigger(spark, sf_small, tmp_path):
+    """After a retrain, _meta's train_err is the NEW codebook's error —
+    an immediate second call below the same threshold must no-op."""
+    emb = _emb(spark, sf_small)
+    Cc = S.lattice_anchor_centroids(emb, 8)
+    path = str(tmp_path / "idx")
+    sliceA = emb.filter(F.col("vec_id") % 5 != 4)
+    S.write_ivfpq_index(sliceA, path, coarse_cents=Cc,
+                        codebook=S.anchor_residual_codebook(sliceA, Cc))
+    S.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 4), path)
+    assert S.retrain_ivfpq_codebook(
+        spark, path, drift_threshold=0.0, mode="anchor"
+    ) is True
+    err, train_err = S.measure_ivfpq_drift(spark, path)
+    assert err <= 1.05 * train_err  # re-baselined: current ≈ training error
+    m = _mtimes(path)
+    assert S.retrain_ivfpq_codebook(spark, path, drift_threshold=1.1) is False
+    assert _mtimes(path) == m
+
+
+def test_streaming_sink_validates_arguments(spark, sf_small, tmp_path):
+    from postgres_etl_pipeline_spark.streaming import runner
+
+    emb = _emb(spark, sf_small)
+    src = str(tmp_path / "src")
+    emb.limit(4).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="state_dir is required"):
+        runner.run_ivf_maintenance_sink(
+            stream, str(tmp_path / "idx"), queries=emb.limit(2)
+        )
+    with pytest.raises(ValueError, match="append-only"):
+        runner.run_ivf_maintenance_sink(
+            stream, str(tmp_path / "idx"), queries=emb.limit(2),
+            state_dir=str(tmp_path / "state"), op_col="op",
+        )
+
+
+def test_streaming_drain_with_tombstones(spark, sf_small, tmp_path):
+    """CDC-shaped maintenance drain: insert batches and tombstone
+    batches through ONE foreachBatch sink — the drained index's
+    probe-all search equals brute force over (initial + inserted −
+    deleted)."""
+    from postgres_etl_pipeline_spark.streaming import runner
+
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    S.write_ivf_index(base, path, n_centroids=4, kmeans_max_iter=1,
+                      kmeans_init="random")
+    # the stream: the % 3 != 0 rows as inserts, plus tombstones for the
+    # % 7 == 3 ids (some of which are also inserted in the SAME drain)
+    inserts = emb.filter(F.col("vec_id") % 3 != 0).withColumn("op", F.lit("I"))
+    tombs = emb.filter(F.col("vec_id") % 7 == 3).withColumn("op", F.lit("D"))
+    src = str(tmp_path / "src")
+    inserts.unionByName(tombs).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int, op string"
+        )
+        .parquet(src)
+    )
+    runner.run_ivf_maintenance_sink(
+        stream, path, op_col="op",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q = _q(emb)
+    survivors = emb.filter(F.col("vec_id") % 7 != 3)
+    got = _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=4))
+    assert got == _rows(S.brute_force_topk(survivors, q, k=5))

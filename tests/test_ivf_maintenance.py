@@ -369,7 +369,7 @@ def test_ivfpq_index_validations(spark, sf_small, tmp_path):
             codebook=S.LatticeCodebook(As, 500), scale=1000,
         )
     # sidecar round-trip is exact
-    Cc2, As2 = S.read_ivfpq_sidecars(spark, path)
+    Cc2, As2, scale2 = S.read_ivfpq_sidecars(spark, path)
     assert (Cc2 == Cc).all() and (As2 == np.asarray(As)).all()
 
 
@@ -495,7 +495,7 @@ def test_ivfpq_resplit_invariants(spark, sf_small, tmp_path):
     assert "cid=8" in dirs_after
     assert spark.read.parquet(path).count() == emb.count()
     # stored codes of the re-split cell re-derive exactly
-    Cc, As = S.read_ivfpq_sidecars(spark, path)
+    Cc, As, _scale = S.read_ivfpq_sidecars(spark, path)
     rows = (
         spark.read.parquet(path)
         .filter(F.col("cid").isin([int(hot), 8]))

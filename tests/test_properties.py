@@ -721,3 +721,76 @@ def test_two_level_allocation_invariants(counts, k_frac):
     assert all(1 <= k2[b] <= counts[b] for b in counts)
     assert sum(k2.values()) == k, (counts, k, k2)
     assert _largest_remainder_allocation(dict(counts), k) == k2
+
+
+# ---------------------------------------------------------------------------
+# ANN maintenance algebra (verdict r09 item 7): append / re-split /
+# delete compose in ANY order without moving the probe-all answer
+# ---------------------------------------------------------------------------
+
+_MAINT_OPS = ("a1", "a2", "a3", "r", "r", "d")
+_maint_ref = {}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(order=st.permutations(_MAINT_OPS))
+def test_ivf_maintenance_ops_commute(spark, sf_small, order):
+    """Production maintenance runs appends, hot-cell re-splits, and
+    tombstone deletes in whatever order load dictates; the algebra's
+    commutativity was argued, not pinned (verdict r09 item 7). Pinned
+    here: EVERY interleaving of 3 appends, 2 re-splits, and 1 delete
+    yields the identical probe-all search result — brute force over
+    (base ∪ appends) − tombstones. Exactness at probe-all is
+    layout-independent, so any deviation means an op lost, duplicated,
+    or corrupted rows."""
+    import shutil
+    import tempfile
+
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    slices = {
+        "a1": emb.filter(F.col("vec_id") % 5 == 4),
+        "a2": emb.filter(F.col("vec_id") % 5 == 3),
+        "a3": emb.filter(F.col("vec_id") % 5 == 2),
+    }
+    base = emb.filter(F.col("vec_id") % 5 <= 1)
+    # tombstones ⊆ base, appends pairwise disjoint from base and each
+    # other → the FINAL row set is order-independent by construction
+    tombs = base.filter(F.col("vec_id") % 11 == 0)
+    q = emb.filter(F.col("vec_id") < 10)
+    if "ref" not in _maint_ref:
+        survivors = emb.filter(
+            ~((F.col("vec_id") % 5 <= 1) & (F.col("vec_id") % 11 == 0))
+        )
+        _maint_ref["ref"] = sorted(
+            map(tuple, S.brute_force_topk(survivors, q, k=5).collect())
+        )
+    scratch = tempfile.mkdtemp(prefix="maint_commute_")
+    try:
+        path = scratch + "/index"
+        S.write_ivf_index(
+            base, path, n_centroids=4, kmeans_max_iter=1, kmeans_init="random"
+        )
+        for op in order:
+            if op in slices:
+                S.append_to_ivf_index(slices[op], path)
+            elif op == "r":
+                S.resplit_ivf_cell(
+                    spark, path, n_sub=2, kmeans_max_iter=1,
+                    kmeans_init="random",
+                )
+            else:
+                S.delete_from_ivf_index(spark, path, tombs)
+        n_lists = len(S.read_ivf_centroids(spark, path))
+        got = sorted(
+            map(
+                tuple,
+                S.ivf_index_topk(spark, path, q, k=5, n_probe=n_lists).collect(),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    assert got == _maint_ref["ref"], order
