@@ -19,27 +19,55 @@ from .queries_ext import _NORM, _TOKS
 # ---------------------------------------------------------------------------
 
 
+# The keep-list's VALUES are engine-specific (driver-side sample-trained
+# Lloyd has no SQL expression), but its STRUCTURAL invariants are
+# centroid-independent truths — so the entry emits the invariant-audit
+# relation and the oracle is the constant SQL stating those truths
+# (verdict r09 item 8: DuckDB checks the relation's structural
+# properties rather than hashing values). A hash-green row therefore
+# certifies that Spark-side verification of all five properties
+# PASSED over real semdedup output; the NumPy twin in test_semdedup.py
+# remains the value-level evidence, and the fixed-label
+# `semdedup_keep_list` entry hash-oracles the prune rule cross-engine.
+_SEMDEDUP_INVARIANT_ORACLE = """
+    SELECT i.invariant, TRUE AS holds,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus
+    FROM (
+      SELECT unnest([
+        'assignment_partitions_corpus',
+        'deterministic_under_repartition',
+        'dropped_rows_have_lower_id_witness',
+        'every_cluster_keeps_min_id',
+        'no_kept_pair_reaches_threshold'
+      ]) AS invariant
+    ) i
+    """
+
+
 @register(
     "semdedup_scaled_keep_list",
-    # rows-only BY NATURE: the coarse quantizer is driver-side Lloyd
-    # k-means on a deterministic sample — not SQL-expressible, so no
-    # DuckDB oracle exists. Correctness is pinned locally instead: a
-    # NumPy twin re-derives assignment + prune from the shared centroid
-    # matrix (tests/test_semdedup.py::test_scaled_matches_numpy_brute_force)
-    # and the fixed-label `semdedup_keep_list` entry hash-oracles the
-    # identical prune rule cross-engine.
-    None,
+    _SEMDEDUP_INVARIANT_ORACLE,
     survey="§7 north-star: SemDeDup at the paper's scaling point — "
     "k ∝ N sample-trained k-means keeps expected cluster size constant, "
     "so within-cluster pairwise work is O(N·target_size), linear in the "
     "corpus (the fixed-label twin measured 7.0× wall at 10× data; this "
-    "configuration is the 100 TB shape, SCALE.md row)",
+    "configuration is the 100 TB shape, SCALE.md row). Round 10 "
+    "(verdict r09 item 8): driver-checked via the INVARIANT ORACLE — "
+    "the emitted relation is the audit of five centroid-independent "
+    "structural properties (justified partition, min-id kept, no "
+    "over-threshold survivors, repartition determinism), hash-pinned "
+    "against the constant SQL stating them",
     tags=("ext", "similarity", "dedup"),
 )
 def semdedup_scaled_keep_list(spark, sf_dir):
-    from .operators.similarity import semdedup_scaled
+    """SemDeDup k ∝ N, surfaced through its invariant audit: the audit
+    recomputes the deterministic fit, runs the full prune, VERIFIES the
+    five structural properties over (corpus, assignment, keep-list) —
+    including a repartitioned recompute — and emits one row per
+    property. See operators.similarity.semdedup_scaled_invariants."""
+    from .operators.similarity import semdedup_scaled_invariants
 
-    return semdedup_scaled(
+    return semdedup_scaled_invariants(
         spread(t(spark, sf_dir, "embeddings")),
         threshold=0.35,
         target_cluster_size=64,

@@ -23,10 +23,10 @@ from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all
 ROWS_ONLY = {
     "approx_percentiles_by_brand",   # sketch values are engine-specific
     "hll_daily_users",               # DataSketches estimates
-    # sample-trained driver-side Lloyd k-means has no SQL expression; the
-    # NumPy twin in test_semdedup.py is the correctness evidence and the
-    # fixed-label semdedup_keep_list entry hash-oracles the prune rule
-    "semdedup_scaled_keep_list",
+    # semdedup_scaled_keep_list left this set in round 10: its keep-list
+    # VALUES stay engine-specific, but the entry now emits the
+    # structural-invariant audit relation, hash-pinned against the
+    # constant invariant SQL (verdict r09 item 8)
 }
 
 
