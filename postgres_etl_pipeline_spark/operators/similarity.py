@@ -3374,6 +3374,12 @@ def write_ivfpq_index(
         [(int(scale), int(m), int(d), float(train_err))],
         "scale int, m int, d int, train_err double",
     ).coalesce(1).write.parquet(path + "_meta")
+    if extra_cols:
+        # selectivity sidecars for the filtered ADC tier (verdict r09
+        # item 6) — same shape and maintenance story as the raw tier's
+        _write_ivf_list_stats(
+            spark.read.parquet(path), path, tuple(extra_cols)
+        )
     return Cc, As
 
 
@@ -3480,9 +3486,12 @@ def append_to_ivfpq_index(
         fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
         *[F.col(x) for x in extra_cols],
     )
-    _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(path)
+    encoded = _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols)
+    if extra_cols:
+        encoded = encoded.localCheckpoint(eager=True)  # append + stats merge
+    encoded.write.mode("append").partitionBy("cid").parquet(path)
+    if extra_cols:
+        _merge_ivf_list_stats(spark, encoded, path)
     return Cc, As
 
 
@@ -3603,6 +3612,7 @@ def filtered_ivfpq_topk(
     scale: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed_cut: int = 10_000,
 ) -> DataFrame:
     """FILTERED search over a persisted IVFADC layout — the compressed
     tier of :func:`filtered_ivf_topk`: the metadata mask rides INSIDE
@@ -3629,7 +3639,38 @@ def filtered_ivfpq_topk(
     catalog configuration. NULL filter values match nothing on either
     side (null-rejecting equality, the relational-oracle convention).
     The layout must have been built with ``extra_cols=(filter_col,)``.
+
+    Execution tiers mirror :func:`filtered_ivf_topk` (verdict r09 items
+    3 & 6 at the COMPRESSED tier): up to ``distributed_cut`` queries,
+    probe orders, LUTs, and fill counts are bounded driver metadata;
+    above it the distributed tier derives probe orders as a relation
+    (exact int64 lattice distances — bit-identical ordering), computes
+    ADC per joined (row, probing query) pair in one Arrow pass against
+    the broadcast sidecars, drives rounds from an aggregated fill-count
+    relation, and re-ranks distributively — no per-query driver state.
+    ADC is exact int64 in both tiers, so they produce IDENTICAL output
+    (pinned in tests). A ``<path>_stats_<filter_col>`` sidecar sizes the
+    driver tier's first probe set (jump target = the k·rerank pool),
+    changing no output by the same fill(p) ≤ cum(p) argument.
     """
+    over_cut = (
+        queries.limit(int(distributed_cut) + 1).count() > distributed_cut
+    )
+    args = (
+        spark, path, queries, filter_col, k, rerank, n_probe, scale,
+        id_col, vec_col,
+    )
+    if over_cut:
+        return _filtered_ivfpq_topk_distributed(*args)
+    return _filtered_ivfpq_topk_driver(*args)
+
+
+def _filtered_ivfpq_topk_driver(
+    spark, path, queries, filter_col, k, rerank, n_probe, scale,
+    id_col, vec_col,
+) -> DataFrame:
+    """The bounded-Q serving tier of :func:`filtered_ivfpq_topk` (see
+    its docstring for semantics and round structure)."""
     import numpy as np
     import pandas as pd
 
@@ -3652,6 +3693,7 @@ def filtered_ivfpq_topk(
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Qq = np.array([r["qq"] for r in q_rows], dtype=np.int64)
     qvals = np.array([r["qval"] for r in q_rows])
+    qvals_py = [r["qval"] for r in q_rows]
     qd2 = (
         (Qq * Qq).sum(axis=1)[:, None]
         - 2 * (Qq @ Cc.T)
@@ -3659,12 +3701,35 @@ def filtered_ivfpq_topk(
     )
     order = np.argsort(qd2, axis=1, kind="stable")  # (Q, k1) nearest-first
     nq = len(qids)
+    # selectivity-sized first probe set (verdict r09 item 6, compressed
+    # tier): jump to the first n_probe-multiple prefix whose cumulative
+    # match count covers the k·rerank POOL — fill(p) ≤ cum(p), so the
+    # fill-driven loop could never have stopped earlier (output identity)
+    starts = np.full(nq, n_probe, dtype=np.int64)
+    stats = read_ivf_list_stats(spark, path, filter_col)
+    if stats is not None:
+        counts = {
+            (int(r["cid"]), r["value"]): int(r["n"])
+            for r in stats.filter(
+                F.col("value").isin(list(set(qvals_py)))
+            ).collect()
+            if r["value"] is not None
+        }
+        for qi in range(nq):
+            cum, start = 0, n_cents
+            for pos in range(n_cents):
+                cum += counts.get((int(order[qi, pos]), qvals_py[qi]), 0)
+                if cum >= pool:
+                    start = min(-(-(pos + 1) // n_probe) * n_probe, n_cents)
+                    break
+            starts[qi] = max(start, n_probe)
     filled = np.zeros(nq, dtype=np.int64)
     probed_upto = np.zeros(nq, dtype=np.int64)
     acc = spark.createDataFrame([], "query_id long, neighbor_id long, adc long")
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
+    first_round = True
     while True:
         # this round's (query slot → cid) assignment: the next n_probe
         # unexhausted lists of each unfilled query
@@ -3672,11 +3737,13 @@ def filtered_ivfpq_topk(
         for qi in range(nq):
             if filled[qi] >= pool or probed_upto[qi] >= n_cents:
                 continue
+            step = int(starts[qi]) if first_round else n_probe
             upto = int(probed_upto[qi])
             round_lists[qi] = [
-                int(x) for x in order[qi, upto : upto + n_probe]
+                int(x) for x in order[qi, upto : upto + step]
             ]
-            probed_upto[qi] = min(upto + n_probe, n_cents)
+            probed_upto[qi] = min(upto + step, n_cents)
+        first_round = False
         if not round_lists:
             break
         width = max(len(v) for v in round_lists.values())
@@ -3759,6 +3826,192 @@ def filtered_ivfpq_topk(
         F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
     )
     return _rerank_exact_cosine(cands, stored, q_rows, k, id_col, vec_col)
+
+
+def _filtered_ivfpq_topk_distributed(
+    spark, path, queries, filter_col, k, rerank, n_probe, scale,
+    id_col, vec_col,
+) -> DataFrame:
+    """The large-Q offline tier of :func:`filtered_ivfpq_topk`: NO
+    per-query driver state. Probe orders come from one Arrow pass over
+    the query relation (exact int64 lattice distances + stable argsort —
+    the driver tier's ordering, bit for bit); each round's candidates
+    are scored by computing ADC per joined (corpus row, probing query)
+    pair against the BROADCAST sidecars — more FLOPs per pair than the
+    driver tier's per-query LUT gather (d multiplies per subspace
+    instead of one lookup), but exactly the same int64 value, which is
+    what makes the two tiers' outputs identical — and the exact re-rank
+    joins candidates back to the layout's ``cv`` and the query relation
+    distributively. Driver state per round: the ≤ n_centroids probed-cid
+    literal and the loop counter."""
+    import numpy as np
+    import pandas as pd
+
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
+    scale = _resolve_index_scale(stored_scale, scale, "filtered_ivfpq_topk")
+    if not len(Cc):
+        return spark.createDataFrame([], empty_schema)
+    m, d = As.shape[1], As.shape[2]
+    n_cents = len(Cc)
+    n_probe = max(1, min(int(n_probe), n_cents))
+    pool = k * rerank
+    qdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("qv"),
+            fixed_point_codes(as_double_vec(vec_col), scale).alias("qq"),
+            F.col(filter_col).alias("qval"),
+        )
+        .filter(F.col("qval").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    if qdf.isEmpty():
+        return spark.createDataFrame([], empty_schema)
+    bc = spark.sparkContext.broadcast((Cc, np.asarray(As, dtype=np.int64)))
+
+    def probe_order(batches):
+        b_Cc, _ = bc.value
+        c_sq = (b_Cc * b_Cc).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qq = np.array(list(pdf["qq"]), dtype=np.int64)
+            d2 = (
+                (Qq * Qq).sum(axis=1)[:, None]
+                - 2 * (Qq @ b_Cc.T)
+                + c_sq[None, :]
+            )
+            order = np.argsort(d2, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype=np.int64), n_cents
+                    ),
+                    "probe_rank": np.tile(np.arange(n_cents), len(Qq)),
+                    "cid": order.ravel(),
+                }
+            )
+
+    porder = qdf.select("query_id", "qq").mapInPandas(
+        probe_order, "query_id long, probe_rank int, cid int"
+    ).localCheckpoint(eager=True)
+    state = qdf.select(
+        "query_id", F.lit(0).alias("filled"), F.lit(0).alias("upto")
+    ).localCheckpoint(eager=True)
+    acc = spark.createDataFrame([], "query_id long, neighbor_id long, adc long")
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+
+    def adc_rows(batches):
+        b_Cc, b_As = bc.value
+        sub_idx = np.arange(m)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qq = np.array(list(pdf["qq"]), dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            R = (Qq - b_Cc[cids]).reshape(len(Qq), m, d)
+            diff = R - b_As[codes, sub_idx]  # (n, m, d)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(
+                        dtype=np.int64
+                    ),
+                    "adc": (diff * diff).sum(axis=(1, 2)),
+                }
+            )
+
+    for _round in range(-(-n_cents // n_probe)):
+        active = state.filter(
+            (F.col("filled") < pool) & (F.col("upto") < n_cents)
+        )
+        probes = (
+            active.select("query_id", "upto")
+            .join(porder, "query_id")
+            .filter(
+                (F.col("probe_rank") >= F.col("upto"))
+                & (F.col("probe_rank") < F.col("upto") + n_probe)
+            )
+            .select("query_id", "cid")
+        )
+        round_cids = sorted(
+            int(r["cid"]) for r in probes.select("cid").distinct().collect()
+        )
+        if not round_cids:
+            break
+        pairs = probes.join(qdf.select("query_id", "qq", "qval"), "query_id")
+        scan = (
+            spark.read.parquet(path)
+            .filter(F.col("cid").isin(round_cids))
+            .filter(F.col(filter_col).isNotNull())
+            .select("neighbor_id", "cid", "codes", filter_col)
+        )
+        scored = (
+            scan.join(pairs, "cid")
+            .filter(
+                (F.col("query_id") != F.col("neighbor_id"))
+                & (F.col(filter_col) == F.col("qval"))
+            )
+            .select("query_id", "neighbor_id", "cid", "codes", "qq")
+            .mapInPandas(adc_rows, "query_id long, neighbor_id long, adc long")
+            .withColumn("crank", F.row_number().over(cand_w))
+            .filter(F.col("crank") <= pool)
+            .select("query_id", "neighbor_id", "adc")
+        )
+        acc = (
+            acc.unionByName(scored)
+            .withColumn("crank", F.row_number().over(cand_w))
+            .filter(F.col("crank") <= pool)
+            .select("query_id", "neighbor_id", "adc")
+            .localCheckpoint(eager=True)
+        )
+        counts = acc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+        state = (
+            state.join(counts, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("filled"),
+                F.when(
+                    (F.col("filled") < pool) & (F.col("upto") < n_cents),
+                    F.least(F.col("upto") + n_probe, F.lit(n_cents)),
+                )
+                .otherwise(F.col("upto"))
+                .cast("int")
+                .alias("upto"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # distributed exact re-rank: same arithmetic as _rerank_exact_cosine,
+    # with the query side joined as a relation instead of collected
+    exact = (
+        acc.select("query_id", "neighbor_id")
+        .join(
+            spark.read.parquet(path).select(
+                "neighbor_id", F.col("cv").alias("_cv")
+            ),
+            "neighbor_id",
+        )
+        .join(qdf.select("query_id", "qv"), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_cv"), F.col("qv"))
+                / (norm(F.col("_cv")) * norm(F.col("qv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def resplit_ivfpq_cell(

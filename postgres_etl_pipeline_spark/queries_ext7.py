@@ -442,21 +442,25 @@ def ivfpq_index_search(spark, sf_dir):
     # candidate cut; the oracle is the shared residual SQL with exactly
     # that join added (filtered=True)
     _ivfpq_residual_oracle_sql(filtered=True),
-    survey="§7 Phase 5 extension (round 9): FILTERED ANN at the "
-    "COMPRESSED tier — the metadata mask rides inside the IVFADC gather "
-    "batch (candidates restricted before the ADC cut, never "
+    survey="§7 Phase 5 extension (round 9 + r09 item 3): FILTERED ANN "
+    "at the COMPRESSED tier — the metadata mask rides inside the IVFADC "
+    "gather batch (candidates restricted before the ADC cut, never "
     "post-filtered), the scan reads only (neighbor_id, cid, codes, "
     "label) of probed partitions, and per-query probe expansion refills "
-    "the k·rerank candidate pool for selective filters; probe-all "
-    "hash-oracled against the residual pipeline SQL with the label join",
+    "the k·rerank candidate pool for selective filters; TWO execution "
+    "tiers (driver LUT gather / distributed per-pair ADC — identical "
+    "exact int64 values), driver-checked through the DISTRIBUTED tier; "
+    "probe-all hash-oracled against the residual pipeline SQL with the "
+    "label join",
     tags=("ext", "similarity"),
 )
 def filtered_ivfpq_search(spark, sf_dir):
     """Build the IVFADC layout with the label column persisted, search
-    probe-all with the same-label constraint — the compressed twin of
-    filtered_ivf_topk (scratch lifecycle as its siblings). The
-    probe-expansion fill path is pinned in tests/test_ivf_maintenance.py
-    with a selective-label corpus at n_probe=1."""
+    probe-all with the same-label constraint through the DISTRIBUTED
+    tier (distributed_cut=0) — the compressed twin of filtered_ivf_topk
+    (scratch lifecycle as its siblings). The probe-expansion fill path
+    is pinned in tests/test_ivf_maintenance.py with a selective-label
+    corpus at n_probe=1; tier equality in tests/test_filtered_probe.py."""
     import shutil
     import tempfile
 
@@ -476,6 +480,7 @@ def filtered_ivfpq_search(spark, sf_dir):
         out = S.filtered_ivfpq_topk(
             spark, path, emb.filter(F.col("vec_id") < 20),
             filter_col="label", k=5, rerank=4, n_probe=8,
+            distributed_cut=0,
         )
         rows = out.collect()
         schema = out.schema

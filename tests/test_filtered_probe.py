@@ -170,3 +170,71 @@ def test_append_refuses_to_drop_layout_metadata(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="extra_cols"):
         S.append_to_ivf_index(emb.limit(3), path)
+
+
+# ---------------------------------------------------------------------------
+# Compressed tier (IVFADC) twins of the above
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_distributed_tier_matches_driver_tier(spark, sf_small, tmp_path):
+    """ADC is exact int64 in both tiers (per-query LUT gather vs
+    per-pair recompute), so the outputs must be IDENTICAL — at probe-all
+    and through multi-round expansion — and the distributed path must
+    never fall back to the per-query driver loop (poisoned)."""
+    emb = spread(t(spark, sf_small, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_index(
+        emb, path, n_centroids=8, coarse="anchor", extra_cols=("label",)
+    )
+    for n_probe in (8, 2):
+        via_driver = _rows(
+            S.filtered_ivfpq_topk(
+                spark, path, q, filter_col="label", k=5, rerank=4,
+                n_probe=n_probe,
+            )
+        )
+        orig = S._filtered_ivfpq_topk_driver
+        try:
+            def boom(*a, **kw):
+                raise AssertionError("driver tier ran above the cut")
+
+            S._filtered_ivfpq_topk_driver = boom
+            via_dist = _rows(
+                S.filtered_ivfpq_topk(
+                    spark, path, q, filter_col="label", k=5, rerank=4,
+                    n_probe=n_probe, distributed_cut=0,
+                )
+            )
+        finally:
+            S._filtered_ivfpq_topk_driver = orig
+        assert via_dist == via_driver, n_probe
+
+
+def test_ivfpq_probe_jump_same_output(spark, tmp_path):
+    """The compressed tier's stats-sized first probe set changes no
+    output on the selective corpus (jump target = the k·rerank pool)."""
+    import shutil
+
+    emb = _selective_corpus(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_index(
+        emb, path, n_centroids=4, coarse="lloyd", kmeans_max_iter=5,
+        extra_cols=("label",),
+    )
+    assert S.read_ivf_list_stats(spark, path, "label") is not None
+    with_stats = _rows(
+        S.filtered_ivfpq_topk(
+            spark, path, q, filter_col="label", k=5, rerank=1, n_probe=1
+        )
+    )
+    shutil.rmtree(path + "_stats_label")
+    no_stats = _rows(
+        S.filtered_ivfpq_topk(
+            spark, path, q, filter_col="label", k=5, rerank=1, n_probe=1
+        )
+    )
+    assert with_stats == no_stats
+    assert len(with_stats) == 5  # the selective label still fills k

@@ -572,3 +572,102 @@ def test_filtered_ivf_scan_prunes_partitions_and_masks_inside(spark, sf_small, t
     s = plan_summary(scan)
     assert s.broadcast_joins >= 1
     assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
+
+
+def test_delete_discovery_scan_prunes_to_id_and_cid(spark, sf_small, tmp_path):
+    """Tombstone delete's affected-cell DISCOVERY pass must read only
+    (neighbor_id, cid) of the layout — at 100 TB this is the difference
+    between a metadata-sized scan and re-reading every vector column to
+    find which cells to rewrite."""
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    path = str(tmp_path / "index")
+    S.write_ivf_index(
+        emb, path, n_centroids=4, kmeans_max_iter=1, kmeans_init="random"
+    )
+    ids = emb.filter(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").cast("long").alias("neighbor_id")
+    ).distinct()
+    discovery = (
+        spark.read.parquet(path).join(ids, "neighbor_id")
+        .select("cid").distinct()
+    )
+    for cols in scan_columns(discovery):
+        if "cv" in cols:
+            raise AssertionError(f"discovery scan reads vectors: {cols}")
+
+
+def test_retrain_reencode_is_one_linear_pass(spark, sf_small, tmp_path):
+    """The codebook retrain's re-encode must be ONE shuffle-free,
+    join-free scan→mapInPandas pass over the layout — 'retrain costs one
+    linear pass' is the operator's whole scale promise."""
+    from pyspark.sql import functions as FF
+
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    path = str(tmp_path / "index")
+    S.write_ivfpq_index(emb, path, n_centroids=8)
+    Cc, As, scale = S.read_ivfpq_sidecars(spark, path)
+    layout = spark.read.parquet(path)
+    c = layout.select(
+        "neighbor_id", "cv", "cid",
+        S.fixed_point_codes(FF.col("cv"), scale).alias("cd"),
+    )
+    reencoded = S._ivfpq_reencode_codes_pass(
+        c, Cc, As, As.shape[1], As.shape[2]
+    )
+    s = plan_summary(reencoded)
+    assert s.joins == 0, s
+    assert s.shuffles == 0, s
+
+
+def test_distributed_probe_order_pass_is_shuffle_free(spark, sf_small, tmp_path):
+    """The distributed filtered-probe tier's probe-order derivation must
+    be one shuffle-free Arrow pass over the query relation (broadcast
+    centroids) — a 10M-query batch gets its nearest-first orders without
+    moving a row."""
+    import numpy as np
+    import pandas as pd
+
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    path = str(tmp_path / "index")
+    S.write_ivf_index(
+        emb, path, n_centroids=4, kmeans_max_iter=1, kmeans_init="random",
+        extra_cols=("label",),
+    )
+    cents = S.read_ivf_centroids(spark, path)
+    n_cents = len(cents)
+    qdf = emb.select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double_vec("embedding").alias("qv"),
+    )
+    bc = spark.sparkContext.broadcast(np.asarray(cents))
+
+    def probe_order(batches):
+        C = bc.value
+        for pdf in batches:
+            Q = np.array(list(pdf["qv"]))
+            d2 = ((C[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), n_cents
+                    ),
+                    "probe_rank": np.tile(np.arange(n_cents), len(Q)),
+                    "cid": order.ravel(),
+                }
+            )
+
+    porder = qdf.mapInPandas(
+        probe_order, "query_id long, probe_rank int, cid int"
+    )
+    s = plan_summary(porder)
+    assert s.joins == 0 and s.shuffles == 0, s
