@@ -444,14 +444,22 @@ def test_retrain_repairs_recall_after_synthetic_drift(spark, sf_small, tmp_path)
     recall for queries inside the drifted region.
 
     The drift is DERIVED from testdata (no synthetic tables): the
-    embeddings squeezed into a tight far-off cluster
-    (x → x·0.05 + 0.9) under shifted ids — a new domain arriving in an
-    old corpus."""
-    emb = spread(t(spark, sf_small, "embeddings"))
+    embeddings with every even dimension sign-flipped, under shifted ids
+    — an ISOMETRY, so within-domain cosine structure is exactly the
+    original corpus's (no rounding-tie artifacts in the recall metric),
+    while the drifted rows land in an orthant the coarse quantizer never
+    saw: their residuals are large and novel, which is precisely the
+    regime where a codebook trained pre-drift quantizes poorly."""
+    emb = spread(t(spark, sf_small, "embeddings")).select(
+        "vec_id", "embedding"
+    )
     drifted = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(
-            "embedding", lambda x: x.cast("double") * 0.05 + 0.9
+            "embedding",
+            lambda x, i: F.when(
+                i % 2 == 0, -x.cast("double")
+            ).otherwise(x.cast("double")),
         ).alias("embedding"),
     )
     path = str(tmp_path / "idx")
@@ -462,7 +470,7 @@ def test_retrain_repairs_recall_after_synthetic_drift(spark, sf_small, tmp_path)
     S.append_to_ivfpq_index(drifted, path)
     # (a) the appended batch IS the drift signal
     err_before, train_err = S.measure_ivfpq_drift(spark, path, sample_of=drifted)
-    assert err_before > 2.0 * train_err, (err_before, train_err)
+    assert err_before > 1.5 * train_err, (err_before, train_err)
     queries = drifted.filter(F.col("vec_id") < 1_000_020)
     full = emb.unionByName(drifted)
     exact = _topk_sets(S.brute_force_topk(full, queries, k=5))
@@ -473,7 +481,7 @@ def test_retrain_repairs_recall_after_synthetic_drift(spark, sf_small, tmp_path)
         return sum(len(got.get(q, set()) & exact[q]) / 5 for q in exact) / len(exact)
     r_before = recall()
     assert S.retrain_ivfpq_codebook(
-        spark, path, drift_threshold=2.0, sample_of=drifted,
+        spark, path, drift_threshold=1.5, sample_of=drifted,
         kmeans_max_iter=4,
     ) is True
     # (b) quantization error repaired on the drifted slice
