@@ -3013,6 +3013,16 @@ def _filtered_ivf_topk_distributed(
     ).localCheckpoint(eager=True)
     state = qdf.select(
         "query_id", F.lit(0).alias("filled"), F.lit(0).alias("upto")
+    )
+    # DISTRIBUTED selectivity jump (closes SCALE.md r10 gap #1): the same
+    # first-round sizing the driver tier does, as one cumsum window over
+    # (probe order ⋈ stats) — each query's round 1 covers the first
+    # n_probe-multiple prefix whose cumulative match count reaches k.
+    # Output-identical by the fill(p) ≤ cum(p) argument (and identical to
+    # a non-jumping run: the jump target is a chunk boundary the
+    # fill-driven grid also stops at); only the ROUND COUNT drops.
+    state = _attach_probe_jump(
+        spark, path, state, porder, qdf, filter_col, k, n_probe, n_cents
     ).localCheckpoint(eager=True)
     acc = spark.createDataFrame(
         [], "query_id long, neighbor_id long, cos_sim double"
@@ -3020,16 +3030,17 @@ def _filtered_ivf_topk_distributed(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    _filtered_ivf_topk_distributed.last_rounds = 0  # test observable
     for _round in range(-(-n_cents // n_probe)):
         active = state.filter(
             (F.col("filled") < k) & (F.col("upto") < n_cents)
         )
         probes = (
-            active.select("query_id", "upto")
+            active.select("query_id", "upto", "jump")
             .join(porder, "query_id")
             .filter(
                 (F.col("probe_rank") >= F.col("upto"))
-                & (F.col("probe_rank") < F.col("upto") + n_probe)
+                & (F.col("probe_rank") < _round_end(n_probe))
             )
             .select("query_id", "cid")
         )
@@ -3040,6 +3051,7 @@ def _filtered_ivf_topk_distributed(
         )
         if not round_cids:
             break
+        _filtered_ivf_topk_distributed.last_rounds = _round + 1
         pairs = probes.join(qdf, "query_id")
         scan = spark.read.parquet(path).filter(F.col("cid").isin(round_cids))
         # cid has ≤ n_centroids distinct values, so this join is skewed
@@ -3076,16 +3088,78 @@ def _filtered_ivf_topk_distributed(
                 F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("filled"),
                 F.when(
                     (F.col("filled") < k) & (F.col("upto") < n_cents),
-                    F.least(F.col("upto") + n_probe, F.lit(n_cents)),
+                    F.least(_round_end(n_probe), F.lit(n_cents)),
                 )
                 .otherwise(F.col("upto"))
                 .cast("int")
                 .alias("upto"),
+                "jump",
             )
             .localCheckpoint(eager=True)
         )
     return acc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def _round_end(n_probe: int):
+    """The exclusive probe_rank bound of a state row's CURRENT round:
+    the selectivity jump target for a query's first round (upto == 0),
+    the next n_probe chunk afterwards. Shared by the probe filter and
+    the watermark advance so they can never disagree."""
+    return F.when(F.col("upto") == 0, F.col("jump")).otherwise(
+        F.col("upto") + F.lit(n_probe)
+    )
+
+
+def _attach_probe_jump(
+    spark, path, state, porder, qdf, filter_col, target, n_probe, n_cents
+):
+    """Add the per-query first-round ``jump`` column to a distributed
+    probe-state relation: with a ``<path>_stats_<filter_col>`` sidecar,
+    one (porder ⋈ qval ⋈ stats) join + a cumulative-sum window finds
+    each query's first covering prefix (cum ≥ ``target``), rounded up to
+    the n_probe grid; a value the stats can't cover jumps straight to
+    exhaustion (probe everything in round 1 — what fill-driven expansion
+    would reach anyway). Without stats, jump = n_probe (plain chunks)."""
+    stats = read_ivf_list_stats(spark, path, filter_col)
+    if stats is None:
+        return state.withColumn("jump", F.lit(int(n_probe)))
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("probe_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    jumps = (
+        porder.join(qdf.select("query_id", "qval"), "query_id")
+        .join(
+            stats.select(
+                "cid", F.col("value").alias("qval"), F.col("n").alias("sn")
+            ),
+            ["cid", "qval"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "probe_rank",
+            F.coalesce(F.col("sn"), F.lit(0)).alias("sn"),
+        )
+        .withColumn("cum", F.sum("sn").over(wcum))
+        .filter(F.col("cum") >= target)
+        .groupBy("query_id")
+        .agg(F.min("probe_rank").alias("r0"))
+        .select(
+            "query_id",
+            F.least(
+                (F.ceil((F.col("r0") + 1) / n_probe) * n_probe),
+                F.lit(n_cents),
+            )
+            .cast("int")
+            .alias("jump"),
+        )
+    )
+    return state.join(jumps, "query_id", "left").withColumn(
+        "jump", F.coalesce(F.col("jump"), F.lit(int(n_cents)))
     )
 
 
@@ -3898,11 +3972,16 @@ def _filtered_ivfpq_topk_distributed(
     ).localCheckpoint(eager=True)
     state = qdf.select(
         "query_id", F.lit(0).alias("filled"), F.lit(0).alias("upto")
+    )
+    # distributed selectivity jump, pool-targeted (see the raw tier)
+    state = _attach_probe_jump(
+        spark, path, state, porder, qdf, filter_col, pool, n_probe, n_cents
     ).localCheckpoint(eager=True)
     acc = spark.createDataFrame([], "query_id long, neighbor_id long, adc long")
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
+    _filtered_ivfpq_topk_distributed.last_rounds = 0  # test observable
 
     def adc_rows(batches):
         b_Cc, b_As = bc.value
@@ -3930,11 +4009,11 @@ def _filtered_ivfpq_topk_distributed(
             (F.col("filled") < pool) & (F.col("upto") < n_cents)
         )
         probes = (
-            active.select("query_id", "upto")
+            active.select("query_id", "upto", "jump")
             .join(porder, "query_id")
             .filter(
                 (F.col("probe_rank") >= F.col("upto"))
-                & (F.col("probe_rank") < F.col("upto") + n_probe)
+                & (F.col("probe_rank") < _round_end(n_probe))
             )
             .select("query_id", "cid")
         )
@@ -3943,6 +4022,7 @@ def _filtered_ivfpq_topk_distributed(
         )
         if not round_cids:
             break
+        _filtered_ivfpq_topk_distributed.last_rounds = _round + 1
         pairs = probes.join(qdf.select("query_id", "qq", "qval"), "query_id")
         scan = (
             spark.read.parquet(path)
@@ -3977,11 +4057,12 @@ def _filtered_ivfpq_topk_distributed(
                 F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("filled"),
                 F.when(
                     (F.col("filled") < pool) & (F.col("upto") < n_cents),
-                    F.least(F.col("upto") + n_probe, F.lit(n_cents)),
+                    F.least(_round_end(n_probe), F.lit(n_cents)),
                 )
                 .otherwise(F.col("upto"))
                 .cast("int")
                 .alias("upto"),
+                "jump",
             )
             .localCheckpoint(eager=True)
         )

@@ -238,3 +238,50 @@ def test_ivfpq_probe_jump_same_output(spark, tmp_path):
     )
     assert with_stats == no_stats
     assert len(with_stats) == 5  # the selective label still fills k
+
+
+def test_distributed_tiers_take_the_selectivity_jump(spark, tmp_path):
+    """SCALE.md r10 gap #1 closed in-round: the DISTRIBUTED tiers size
+    their first probe set from the stats sidecar too (one cumsum window
+    over probe-order ⋈ stats) — the selective query fills in ONE round
+    through both tiers, with output unchanged (brute-force-equal)."""
+    emb = _selective_corpus(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    raw = str(tmp_path / "raw")
+    S.write_ivf_index(
+        emb, raw, n_centroids=4, kmeans_max_iter=5, extra_cols=("label",)
+    )
+    got = _rows(
+        S.filtered_ivf_topk(
+            spark, raw, q, filter_col="label", k=5, n_probe=1,
+            distributed_cut=0,
+        )
+    )
+    assert S._filtered_ivf_topk_distributed.last_rounds == 1
+    assert {g[1] for g in got} == {40, 41, 42, 43, 44}
+    assert got == _rows(S.filtered_topk(emb, q, filter_col="label", k=5))
+    # compressed tier: pool-targeted jump (rerank=1 → pool = k)
+    pq = str(tmp_path / "pq")
+    S.write_ivfpq_index(
+        emb, pq, n_centroids=4, coarse="lloyd", kmeans_max_iter=5,
+        extra_cols=("label",),
+    )
+    got2 = _rows(
+        S.filtered_ivfpq_topk(
+            spark, pq, q, filter_col="label", k=5, rerank=1, n_probe=1,
+            distributed_cut=0,
+        )
+    )
+    assert S._filtered_ivfpq_topk_distributed.last_rounds == 1
+    assert len(got2) == 5
+    # and the non-jumping fill-driven path (sidecar removed) agrees
+    import shutil
+
+    shutil.rmtree(pq + "_stats_label")
+    assert got2 == _rows(
+        S.filtered_ivfpq_topk(
+            spark, pq, q, filter_col="label", k=5, rerank=1, n_probe=1,
+            distributed_cut=0,
+        )
+    )
+    assert S._filtered_ivfpq_topk_distributed.last_rounds > 1
