@@ -73,6 +73,23 @@ the two. The rows whose oracle is the full residual pipeline
 (`ivfpq_*`, `filtered_ivfpq_*`, `stream_ivfpq_*`) sit at 1-9× even
 WITH their builds included, because re-deriving IVFADC in SQL costs
 DuckDB ~2 s itself.
+
+The round-10 MAINTENANCE rows extend that same caveat: each one is the
+whole index LIFECYCLE — `ivf_delete_topk` /
+`stream_ivf_delete_maintenance` build the index and rewrite the
+tombstoned cells (or drain an insert+tombstone stream) before the
+probe-all search whose result the oracle computes as one brute-force
+scan over survivors; `ivfpq_drift_retrain` builds with a stale
+codebook, appends, MEASURES drift, retrains, and re-encodes the whole
+layout; `ivfpq_append_resplit_search` pays a build + append + hot-cell
+re-split. The number a user sizes against is the marginal cost of the
+maintenance op (delete: O(affected cells); retrain trigger: one bounded
+sample job; re-split: O(hot cell) — all measured in SCALE.md), not the
+lifecycle-vs-one-scan ratio here. `semdedup_scaled_keep_list`'s oracle
+is deliberately a CONSTANT invariant relation (the Spark side does ALL
+the verification work — fit, prune, repartitioned recompute, pairwise
+checks — and DuckDB just states what must hold), so its ratio is
+meaningless by construction and reported only for completeness.
 """
 
 
