@@ -536,6 +536,15 @@ def run_ivf_maintenance_sink(
             "state_dir is required when queries is given — the served "
             "top-k state needs a directory to live under"
         )
+    # repair any interrupted per-partition swap BEFORE the drain starts
+    # (the maintenance-loop discipline recover_interrupted_partition_swap's
+    # docstring prescribes): a sink crashed mid-delete/mid-resplit must
+    # not leave the layout missing a cell for the whole next drain
+    from ..operators.similarity import recover_interrupted_partition_swap
+
+    recover_interrupted_partition_swap(
+        stream_vectors.sparkSession, index_path
+    )
     if index_kind == "ivf":
         _append = lambda df: append_to_ivf_index(  # noqa: E731
             df, index_path, id_col, vec_col, extra_cols=extra_cols

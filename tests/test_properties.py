@@ -794,3 +794,78 @@ def test_ivf_maintenance_ops_commute(spark, sf_small, order):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     assert got == _maint_ref["ref"], order
+
+
+_PQ_MAINT_OPS = ("a1", "a2", "d")
+_pq_maint_ref = {}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(order=st.permutations(_PQ_MAINT_OPS))
+def test_ivfpq_append_delete_commute(spark, sf_small, order):
+    """The COMPRESSED tier's commuting subset (SCALE.md r10 note):
+    appends and tombstone deletes compose in any order — codes are a
+    pure function of (vector, sidecars) and deletion never touches
+    either, so the drained layout's CONTENT (hence its probe-all ADC
+    search) is order-independent. Re-splits are deliberately excluded:
+    they re-anchor residuals, making interleavings order-dependent by
+    construction (invariants + recall cover them instead)."""
+    import shutil
+    import tempfile
+
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 5 <= 2)
+    slices = {
+        "a1": emb.filter(F.col("vec_id") % 5 == 3),
+        "a2": emb.filter(F.col("vec_id") % 5 == 4),
+    }
+    tombs = base.filter(F.col("vec_id") % 9 == 0)
+    q = emb.filter(F.col("vec_id") < 10)
+    Cc = S.lattice_anchor_centroids(emb, 8)
+    As = S.anchor_residual_codebook(emb, Cc)
+    if "ref" not in _pq_maint_ref:
+        # absolute anchor, computed once: a ONE-SHOT build over the
+        # final survivor set with the SAME sidecars
+        scratch = tempfile.mkdtemp(prefix="pq_commute_ref_")
+        try:
+            ref_path = scratch + "/index"
+            survivors = emb.filter(
+                ~((F.col("vec_id") % 5 <= 2) & (F.col("vec_id") % 9 == 0))
+            )
+            S.write_ivfpq_index(
+                survivors, ref_path, coarse_cents=Cc, codebook=As
+            )
+            _pq_maint_ref["ref"] = sorted(
+                map(
+                    tuple,
+                    S.ivfpq_index_topk(
+                        spark, ref_path, q, k=5, rerank=4, n_probe=8
+                    ).collect(),
+                )
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    scratch = tempfile.mkdtemp(prefix="pq_commute_")
+    try:
+        path = scratch + "/index"
+        S.write_ivfpq_index(base, path, coarse_cents=Cc, codebook=As)
+        for op in order:
+            if op in slices:
+                S.append_to_ivfpq_index(slices[op], path)
+            else:
+                S.delete_from_ivfpq_index(spark, path, tombs)
+        got = sorted(
+            map(
+                tuple,
+                S.ivfpq_index_topk(
+                    spark, path, q, k=5, rerank=4, n_probe=8
+                ).collect(),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    assert got == _pq_maint_ref["ref"], order
