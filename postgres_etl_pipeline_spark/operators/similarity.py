@@ -2557,6 +2557,81 @@ def delete_from_ivfpq_index(
     return delete_from_ivf_index(spark, path, tombstones, id_col)
 
 
+def delete_where_from_ivf_index(
+    spark,
+    path: str,
+    predicate,
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Predicate-shaped deletes — the retention/licensing form of
+    :func:`delete_from_ivf_index` ("drop every vector whose license was
+    revoked / whose source aged out"): one column-pruned scan of the
+    layout evaluates ``predicate`` (a Column over the layout's columns —
+    metadata extras included) to derive the tombstone ids, then the
+    same O(affected cells) staged rewrite runs. Works on both tiers
+    (see the id-keyed twin)."""
+    tombstones = (
+        spark.read.parquet(path)
+        .filter(predicate)
+        .select(F.col("neighbor_id").alias(id_col))
+    )
+    return delete_from_ivf_index(spark, path, tombstones, id_col)
+
+
+def compact_ivf_cells(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[int]:
+    """Small-files compaction for a cid-partitioned ANN layout — the
+    maintenance op every STREAMING-appended index needs at 100 TB: each
+    micro-batch append lands ≥ 1 file per touched cell, so a month of
+    drains turns every inverted list into thousands of tiny files and
+    the probed scan into a file-open benchmark. Rewrites ONLY cells
+    whose file count exceeds ``⌈cell bytes / target_bytes⌉`` (and
+    ``min_files``) — coalesced to that count through the crash-safe
+    staged swap — and returns the compacted cids. Content is untouched
+    (pure file-layout change; probe-all search hash-equal before/after,
+    pinned in tests), selectivity sidecars stay valid (counts don't
+    change), and cold cells keep byte-identical files.
+
+    The per-cell decision reads only filesystem metadata (listStatus —
+    no row scan); the rewrite cost is O(compacted cells), the same
+    class as every other maintenance op here. Sibling of
+    ``sinks.compact_files``, specialized to keep the partition layout
+    (a plain compact_files pass would flatten the cid directories)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    root = hp(base)
+    fs = root.getFileSystem(conf)
+    todo: list[tuple[int, int]] = []  # (cid, n_out_files)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cid=")):
+            continue
+        files = [
+            f for f in fs.listStatus(st.getPath())
+            if not f.getPath().getName().startswith(("_", "."))
+        ]
+        total = sum(f.getLen() for f in files)
+        n_out = max(1, -(-total // int(target_bytes)))
+        if len(files) > max(n_out, int(min_files) - 1):
+            todo.append((int(name[len("cid="):]), int(n_out)))
+    compacted = []
+    for cid, n_out in sorted(todo):
+        cell = (
+            spark.read.parquet(base)
+            .filter(F.col("cid") == cid)
+            .coalesce(n_out)
+        )
+        _stage_and_swap_partitions(spark, base, [cid], cell, "ivf_compact")
+        compacted.append(cid)
+    return compacted
+
+
 def ivf_list_sizes(spark, path: str) -> DataFrame:
     """(cid, n) row counts per inverted list of a persisted index — the
     bounded metadata a maintenance policy reads to find hot cells (one

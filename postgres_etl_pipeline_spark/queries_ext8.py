@@ -441,3 +441,69 @@ def ivfpq_append_resplit_search(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction of the streamed-into index (round 10 addition)
+# ---------------------------------------------------------------------------
+
+
+def _cosine_topk_oracle2() -> str:
+    from .queries_ext import _COSINE_TOPK_ORACLE
+
+    return _COSINE_TOPK_ORACLE
+
+
+@register(
+    "ivf_compacted_topk",
+    # compaction is a pure file-layout change — probe-all search over
+    # the compacted index is exact search over the same rows, so the
+    # oracle is brute-force cosine; a hash-green row proves the
+    # fragment-heavy append history and the compaction rewrite both
+    # preserved every row
+    _cosine_topk_oracle2(),
+    survey="§7 Phase 5 extension (round 10): small-files COMPACTION of "
+    "the cid-partitioned ANN layout — every streaming append lands ≥1 "
+    "file per touched cell, so long-lived indexes fragment into "
+    "file-open benchmarks; compact_ivf_cells rewrites ONLY cells whose "
+    "file count exceeds their size-targeted number (metadata-only "
+    "decision, O(compacted cells) rewrite, crash-safe staged swap, "
+    "cold cells byte-identical, stats sidecars unaffected); probe-all "
+    "= exact, hash-oracled",
+    tags=("ext", "similarity"),
+)
+def ivf_compacted_topk(spark, sf_dir):
+    """Fragment the index with ten small appends (the streaming-drain
+    shape), compact, search probe-all — hash-equal to brute force;
+    scratch-lifecycle discipline as the other persisted-index entries."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    scratch = tempfile.mkdtemp(prefix="ivf_compact_")
+    try:
+        path = scratch + "/index"
+        build_df = emb.filter(F.col("vec_id") % 10 == 0)
+        if build_df.limit(1).count() == 0:
+            build_df = emb  # advice r09 #3 discipline
+        cents = S.write_ivf_index(
+            build_df, path,
+            n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        )
+        if len(cents):
+            for r in range(1, 10):
+                batch = emb.filter(F.col("vec_id") % 10 == r)
+                if batch.limit(1).count():
+                    S.append_to_ivf_index(batch, path)
+            S.compact_ivf_cells(spark, path, target_bytes=1 << 30)
+        out = S.ivf_index_topk(
+            spark, path, emb.filter(F.col("vec_id") < 20),
+            k=5, n_probe=max(1, len(cents)),
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -393,3 +393,70 @@ def test_streaming_drain_with_tombstones(spark, sf_small, tmp_path):
     survivors = emb.filter(F.col("vec_id") % 7 != 3)
     got = _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=4))
     assert got == _rows(S.brute_force_topk(survivors, q, k=5))
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction (round 10 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_shrinks_files_not_content(spark, sf_small, tmp_path):
+    """Many tiny appends → compact → per-cell file counts drop to the
+    size-targeted number, row content is identical, probe-all search is
+    hash-equal, and cells below the threshold keep byte-identical
+    files."""
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "idx")
+    S.write_ivf_index(
+        emb.filter(F.col("vec_id") % 10 == 0), path,
+        n_centroids=4, kmeans_max_iter=1, kmeans_init="random",
+    )
+    # ten tiny appends — the streaming-drain file-count shape
+    for r in range(1, 10):
+        S.append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == r), path)
+    before_rows = _rows(spark.read.parquet(path).select("neighbor_id", "cid"))
+    q = _q(emb)
+    before_search = _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=4))
+
+    def file_counts():
+        out = {}
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if os.path.isdir(full) and entry.startswith("cid="):
+                out[entry] = len(
+                    [f for f in os.listdir(full) if not f.startswith(("_", "."))]
+                )
+        return out
+
+    fc_before = file_counts()
+    assert max(fc_before.values()) >= 10  # the problem exists
+    compacted = S.compact_ivf_cells(spark, path, target_bytes=1 << 30)
+    assert compacted  # something was compacted
+    fc_after = file_counts()
+    for entry, n in fc_after.items():
+        cid = int(entry[len("cid="):])
+        if cid in compacted:
+            assert n == 1, (entry, n)  # 1 GiB target → one file per cell
+    assert _rows(spark.read.parquet(path).select("neighbor_id", "cid")) == before_rows
+    assert _rows(S.ivf_index_topk(spark, path, q, k=5, n_probe=4)) == before_search
+    # idempotent: a second pass has nothing to do, zero files touched
+    m = _mtimes(path)
+    assert S.compact_ivf_cells(spark, path, target_bytes=1 << 30) == []
+    assert _mtimes(path) == m
+
+
+def test_predicate_delete_matches_id_delete(spark, sf_small, tmp_path):
+    """delete_where is the same rewrite fed by a predicate scan — the
+    retention/licensing form."""
+    emb = _emb(spark, sf_small)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        S.write_ivf_index(emb, p, n_centroids=4, kmeans_max_iter=1,
+                          kmeans_init="random", extra_cols=("label",))
+    S.delete_where_from_ivf_index(spark, a, F.col("label") == 3)
+    S.delete_from_ivf_index(
+        spark, b, emb.filter(F.col("label") == 3).select("vec_id")
+    )
+    assert _rows(spark.read.parquet(a).drop("cv")) == _rows(
+        spark.read.parquet(b).drop("cv")
+    )
