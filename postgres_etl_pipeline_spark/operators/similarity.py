@@ -1662,6 +1662,9 @@ def write_ivf_index(
         spark.createDataFrame([], "cid int, centroid array<double>").write.parquet(
             path + "_centroids"
         )
+        spark.createDataFrame(
+            [(0.0,)], "train_coarse_err double"
+        ).coalesce(1).write.parquet(path + "_meta")
         return np.zeros((0, 0))
     k = min(int(n_centroids), n_avail)
     if k <= max(2, int(fit_sample) // 8):
@@ -1689,7 +1692,126 @@ def write_ivf_index(
         _write_ivf_list_stats(
             spark.read.parquet(path), path, tuple(extra_cols)
         )
+    # coarse-quantization baseline (the global re-cluster trigger's
+    # reference point — see measure_ivf_coarse_drift): mean squared
+    # nearest-centroid distance over a bounded hash-first sample of the
+    # just-built layout
+    pdf = (
+        spark.read.parquet(path)
+        .select("neighbor_id", "cv")
+        .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(int(fit_sample))
+        .select("cv")
+        .toPandas()
+    )
+    X = np.array(list(pdf["cv"]), dtype=np.float64)
+    # matmul form — O(sample·k) memory, not O(sample·k·D); this is a
+    # drift METRIC, so float-rounding tie order is irrelevant here
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    spark.createDataFrame(
+        [(float(d2.min(axis=1).mean()),)], "train_coarse_err double"
+    ).coalesce(1).write.parquet(path + "_meta")
     return cents
+
+
+def measure_ivf_coarse_drift(
+    spark,
+    path: str,
+    sample_of: DataFrame | None = None,
+    sample: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[float, float]:
+    """(current_err, train_err) for the COARSE quantizer — the global
+    re-cluster trigger (SCALE.md r10 gap: per-cell re-splits and codebook
+    retrains cover hot-cell and residual drift, but a corpus whose
+    cluster STRUCTURE changes wholesale eventually wants a full
+    re-cluster, and until now nothing detected that case). Error is the
+    mean squared distance of a bounded hash-first sample (pass the
+    recent appends for the sharpest signal; default the whole layout) to
+    its NEAREST stored centroid; train_err is the same number over the
+    layout's ``_meta`` baseline written at build time. The decision rule
+    is the codebook trigger's: rebuild when
+    ``err > threshold × train_err``. Bounded work: one
+    TakeOrderedAndProject sample + driver numpy."""
+    import numpy as np
+
+    cents = read_ivf_centroids(spark, path)
+    meta = (
+        spark.read.schema("train_coarse_err double")
+        .parquet(path + "_meta")
+        .collect()
+    )
+    if not meta or meta[0]["train_coarse_err"] is None:
+        raise ValueError(
+            f"layout at {path!r} has no coarse-drift baseline in its "
+            "_meta sidecar — this is not a write_ivf_index layout (the "
+            "IVFADC tier's trigger is measure_ivfpq_drift), or it "
+            "predates the baseline; rebuild with write_ivf_index"
+        )
+    if sample_of is None:
+        sample_of = spark.read.parquet(path)
+        id_col, vec_col = "neighbor_id", "cv"
+    pdf = (
+        sample_of.select(
+            F.col(id_col).alias("i"), as_double_vec(vec_col).alias("v")
+        )
+        .orderBy(F.xxhash64("i"), "i")
+        .limit(int(sample))
+        .select("v")
+        .toPandas()
+    )
+    if not len(pdf) or not len(cents):
+        return 0.0, float(meta[0]["train_coarse_err"])
+    X = np.array(list(pdf["v"]), dtype=np.float64)
+    # matmul form — O(sample·k) memory (see the build-time twin)
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return float(d2.min(axis=1).mean()), float(meta[0]["train_coarse_err"])
+
+
+def rebuild_ivf_index(
+    spark,
+    old_path: str,
+    new_path: str,
+    drift_threshold: float = 2.0,
+    sample_of: DataFrame | None = None,
+    force: bool = False,
+    **build_kw,
+):
+    """Drift-triggered GLOBAL re-cluster, blue/green: when
+    :func:`measure_ivf_coarse_drift` exceeds ``drift_threshold ×
+    train_err``, retrain the coarse quantizer over the layout's CURRENT
+    rows and build a fresh index at ``new_path`` — the versioned-index
+    deployment convention (serving flips a pointer when the new build is
+    ready; the old layout stays live and untouched throughout, so there
+    is no crash window at all, unlike an in-place swap of an entire
+    multi-sidecar layout). Below threshold: returns None having written
+    nothing. ``build_kw`` forwards to :func:`write_ivf_index`
+    (n_centroids, kmeans knobs, extra_cols...). Metadata columns the old
+    layout stores ride into the rebuild automatically when
+    ``extra_cols`` names them. Returns the new centroid matrix when the
+    rebuild ran."""
+    err, train_err = measure_ivf_coarse_drift(
+        spark, old_path, sample_of=sample_of
+    )
+    if not force and err <= float(drift_threshold) * train_err:
+        return None
+    corpus = spark.read.parquet(old_path).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+        *[F.col(c) for c in build_kw.get("extra_cols", ())],
+    )
+    return write_ivf_index(
+        corpus, new_path, id_col="vec_id", vec_col="embedding", **build_kw
+    )
 
 
 def read_ivf_centroids(spark, path: str):
@@ -3550,8 +3672,15 @@ def _read_ivfpq_meta(spark, path: str) -> dict:
             "to or serving an unstamped layout risks silently mixing "
             "lattices"
         ) from e
-    if not rows:
-        raise ValueError(f"IVFADC _meta sidecar at {path!r}_meta is empty")
+    if not rows or rows[0]["scale"] is None:
+        # a raw write_ivf_index layout also carries a _meta sidecar (the
+        # coarse-drift baseline) but no lattice stamp — reading it as an
+        # IVFADC layout must fail loudly, not default a scale
+        raise ValueError(
+            f"layout at {path!r} has no IVFADC _meta sidecar stamp "
+            "(lattice scale) — this is not a write_ivfpq_index layout, "
+            "or it predates the stamp; rebuild with write_ivfpq_index"
+        )
     return rows[0].asDict()
 
 

@@ -460,3 +460,57 @@ def test_predicate_delete_matches_id_delete(spark, sf_small, tmp_path):
     assert _rows(spark.read.parquet(a).drop("cv")) == _rows(
         spark.read.parquet(b).drop("cv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global re-cluster trigger (round 10 addition — the last SCALE.md gap)
+# ---------------------------------------------------------------------------
+
+
+def test_global_recluster_trigger_and_blue_green_rebuild(
+    spark, sf_small, tmp_path
+):
+    """Wholesale structure change (a domain at 3× the magnitude arriving
+    in an old corpus — scaling is CONFORMAL for cosine, so the search
+    semantics keep no tie artifacts, while every coarse distance grows
+    ~9×) must trip the COARSE drift trigger — per-cell re-splits and
+    codebook retrains don't cover it — and the blue/green rebuild must
+    restore coarse quantization quality; below threshold the trigger
+    writes nothing."""
+    emb = _emb(spark, sf_small).select("vec_id", "embedding")
+    drifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 3.0
+        ).alias("embedding"),
+    )
+    old = str(tmp_path / "v1")
+    S.write_ivf_index(emb, old, n_centroids=8, kmeans_max_iter=4,
+                      kmeans_init="random")
+    # undrifted: below threshold → no-op, nothing written
+    assert S.rebuild_ivf_index(
+        spark, old, str(tmp_path / "v2"), drift_threshold=1.5
+    ) is None
+    assert not os.path.exists(str(tmp_path / "v2"))
+    # the drifted domain lands in cells trained on the old corpus
+    S.append_to_ivf_index(drifted, old)
+    err, train_err = S.measure_ivf_coarse_drift(spark, old, sample_of=drifted)
+    assert err > 1.5 * train_err, (err, train_err)
+    new = str(tmp_path / "v2")
+    cents = S.rebuild_ivf_index(
+        spark, old, new, drift_threshold=1.5, sample_of=drifted,
+        n_centroids=16, kmeans_max_iter=4, kmeans_init="random",
+    )
+    assert cents is not None and len(cents) == 16
+    # the old layout stayed live and untouched (blue/green: serving
+    # flips a pointer when ready)
+    assert spark.read.parquet(old).count() == 2 * emb.count()
+    assert spark.read.parquet(new).count() == 2 * emb.count()
+    # the rebuild restored coarse quality for the drifted domain
+    err2, _ = S.measure_ivf_coarse_drift(spark, new, sample_of=drifted)
+    assert err2 < err, (err, err2)
+    # and probe-all search over the rebuild is still exact
+    q = drifted.filter(F.col("vec_id") < 1_000_010)
+    full = emb.unionByName(drifted)
+    got = _rows(S.ivf_index_topk(spark, new, q, k=5, n_probe=16))
+    assert got == _rows(S.brute_force_topk(full, q, k=5))
