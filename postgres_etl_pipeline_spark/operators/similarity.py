@@ -2722,7 +2722,11 @@ def compact_ivf_cells(
     no row scan); the rewrite cost is O(compacted cells), the same
     class as every other maintenance op here. Sibling of
     ``sinks.compact_files``, specialized to keep the partition layout
-    (a plain compact_files pass would flatten the cid directories)."""
+    (a plain compact_files pass would flatten the cid directories).
+    Layout-agnostic over cid partitioning: works unchanged on the raw
+    :func:`write_ivf_index` shape and the IVFADC
+    :func:`write_ivfpq_index` shape (codes ride the coalesce; sidecars
+    untouched — pinned in tests)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path

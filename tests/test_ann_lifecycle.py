@@ -514,3 +514,28 @@ def test_global_recluster_trigger_and_blue_green_rebuild(
     full = emb.unionByName(drifted)
     got = _rows(S.ivf_index_topk(spark, new, q, k=5, n_probe=16))
     assert got == _rows(S.brute_force_topk(full, q, k=5))
+
+
+def test_compaction_works_on_the_ivfpq_layout_too(spark, sf_small, tmp_path):
+    """compact_ivf_cells is layout-agnostic over cid partitioning: on an
+    IVFADC index the coalesce carries codes (and sidecars are
+    untouched), so the compacted layout's ADC search is hash-equal."""
+    emb = _emb(spark, sf_small)
+    q = _q(emb)
+    path = str(tmp_path / "idx")
+    Cc = S.lattice_anchor_centroids(emb, 8)
+    As = S.anchor_residual_codebook(emb, Cc)
+    S.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 5 == 0), path,
+        coarse_cents=Cc, codebook=As,
+    )
+    for r in range(1, 5):
+        S.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == r), path)
+    before = _rows(S.ivfpq_index_topk(spark, path, q, k=5, n_probe=8))
+    assert S.compact_ivf_cells(spark, path, target_bytes=1 << 30)
+    assert _rows(S.ivfpq_index_topk(spark, path, q, k=5, n_probe=8)) == before
+    # sidecars untouched by compaction
+    Cc2, As2, scale2 = S.read_ivfpq_sidecars(spark, path)
+    import numpy as np
+
+    assert (Cc2 == Cc).all() and (np.asarray(As2) == np.asarray(As)).all()
