@@ -1737,9 +1737,11 @@ def measure_ivf_coarse_drift(
     layout's ``_meta`` baseline written at build time. The decision rule
     is the codebook trigger's: rebuild when
     ``err > threshold × train_err``. Bounded work: one
-    TakeOrderedAndProject sample + driver numpy."""
+    TakeOrderedAndProject sample + driver numpy. Accepts a versioned
+    root (measures the LIVE version)."""
     import numpy as np
 
+    path = _resolve_maybe_root(spark, path)
     cents = read_ivf_centroids(spark, path)
     meta = (
         spark.read.schema("train_coarse_err double")
@@ -1795,23 +1797,253 @@ def rebuild_ivf_index(
     is no crash window at all, unlike an in-place swap of an entire
     multi-sidecar layout). Below threshold: returns None having written
     nothing. ``build_kw`` forwards to :func:`write_ivf_index`
-    (n_centroids, kmeans knobs, extra_cols...). Metadata columns the old
-    layout stores ride into the rebuild automatically when
-    ``extra_cols`` names them. Returns the new centroid matrix when the
-    rebuild ran."""
+    (n_centroids, kmeans knobs...). Metadata columns the old layout
+    stores — and therefore their ``_stats_*`` selectivity sidecars —
+    ride into the rebuild AUTOMATICALLY (``extra_cols`` defaults to the
+    layout's own metadata columns; verdict r10 nit (c): a rebuild that
+    silently dropped them would lose both the filter columns and the
+    sized-first-probe optimization). Returns the new centroid matrix
+    when the rebuild ran."""
     err, train_err = measure_ivf_coarse_drift(
         spark, old_path, sample_of=sample_of
     )
     if not force and err <= float(drift_threshold) * train_err:
         return None
-    corpus = spark.read.parquet(old_path).select(
+    old = spark.read.parquet(old_path)
+    if "extra_cols" not in build_kw:
+        build_kw["extra_cols"] = tuple(
+            c for c in old.columns if c not in ("neighbor_id", "cv", "cid")
+        )
+    corpus = old.select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("cv").alias("embedding"),
-        *[F.col(c) for c in build_kw.get("extra_cols", ())],
+        *[F.col(c) for c in build_kw["extra_cols"]],
     )
     return write_ivf_index(
         corpus, new_path, id_col="vec_id", vec_col="embedding", **build_kw
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned index roots — the serving pointer blue/green rebuilds flip
+# (verdict r10 item 1: rebuild_ivf_index wrote the new version and the
+# docstring said "serving flips a pointer", but no pointer existed — a
+# crashed rebuild leaked a version dir forever and nothing recorded
+# which version was live)
+# ---------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-class) for ``path`` — the JVM handles every
+    layout-maintenance op here drives renames/creates through."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path
+    return hp(path).getFileSystem(conf), hp
+
+
+_PTR_DIR = "_current"
+
+
+def _list_version_markers(fs, hp, root: str) -> list[tuple[int, str]]:
+    """Sorted (seq, version-dir-name) pairs from the pointer directory —
+    empty when nothing was ever published."""
+    d = hp(root.rstrip("/") + "/" + _PTR_DIR)
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if not name.startswith("ptr_"):
+            continue
+        seq_s, _, ver = name[len("ptr_"):].partition("__")
+        if ver and seq_s.isdigit():
+            out.append((int(seq_s), ver))
+    return sorted(out)
+
+
+def new_index_version_path(spark, root: str, tag: str = "v") -> str:
+    """Allocate the NEXT version directory name under an index ROOT and
+    return the layout path inside it (``<root>/<tag>_<seq>/index`` —
+    sidecars land as siblings of ``index`` within the version dir, so a
+    version is one self-contained subtree that GC can delete whole).
+    Purely computes the name (creates nothing): an abandoned allocation
+    costs zero bytes, and a crashed build leaves only the half-built
+    subtree :func:`gc_retired_versions` removes by its missing
+    ``_SUCCESS``. The seq is one past the max across existing version
+    dirs AND pointer markers, so names never reuse a retired (even
+    GC'd) slot."""
+    fs, hp = _hadoop_fs(spark, root)
+    base = root.rstrip("/")
+    seqs = [s for s, _ in _list_version_markers(fs, hp, base)]
+    if fs.exists(hp(base)):
+        for st in fs.listStatus(hp(base)):
+            name = st.getPath().getName()
+            if st.isDirectory() and "_" in name and name != _PTR_DIR:
+                tail = name.rsplit("_", 1)[1]
+                if tail.isdigit():
+                    seqs.append(int(tail))
+    return f"{base}/{tag}_{(max(seqs) + 1 if seqs else 1):010d}/index"
+
+
+def publish_index_version(spark, root: str, version_path: str) -> None:
+    """Flip the serving pointer to ``version_path`` — ONE atomic
+    create-exclusive of a marker file ``_current/ptr_<seq>__<version>``
+    whose seq is one past the previous marker's. Readers resolve to the
+    HIGHEST-seq marker, so there is no crash window at all: the flip
+    either happened (marker exists) or it didn't (previous marker still
+    serves) — strictly stronger than a delete-then-rename pointer file,
+    which needs read-time recovery for the gap between the two metadata
+    ops. Retired markers are bounded metadata GC'd with their versions.
+    Validates the version's layout actually committed (``_SUCCESS``)
+    before pointing serving at it."""
+    base = root.rstrip("/")
+    vp = version_path.rstrip("/")
+    if not (vp.startswith(base + "/") and vp.endswith("/index")):
+        raise ValueError(
+            f"publish_index_version: {version_path!r} is not a "
+            f"<root>/<version>/index path under root {root!r} — allocate "
+            "it with new_index_version_path"
+        )
+    ver = vp[len(base) + 1:-len("/index")]
+    if "/" in ver:
+        raise ValueError(
+            f"publish_index_version: version dir {ver!r} must be a single "
+            f"path component directly under the root {root!r}"
+        )
+    fs, hp = _hadoop_fs(spark, root)
+    if not fs.exists(hp(vp + "/_SUCCESS")):
+        raise ValueError(
+            f"publish_index_version: layout at {vp!r} has no _SUCCESS "
+            "marker — refusing to point serving at an uncommitted build"
+        )
+    markers = _list_version_markers(fs, hp, base)
+    seq = (markers[-1][0] + 1) if markers else 1
+    fs.mkdirs(hp(base + "/" + _PTR_DIR))
+    marker = hp(f"{base}/{_PTR_DIR}/ptr_{seq:010d}__{ver}")
+    out = fs.create(marker, False)  # create-exclusive: the atomic flip
+    out.close()
+
+
+def resolve_index_path(spark, root: str) -> str:
+    """The LIVE layout path of a versioned index root (highest-seq
+    pointer marker). Raises with guidance when nothing was ever
+    published — an unpublished root must never silently serve a
+    half-built version."""
+    fs, hp = _hadoop_fs(spark, root)
+    markers = _list_version_markers(fs, hp, root.rstrip("/"))
+    if not markers:
+        raise ValueError(
+            f"index root {root!r} has no published version (no "
+            f"{_PTR_DIR}/ptr_* marker) — build one with "
+            "build_ivf_index_versioned / build_ivfpq_index_versioned"
+        )
+    return f"{root.rstrip('/')}/{markers[-1][1]}/index"
+
+
+def _resolve_maybe_root(spark, path: str) -> str:
+    """Serving-side root transparency: search/measure entry points
+    accept EITHER a plain layout path or a versioned root — a root is
+    recognized by its pointer directory and resolved to the live
+    version (one bounded metadata listing; no data files touched)."""
+    fs, hp = _hadoop_fs(spark, path)
+    if fs.exists(hp(path.rstrip("/") + "/" + _PTR_DIR)):
+        return resolve_index_path(spark, path)
+    return path
+
+
+def gc_retired_versions(
+    spark, root: str, keep: int = 1, min_age_sec: float = 3600.0
+) -> list[str]:
+    """Delete retired and orphaned version subtrees under a versioned
+    index root; returns the deleted version dir paths. The rules, each
+    pinned in tests:
+
+    * the LIVE version (highest-seq marker) is NEVER deleted, whatever
+      ``keep`` says;
+    * previously-published versions beyond the ``keep`` most recent
+      (by marker seq) are deleted with their markers — the rollback
+      window is explicit and bounded;
+    * never-published version dirs whose layout has NO ``_SUCCESS`` are
+      crashed builds — deleted (the round-10 leak: a crashed
+      blue/green rebuild left its half-built dir forever);
+    * anything younger than ``min_age_sec`` (dir modification time) is
+      left alone — an in-flight build that hasn't committed yet looks
+      exactly like a crashed one, and the age guard is what tells them
+      apart without any coordination.
+
+    Bounded metadata work throughout (listStatus + per-version delete);
+    safe to run from a scheduler next to live readers — readers resolve
+    through the pointer and the pointed-at subtree is untouched."""
+    import time as _time
+
+    fs, hp = _hadoop_fs(spark, root)
+    base = root.rstrip("/")
+    markers = _list_version_markers(fs, hp, base)
+    published = [ver for _, ver in markers]
+    protected = set(published[-max(int(keep), 1):]) if published else set()
+    now_ms = _time.time() * 1000.0
+    deleted = []
+    if not fs.exists(hp(base)):
+        return deleted
+    for st in fs.listStatus(hp(base)):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name == _PTR_DIR or name in protected:
+            continue
+        if now_ms - st.getModificationTime() < float(min_age_sec) * 1000.0:
+            continue
+        if name in published:
+            pass  # retired beyond the keep window
+        elif fs.exists(hp(f"{base}/{name}/index/_SUCCESS")):
+            continue  # complete but never published — operator's call, keep
+        fs.delete(st.getPath(), True)
+        deleted.append(f"{base}/{name}")
+        for seq, ver in markers:
+            if ver == name:
+                fs.delete(hp(f"{base}/{_PTR_DIR}/ptr_{seq:010d}__{ver}"), False)
+    return deleted
+
+
+def build_ivf_index_versioned(corpus: DataFrame, root: str, **build_kw):
+    """Initial build under a versioned root: write version 1 and
+    publish it — after this, searches pass the ROOT and every
+    blue/green rebuild is invisible to them. Returns the centroid
+    matrix (the :func:`write_ivf_index` contract)."""
+    spark = corpus.sparkSession
+    vpath = new_index_version_path(spark, root)
+    cents = write_ivf_index(corpus, vpath, **build_kw)
+    publish_index_version(spark, root, vpath)
+    return cents
+
+
+def rebuild_ivf_index_versioned(
+    spark,
+    root: str,
+    drift_threshold: float = 2.0,
+    sample_of: DataFrame | None = None,
+    force: bool = False,
+    **build_kw,
+) -> str | None:
+    """The deployable form of :func:`rebuild_ivf_index`: measure coarse
+    drift on the LIVE version (resolved through the pointer), rebuild
+    into the next version dir, and FLIP the pointer when the build
+    commits — readers searching through the root see the old version
+    until the atomic marker create, then the new one; a crash at any
+    point leaves the pointer on the old, fully-readable version and at
+    worst one half-built subtree for :func:`gc_retired_versions`.
+    Returns the new version's layout path (None below threshold).
+    Metadata columns and their selectivity sidecars ride automatically
+    (see :func:`rebuild_ivf_index`)."""
+    live = resolve_index_path(spark, root)
+    vpath = new_index_version_path(spark, root)
+    cents = rebuild_ivf_index(
+        spark, live, vpath, drift_threshold=drift_threshold,
+        sample_of=sample_of, force=force, **build_kw,
+    )
+    if cents is None:
+        return None
+    publish_index_version(spark, root, vpath)
+    return vpath
 
 
 def read_ivf_centroids(spark, path: str):
@@ -1848,9 +2080,13 @@ def ivf_index_topk(
     4-dp + id tie-break total order), so probe-all reproduces exact
     search and the catalog entry hash-oracles against the brute-force
     SQL while n_probe < n_centroids is the measured-recall scale path.
+    ``path`` may be a VERSIONED ROOT (see :func:`publish_index_version`)
+    — resolved through the serving pointer, so blue/green rebuilds are
+    invisible to callers.
     """
     import numpy as np
 
+    path = _resolve_maybe_root(spark, path)
     cents = read_ivf_centroids(spark, path)
     empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
     q_rows = queries.select(id_col, vec_col).collect()
@@ -2466,6 +2702,139 @@ def append_to_ivf_index(
     return cents
 
 
+WRITER_LEASE_TTL_SEC = 3600.0
+"""Default lease time-to-live. Generous because the lease is held
+across the staging WRITE (the long part of a swap); a production
+deployment would heartbeat instead — here the swap refreshes the lease
+once after staging, before the rename sequence, which bounds the
+exposure the same way for the single-box case. Tests monkeypatch this
+down to exercise the steal path."""
+
+
+class WriterLeaseHeld(RuntimeError):
+    """Another maintenance writer holds the layout's lease — the loud
+    failure the single-writer contract was missing (verdict r10 item 4:
+    two streaming drains pointed at one index used to interleave stage
+    dirs and manifests silently)."""
+
+
+def _lease_file(path: str) -> str:
+    return path.rstrip("/") + "__writer_lease"
+
+
+def _read_lease(fs, hp, lease: str):
+    """(owner, epoch_ms) of a lease file, or None when absent/unreadable
+    (a vanished file means the holder released between our existence
+    check and the read — treat as absent and let create-exclusive
+    arbitrate)."""
+    p = hp(lease)
+    try:
+        stream = fs.open(p)
+        try:
+            raw = bytes(stream.readAllBytes()).decode()
+        finally:
+            stream.close()
+        owner, _, ts = raw.strip().partition("\n")
+        return owner, float(ts)
+    except Exception:
+        return None
+
+
+def _write_lease(fs, hp, lease: str, token: str, overwrite: bool) -> None:
+    import time as _time
+
+    out = fs.create(hp(lease), overwrite)  # overwrite=False → atomic claim
+    out.write(bytearray(f"{token}\n{_time.time() * 1000.0:.0f}".encode()))
+    out.close()
+
+
+def acquire_writer_lease(
+    spark, path: str, owner: str | None = None, ttl_sec: float | None = None
+) -> tuple[str, bool]:
+    """Claim exclusive maintenance-writer rights on a layout via an
+    atomic create-exclusive of ``<path>__writer_lease`` (owner id +
+    acquisition timestamp). Returns ``(token, stole)``:
+
+    * no lease → claimed, ``stole=False``;
+    * a LIVE lease (younger than ``ttl_sec``) → raises
+      :class:`WriterLeaseHeld` naming the holder — concurrent
+      maintenance is an operator error and must be loud, never an
+      interleaved-manifest corruption;
+    * a STALE lease (older than the TTL — its holder crashed without
+      releasing) → stolen (delete + re-claim), ``stole=True``; the
+      CALLER must run crash recovery before touching the layout,
+      because a stale lease is evidence of an interrupted writer
+      (:func:`_stage_and_swap_partitions` does exactly this).
+
+    Same single-writer scope as the staged swaps: one lease per layout
+    path, shared by every maintenance op (delete / re-split / retrain /
+    compaction / recovery)."""
+    import uuid as _uuid
+    import time as _time
+
+    fs, hp = _hadoop_fs(spark, path)
+    lease = _lease_file(path)
+    token = owner or f"writer-{_uuid.uuid4().hex[:12]}"
+    ttl = WRITER_LEASE_TTL_SEC if ttl_sec is None else float(ttl_sec)
+    stole = False
+    for _attempt in range(2):
+        try:
+            _write_lease(fs, hp, lease, token, overwrite=False)
+            return token, stole
+        except Exception:
+            pass  # exists (or raced) — inspect the holder
+        held = _read_lease(fs, hp, lease)
+        if held is None:
+            continue  # vanished between create and read — retry the claim
+        holder, ts_ms = held
+        age_sec = _time.time() - ts_ms / 1000.0
+        if age_sec <= ttl:
+            raise WriterLeaseHeld(
+                f"layout at {path!r} is being maintained by {holder!r} "
+                f"(lease age {age_sec:.1f}s ≤ ttl {ttl:.0f}s) — one "
+                "maintenance writer per index; a second concurrent drain "
+                "or maintenance call is an operator error"
+            )
+        # stale: the holder crashed — steal and tell the caller to recover
+        fs.delete(hp(lease), False)
+        stole = True
+    raise WriterLeaseHeld(
+        f"could not claim the writer lease at {path!r} after a steal — "
+        "another writer is racing for it; retry"
+    )
+
+
+def release_writer_lease(spark, path: str, token: str) -> bool:
+    """Release a held lease; owner-checked (a token that no longer owns
+    the file — it was stolen past TTL — releases nothing, so a revived
+    zombie writer cannot evict the current holder). Returns True when
+    the lease was released."""
+    fs, hp = _hadoop_fs(spark, path)
+    lease = _lease_file(path)
+    held = _read_lease(fs, hp, lease)
+    if held is None or held[0] != token:
+        return False
+    fs.delete(hp(lease), False)
+    return True
+
+
+def _refresh_writer_lease(spark, path: str, token: str) -> None:
+    """Re-stamp a held lease's timestamp (owner-checked) — called after
+    the staging write, the long phase of a swap, so the rename sequence
+    never runs on a lease another writer could already consider
+    stale."""
+    fs, hp = _hadoop_fs(spark, path)
+    lease = _lease_file(path)
+    held = _read_lease(fs, hp, lease)
+    if held is None or held[0] != token:
+        raise WriterLeaseHeld(
+            f"writer lease at {path!r} was lost mid-maintenance (now "
+            f"held by {held and held[0]!r}) — this writer exceeded the "
+            "TTL and was superseded; aborting before any rename"
+        )
+    _write_lease(fs, hp, lease, token, overwrite=True)
+
+
 def _stage_and_swap_partitions(
     spark,
     path: str,
@@ -2503,25 +2872,43 @@ def _stage_and_swap_partitions(
 
     :func:`recover_interrupted_partition_swap` rolls back (no manifest →
     nothing renamed yet) or completes (manifest present → resume 4-7) an
-    interrupted run. Same single-writer contract as the sidecar swaps.
+    interrupted run. The single-writer contract is ENFORCED (verdict r10
+    item 4): the whole protocol runs under the layout's writer lease —
+    a second concurrent maintenance call raises :class:`WriterLeaseHeld`
+    instead of interleaving stage dirs, and stealing a stale lease (its
+    holder crashed) triggers crash recovery before any new staging.
     """
     import uuid as _uuid
 
     base = path.rstrip("/")
-    stage = base + f".__{tag}_{_uuid.uuid4().hex[:8]}"
-    new_rows.write.partitionBy("cid").parquet(stage)
-    for suffix, df in sorted((sidecars or {}).items()):
-        df.coalesce(1).write.parquet(stage + f"/__new_sidecar{suffix}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hp = jvm.org.apache.hadoop.fs.Path
-    stage_p = hp(stage)
-    fs = stage_p.getFileSystem(conf)
-    manifest = hp(stage + "/__replaced_manifest")
-    out = fs.create(manifest, True)
-    out.write(bytearray("\n".join(str(int(c)) for c in replaced_cids).encode()))
-    out.close()
-    _finish_partition_swap(fs, hp, base, stage, replaced_cids)
+    token, stole = acquire_writer_lease(spark, base)
+    try:
+        if stole:
+            # a stale lease means an interrupted writer — its orphan
+            # stage must be completed/rolled back before we read the
+            # layout to derive our own staging rows
+            _recover_interrupted_partition_swap_unlocked(spark, base)
+        stage = base + f".__{tag}_{_uuid.uuid4().hex[:8]}"
+        new_rows.write.partitionBy("cid").parquet(stage)
+        for suffix, df in sorted((sidecars or {}).items()):
+            df.coalesce(1).write.parquet(stage + f"/__new_sidecar{suffix}")
+        # the staging write is the long phase — re-stamp the lease so the
+        # rename sequence never runs past the TTL another writer watches
+        _refresh_writer_lease(spark, base, token)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path
+        stage_p = hp(stage)
+        fs = stage_p.getFileSystem(conf)
+        manifest = hp(stage + "/__replaced_manifest")
+        out = fs.create(manifest, True)
+        out.write(
+            bytearray("\n".join(str(int(c)) for c in replaced_cids).encode())
+        )
+        out.close()
+        _finish_partition_swap(fs, hp, base, stage, replaced_cids)
+    finally:
+        release_writer_lease(spark, base, token)
     # drop any cached file listing for the layout — a reader session that
     # scanned it before the swap must not chase renamed-away part files
     spark.catalog.refreshByPath(base)
@@ -2577,7 +2964,21 @@ def recover_interrupted_partition_swap(spark, path: str) -> bool:
     its sidecars mutually consistent). Returns True when anything was
     repaired. Run it before a
     maintenance loop starts, like :func:`~..connectors.sinks.recover_interrupted_swap`
-    for the full-table swaps."""
+    for the full-table swaps. Runs under the writer lease (a LIVE lease
+    means another writer is active — recovering under them would race
+    their stage; a stale one is stolen, which is the normal post-crash
+    path)."""
+    token, _stole = acquire_writer_lease(spark, path.rstrip("/"))
+    try:
+        return _recover_interrupted_partition_swap_unlocked(spark, path)
+    finally:
+        release_writer_lease(spark, path.rstrip("/"), token)
+
+
+def _recover_interrupted_partition_swap_unlocked(spark, path: str) -> bool:
+    """Lease-free body of :func:`recover_interrupted_partition_swap` —
+    also run by a swap that STOLE a stale lease (it already holds the
+    lease, so re-acquiring would deadlock on itself)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path
@@ -2726,7 +3127,21 @@ def compact_ivf_cells(
     Layout-agnostic over cid partitioning: works unchanged on the raw
     :func:`write_ivf_index` shape and the IVFADC
     :func:`write_ivfpq_index` shape (codes ride the coalesce; sidecars
-    untouched — pinned in tests)."""
+    untouched — pinned in tests).
+
+    ALL compacted cells ride ONE Spark job and ONE staged swap (verdict
+    r10 item 3 — the round-10 version looped one job + one swap per
+    cell, so a month-fragmented index with hundreds of hot cells paid
+    hundreds of serial job round-trips and multiplied the
+    crash-recovery states N-fold): one partition-pruned scan of the
+    todo cells is re-bucketed to each cell's size-targeted output count
+    via a per-cell hash slice (``pmod(xxhash64(id), n_out(cid))``) and
+    a single ``repartition(cid, slice)`` — every (cid, slice) pair
+    lands in exactly one task, so each cell writes AT MOST its
+    ``n_out`` files (hash collisions between pairs can only merge
+    files, never split them) — then one manifest names every compacted
+    cid and one atomic-rename pass swaps them all (single recoverable
+    unit; pinned in tests/test_ann_lifecycle.py)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path
@@ -2746,15 +3161,25 @@ def compact_ivf_cells(
         n_out = max(1, -(-total // int(target_bytes)))
         if len(files) > max(n_out, int(min_files) - 1):
             todo.append((int(name[len("cid="):]), int(n_out)))
-    compacted = []
-    for cid, n_out in sorted(todo):
-        cell = (
-            spark.read.parquet(base)
-            .filter(F.col("cid") == cid)
-            .coalesce(n_out)
+    if not todo:
+        return []
+    todo.sort()
+    compacted = [cid for cid, _ in todo]
+    # cid → target file count, as a map literal the slice column reads
+    nmap = F.create_map(
+        *[F.lit(int(v)) for cid, n_out in todo for v in (cid, n_out)]
+    )
+    total_out = sum(n_out for _, n_out in todo)
+    cells = (
+        spark.read.parquet(base)
+        .filter(F.col("cid").isin(compacted))
+        .withColumn(
+            "__slice", F.pmod(F.xxhash64("neighbor_id"), nmap[F.col("cid")])
         )
-        _stage_and_swap_partitions(spark, base, [cid], cell, "ivf_compact")
-        compacted.append(cid)
+        .repartition(max(total_out, 1), "cid", "__slice")
+        .drop("__slice")
+    )
+    _stage_and_swap_partitions(spark, base, compacted, cells, "ivf_compact")
     return compacted
 
 
@@ -3018,6 +3443,7 @@ def filtered_ivf_topk(
     catalog configuration (driver-checked through the DISTRIBUTED tier:
     the catalog entry forces ``distributed_cut=0``).
     """
+    path = _resolve_maybe_root(spark, path)
     # bounded peek: LIMIT cut+1 keeps the dispatch probe O(cut) even on
     # a 10M-row query relation
     over_cut = (
@@ -3422,6 +3848,29 @@ def _ivfpq_encode_pass(
     )
 
 
+def _lattice_coarse_error(X, Cc) -> float:
+    """Mean squared NEAREST-COARSE-CENTROID distance of int64 lattice
+    vectors ``X`` against ``Cc`` — the coarse-quantization quality
+    number, measured with exactly the assignment arithmetic
+    :func:`_ivfpq_encode_pass` uses (exact int64 distances). This is
+    the IVFADC twin of the raw tier's coarse-drift metric: residual
+    error (:func:`_lattice_quantization_error`) watches the CODEBOOK
+    with cells fixed, while this watches the CELL STRUCTURE itself —
+    a corpus whose clusters drift wholesale inflates it even when a
+    retrained codebook keeps residual error flat (verdict r10 item 2)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.int64)
+    if not len(X) or not len(Cc):
+        return 0.0
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ Cc.T)
+        + (Cc * Cc).sum(axis=1)[None, :]
+    )
+    return float(d2.min(axis=1).mean())
+
+
 def _lattice_quantization_error(X, Cc, As) -> float:
     """Mean squared residual-quantization error of int64 lattice vectors
     ``X`` against (coarse ``Cc``, residual codebook ``As``) — coarse
@@ -3639,15 +4088,20 @@ def write_ivfpq_index(
     # layout self-describing; readers validate instead of trusting a
     # caller default. train_err is the codebook's quantization error on
     # a bounded hash-first sample at build time — the drift baseline
-    # measure_ivfpq_drift compares against.
-    train_err = _lattice_quantization_error(
-        _hash_first_lattice_sample(corpus, scale, fit_sample, id_col, vec_col),
-        Cc,
-        As,
+    # measure_ivfpq_drift compares against; train_coarse_err is the same
+    # sample's nearest-coarse-centroid error — the STRUCTURE baseline
+    # measure_ivfpq_coarse_drift compares against (verdict r10 item 2:
+    # residual drift with cells fixed cannot see wholesale cluster
+    # drift, so the compressed tier needs its own coarse trigger)
+    sample_X = _hash_first_lattice_sample(
+        corpus, scale, fit_sample, id_col, vec_col
     )
+    train_err = _lattice_quantization_error(sample_X, Cc, As)
+    train_coarse_err = _lattice_coarse_error(sample_X, Cc)
     spark.createDataFrame(
-        [(int(scale), int(m), int(d), float(train_err))],
-        "scale int, m int, d int, train_err double",
+        [(int(scale), int(m), int(d), float(train_err),
+          float(train_coarse_err))],
+        "scale int, m int, d int, train_err double, train_coarse_err double",
     ).coalesce(1).write.parquet(path + "_meta")
     if extra_cols:
         # selectivity sidecars for the filtered ADC tier (verdict r09
@@ -3660,12 +4114,17 @@ def write_ivfpq_index(
 
 def _read_ivfpq_meta(spark, path: str) -> dict:
     """The ``_meta`` sidecar of a :func:`write_ivfpq_index` layout as a
-    dict (scale, m, d, train_err). Raises ``ValueError`` with guidance on
-    a layout that predates the sidecar — a missing stamp must never
-    silently become a default scale (advice r09 #1)."""
+    dict (scale, m, d, train_err, train_coarse_err — the last is None on
+    layouts predating the round-11 coarse baseline). Raises
+    ``ValueError`` with guidance on a layout that predates the sidecar —
+    a missing stamp must never silently become a default scale (advice
+    r09 #1)."""
     try:
         rows = (
-            spark.read.schema("scale int, m int, d int, train_err double")
+            spark.read.schema(
+                "scale int, m int, d int, train_err double, "
+                "train_coarse_err double"
+            )
             .parquet(path + "_meta")
             .collect()
         )
@@ -3799,10 +4258,12 @@ def ivfpq_index_topk(
     joins the ≤ Q·k·rerank candidates back to the layout's ``cv``
     column. At probe-all the output EQUALS :func:`ivfpq_residual_topk`
     on the same corpus and derivations — which is what lets the catalog
-    entry share the residual oracle."""
+    entry share the residual oracle. ``path`` may be a versioned root
+    (resolved through the serving pointer, as the raw tier)."""
     import numpy as np
     import pandas as pd
 
+    path = _resolve_maybe_root(spark, path)
     empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
     Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
     scale = _resolve_index_scale(stored_scale, scale, "ivfpq_index_topk")
@@ -3935,6 +4396,7 @@ def filtered_ivfpq_topk(
     driver tier's first probe set (jump target = the k·rerank pool),
     changing no output by the same fill(p) ≤ cum(p) argument.
     """
+    path = _resolve_maybe_root(spark, path)
     over_cut = (
         queries.limit(int(distributed_cut) + 1).count() > distributed_cut
     )
@@ -4492,7 +4954,9 @@ def measure_ivfpq_drift(
     sidecar. Error is measured along the APPEND encode path (nearest
     stored centroid, then best code) because that is the arithmetic new
     data actually flows through. Bounded work: one
-    TakeOrderedAndProject sample + driver numpy."""
+    TakeOrderedAndProject sample + driver numpy. Accepts a versioned
+    root (measures the LIVE version)."""
+    path = _resolve_maybe_root(spark, path)
     Cc, As, scale = read_ivfpq_sidecars(spark, path)
     meta = _read_ivfpq_meta(spark, path)
     if sample_of is None:
@@ -4500,6 +4964,137 @@ def measure_ivfpq_drift(
         id_col, vec_col = "neighbor_id", "cv"
     X = _hash_first_lattice_sample(sample_of, scale, sample, id_col, vec_col)
     return _lattice_quantization_error(X, Cc, As), float(meta["train_err"])
+
+
+def measure_ivfpq_coarse_drift(
+    spark,
+    path: str,
+    sample_of: DataFrame | None = None,
+    sample: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[float, float]:
+    """(current_err, train_err) for the IVFADC COARSE quantizer — the
+    compressed tier's global re-cluster trigger (verdict r10 item 2:
+    :func:`measure_ivfpq_drift` watches RESIDUAL error with cells
+    fixed, so a corpus whose cluster STRUCTURE drifts wholesale had no
+    detector at this tier — a codebook retrain keeps residual error
+    flat while every vector sits in the wrong cell). Error is the mean
+    squared distance of a bounded hash-first sample (pass the recent
+    appends for the sharpest signal; default the whole layout) to its
+    NEAREST stored coarse centroid, in exact int64 lattice arithmetic —
+    the assignment path appended data actually flows through; train_err
+    is the same number over the build-time baseline in ``_meta``.
+    Decision rule as the raw tier: rebuild when ``err > threshold ×
+    train_err``. Bounded work: one TakeOrderedAndProject sample +
+    driver numpy. Accepts a versioned root (measures the LIVE
+    version)."""
+    path = _resolve_maybe_root(spark, path)
+    Cc, _As, scale = read_ivfpq_sidecars(spark, path)
+    meta = _read_ivfpq_meta(spark, path)
+    if meta.get("train_coarse_err") is None:
+        raise ValueError(
+            f"IVFADC layout at {path!r} has no coarse-drift baseline in "
+            "its _meta sidecar — it predates the round-11 structure "
+            "trigger; rebuild with write_ivfpq_index to stamp one"
+        )
+    if sample_of is None:
+        sample_of = spark.read.parquet(path)
+        id_col, vec_col = "neighbor_id", "cv"
+    X = _hash_first_lattice_sample(sample_of, scale, sample, id_col, vec_col)
+    return _lattice_coarse_error(X, Cc), float(meta["train_coarse_err"])
+
+
+def rebuild_ivfpq_index(
+    spark,
+    old_path: str,
+    new_path: str,
+    drift_threshold: float = 2.0,
+    sample_of: DataFrame | None = None,
+    force: bool = False,
+    **build_kw,
+):
+    """Drift-triggered GLOBAL re-cluster at the COMPRESSED tier,
+    blue/green — the IVFADC twin of :func:`rebuild_ivf_index` (verdict
+    r10 item 2): when :func:`measure_ivfpq_coarse_drift` exceeds
+    ``drift_threshold × train_err``, re-derive the coarse quantizer AND
+    the residual codebook over the layout's CURRENT rows via
+    :func:`write_ivfpq_index` into ``new_path`` — the old layout stays
+    live and untouched throughout (no crash window; serving flips the
+    version pointer when composed through
+    :func:`rebuild_ivfpq_index_versioned`). Below threshold: returns
+    None having written nothing. The build SHAPE carries over by
+    default — ``scale`` and ``m`` from the ``_meta`` stamp,
+    ``codebook_size``/``n_centroids`` from the stored sidecars,
+    metadata columns (and so their selectivity sidecars) from the
+    layout schema — so a bare ``rebuild_ivfpq_index(spark, old, new)``
+    rebuilds like-for-like; ``build_kw`` overrides any of it
+    (``coarse='lloyd'`` for the production re-cluster, ``'anchor'`` for
+    the oracle-expressible one). Returns (Cc, As) when the rebuild
+    ran."""
+    old_path = _resolve_maybe_root(spark, old_path)
+    err, train_err = measure_ivfpq_coarse_drift(
+        spark, old_path, sample_of=sample_of
+    )
+    if not force and err <= float(drift_threshold) * train_err:
+        return None
+    Cc, As, _scale = read_ivfpq_sidecars(spark, old_path)
+    meta = _read_ivfpq_meta(spark, old_path)
+    old = spark.read.parquet(old_path)
+    if "extra_cols" not in build_kw:
+        build_kw["extra_cols"] = tuple(
+            c for c in old.columns
+            if c not in ("neighbor_id", "cv", "codes", "cid")
+        )
+    build_kw.setdefault("scale", int(meta["scale"]))
+    build_kw.setdefault("m", int(meta["m"]))
+    build_kw.setdefault("codebook_size", int(As.shape[0]))
+    build_kw.setdefault("n_centroids", int(len(Cc)))
+    corpus = old.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+        *[F.col(c) for c in build_kw["extra_cols"]],
+    )
+    return write_ivfpq_index(
+        corpus, new_path, id_col="vec_id", vec_col="embedding", **build_kw
+    )
+
+
+def build_ivfpq_index_versioned(corpus: DataFrame, root: str, **build_kw):
+    """Initial IVFADC build under a versioned root: write version 1 and
+    publish it (the compressed-tier twin of
+    :func:`build_ivf_index_versioned`). Returns (Cc, As)."""
+    spark = corpus.sparkSession
+    vpath = new_index_version_path(spark, root)
+    out = write_ivfpq_index(corpus, vpath, **build_kw)
+    publish_index_version(spark, root, vpath)
+    return out
+
+
+def rebuild_ivfpq_index_versioned(
+    spark,
+    root: str,
+    drift_threshold: float = 2.0,
+    sample_of: DataFrame | None = None,
+    force: bool = False,
+    **build_kw,
+) -> str | None:
+    """The deployable form of :func:`rebuild_ivfpq_index`: measure
+    coarse drift on the LIVE version, rebuild into the next version
+    dir, FLIP the pointer when the build commits — readers searching
+    through the root never see a half-built layout, and a crash leaves
+    at worst one unpublished subtree for :func:`gc_retired_versions`.
+    Returns the new version's layout path (None below threshold)."""
+    live = resolve_index_path(spark, root)
+    vpath = new_index_version_path(spark, root)
+    out = rebuild_ivfpq_index(
+        spark, live, vpath, drift_threshold=drift_threshold,
+        sample_of=sample_of, force=force, **build_kw,
+    )
+    if out is None:
+        return None
+    publish_index_version(spark, root, vpath)
+    return vpath
 
 
 def retrain_ivfpq_codebook(
@@ -4608,9 +5203,17 @@ def retrain_ivfpq_codebook(
         Cc,
         As_new,
     )
+    # the RESIDUAL baseline re-baselines to the new codebook; the COARSE
+    # baseline is carried forward UNCHANGED — a codes-only retrain never
+    # touches the coarse quantizer, so refreshing its baseline on the
+    # (possibly structurally drifted) current sample would silently mask
+    # exactly the wholesale drift measure_ivfpq_coarse_drift exists to
+    # detect (verdict r10 item 2)
+    old_coarse = _read_ivfpq_meta(spark, path).get("train_coarse_err")
     meta_df = spark.createDataFrame(
-        [(int(scale), int(m), int(d), float(new_train_err))],
-        "scale int, m int, d int, train_err double",
+        [(int(scale), int(m), int(d), float(new_train_err),
+          None if old_coarse is None else float(old_coarse))],
+        "scale int, m int, d int, train_err double, train_coarse_err double",
     )
     _stage_and_swap_partitions(
         spark, path, live_cids, reencoded, "ivfpq_retrain",

@@ -189,18 +189,116 @@ def price_percentiles_by_brand(spark, sf_dir):
     )
 
 
+# The sketch VALUES are engine-specific (Greenwald-Khanna / HLL++ have
+# no DuckDB expression), but each sketch PUBLISHES a deterministic error
+# bound — so the entry emits the invariant-audit relation (the r10
+# semdedup discipline, verdict r10 item 5): Spark VERIFIES every approx
+# value against the exact answer within the documented bound and emits
+# one row per property; the oracle is the constant SQL stating those
+# truths plus an exactly-computable context column. A hash-green row
+# certifies the bounds actually held over real sketch output —
+# value-level evidence stays in tests/test_sketches.py.
+_APPROX_PCTL_INVARIANT_ORACLE = """
+    SELECT i.invariant, TRUE AS holds,
+           CAST((SELECT count(DISTINCT p_brand) FROM part) AS BIGINT)
+             AS n_brands
+    FROM (
+      SELECT unnest([
+        'distinct_within_rsd_bound',
+        'p50_within_rank_bound',
+        'p90_within_rank_bound'
+      ]) AS invariant
+    ) i
+    """
+
+
 @register(
     "approx_percentiles_by_brand",
-    None,  # sketch-based: engine-specific numerics, rows-only check
+    _APPROX_PCTL_INVARIANT_ORACLE,
     survey="§2.5: approx_percentile — the 100 TB percentile path (KLL-style"
-    " sketch, one pass, mergeable partials; no global sort)",
-    tags=("adv", "agg"),
+    " sketch, one pass, mergeable partials; no global sort). Round 11"
+    " (verdict r10 item 5): driver-checked via the INVARIANT ORACLE —"
+    " every per-brand approx percentile is audited against the exact"
+    " rank window the sketch's accuracy parameter guarantees"
+    " (rank error ≤ N/accuracy), and approx_count_distinct against its"
+    " rsd bound; the emitted relation is the audit, hash-pinned against"
+    " the constant SQL stating it",
+    tags=("adv", "agg", "sketch"),
 )
 def approx_percentiles_by_brand(spark, sf_dir):
+    """Per-brand approx_percentile(0.5/0.9, accuracy=100) and
+    approx_count_distinct(rsd=0.05), AUDITED: the value the sketch
+    returns must occupy a rank within eps*N (+1 discreteness slack) of
+    the target rank in its group's exact order, and the HLL++ estimate
+    must sit within 5*rsd of the exact distinct count. bool_and over
+    all brands per property; empty input holds vacuously (matching the
+    oracle's constant TRUE over n_brands=0)."""
     p = t(spark, sf_dir, "part")
-    return p.groupBy("p_brand").agg(
-        F.approx_percentile("p_retailprice", F.lit(0.5)).alias("p50_approx"),
-        F.approx_count_distinct("p_partkey").alias("nparts_approx"),
+    acc = 100  # rank error bound: eps = 1/accuracy of each group's N
+    rsd = 0.05
+    approx = p.groupBy("p_brand").agg(
+        F.approx_percentile("p_retailprice", F.lit(0.5), F.lit(acc))
+        .alias("p50"),
+        F.approx_percentile("p_retailprice", F.lit(0.9), F.lit(acc))
+        .alias("p90"),
+        F.approx_count_distinct("p_partkey", rsd).alias("nd_approx"),
+        F.count_distinct("p_partkey").alias("nd_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # one joined pass computes the rank interval each returned value
+    # occupies in its group's exact order: [count(< v) + 1, count(<= v)]
+    lt = lambda v: F.sum(  # noqa: E731
+        (F.col("p_retailprice") < F.col(v)).cast("long")
+    )
+    le = lambda v: F.sum(  # noqa: E731
+        (F.col("p_retailprice") <= F.col(v)).cast("long")
+    )
+    j = (
+        p.select("p_brand", "p_retailprice")
+        .join(F.broadcast(approx), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("nd_approx").alias("nd_approx"),
+            F.first("nd_exact").alias("nd_exact"),
+            lt("p50").alias("lo50"), le("p50").alias("hi50"),
+            lt("p90").alias("lo90"), le("p90").alias("hi90"),
+        )
+    )
+
+    def rank_ok(q, lo, hi):
+        # the value's occupied rank interval must intersect the
+        # guaranteed window [q*n - eps*n - 1, q*n + eps*n + 1]
+        target = F.lit(q) * F.col("n")
+        slack = F.col("n") / F.lit(float(acc)) + F.lit(1.0)
+        return (F.col(lo) + F.lit(1) <= target + slack) & (
+            F.col(hi) >= target - slack
+        )
+
+    nd_ok = (
+        F.abs(F.col("nd_approx") - F.col("nd_exact"))
+        <= F.lit(5.0 * rsd) * F.col("nd_exact") + F.lit(1.0)
+    )
+    audit = j.agg(
+        F.coalesce(F.bool_and(rank_ok(0.5, "lo50", "hi50")), F.lit(True))
+        .alias("ok50"),
+        F.coalesce(F.bool_and(rank_ok(0.9, "lo90", "hi90")), F.lit(True))
+        .alias("ok90"),
+        F.coalesce(F.bool_and(nd_ok), F.lit(True)).alias("oknd"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+
+    def row(name, col):
+        return audit.select(
+            F.lit(name).alias("invariant"),
+            F.col(col).alias("holds"),
+            F.col("n_brands"),
+        )
+
+    return (
+        row("distinct_within_rsd_bound", "oknd")
+        .unionByName(row("p50_within_rank_bound", "ok50"))
+        .unionByName(row("p90_within_rank_bound", "ok90"))
     )
 
 
@@ -703,22 +801,83 @@ def rolling_7d_revenue(spark, sf_dir):
     )
 
 
+# Estimates are engine-specific, but the DataSketches HLL publishes a
+# relative-error bound — the invariant-audit discipline again (verdict
+# r10 item 5): Spark checks every per-day estimate AND the
+# union-of-sketches estimate against exact distinct counts within a
+# deterministic tolerance, emitting one row per property; the oracle is
+# the constant SQL stating them with the exactly-computable day count.
+_HLL_INVARIANT_ORACLE = """
+    SELECT i.invariant, TRUE AS holds,
+           CAST((SELECT count(DISTINCT date_trunc('day', ts)) FROM events)
+                AS BIGINT) AS n_days
+    FROM (
+      SELECT unnest([
+        'daily_estimate_within_rel_error',
+        'merged_estimate_within_rel_error'
+      ]) AS invariant
+    ) i
+    """
+
+
 @register(
     "hll_daily_users",
-    None,  # engine-specific HLL estimates; mergeability + error bounds are
-    # asserted in tests/test_sketches.py (rows-only driver check)
+    _HLL_INVARIANT_ORACLE,
     survey="§2.5 extension: mergeable distinct-count sketches — daily HLL"
     " sketch of user_id (Apache DataSketches via hll_sketch_agg); the"
     " 100 TB pattern is sketch-per-partition once, union at query time"
-    " (re-aggregation without re-scanning raw data)",
+    " (re-aggregation without re-scanning raw data). Round 11 (verdict"
+    " r10 item 5): driver-checked via the INVARIANT ORACLE — every"
+    " per-day estimate and the hll_union_agg merge are audited within"
+    " the sketch's relative-error bound against exact distincts,"
+    " hash-pinned against the constant SQL stating it",
     tags=("adv", "sketch"),
 )
 def hll_daily_users(spark, sf_dir):
+    """Daily HLL sketches of user_id, AUDITED: each day's estimate must
+    sit within 10x the sketch's standard relative error (lgConfigK=12 →
+    rsd ≈ 1.04/√4096 ≈ 1.6%; the 10x margin keeps a deterministic
+    check deterministic-by-construction for fixed data — HLL register
+    merges are max(), so the estimate is partitioning-independent) of
+    the exact distinct count, and the UNION of the daily sketches
+    (re-aggregation without re-scanning — the sketch's raison d'être)
+    within the same bound of the global exact count. Empty input holds
+    vacuously, matching the oracle's constants."""
     ev = read_events(spark, sf_dir).select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
     )
-    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return daily.select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+    tol = 10.0 * 1.04 / (4096.0 ** 0.5)
+    daily = ev.groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("nd"),
+    )
+    day_ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("nd"))
+        <= F.lit(tol) * F.col("nd") + F.lit(1.0)
+    )
+    a = daily.agg(
+        F.coalesce(F.bool_and(day_ok), F.lit(True)).alias("daily_ok"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    total = ev.agg(F.count_distinct("user_id").alias("nd_total"))
+    audit = a.crossJoin(F.broadcast(total)).select(
+        "daily_ok",
+        "n_days",
+        F.coalesce(
+            F.abs(F.col("merged_est") - F.col("nd_total"))
+            <= F.lit(tol) * F.col("nd_total") + F.lit(1.0),
+            F.lit(True),  # empty input: no sketches to merge
+        ).alias("merged_ok"),
+    )
+
+    def row(name, col):
+        return audit.select(
+            F.lit(name).alias("invariant"),
+            F.col(col).alias("holds"),
+            F.col("n_days"),
+        )
+
+    return row("daily_estimate_within_rel_error", "daily_ok").unionByName(
+        row("merged_estimate_within_rel_error", "merged_ok")
     )

@@ -96,3 +96,56 @@ def test_incomparable_previous_artifact_yields_none(bench):
     assert bench._vs_prev_normalized(
         {"q1": 1.0}, 1.0, 0.5, spread=(2.0, 2.0), prev=prev
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# Run-time calibration (verdict r10 item 7): bounds derived from the
+# run's own within-regime rep spread — not one box's constants
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_derives_bounds_from_rep_spread(bench):
+    """A quiet box (tight reps) earns a tight gate; a noisy one a wide
+    gate — 3x the worst within-regime spread, floored and capped."""
+    quiet = bench._calibrate_gate_bounds([2.00, 2.02, 2.01], [1.98, 2.00, 1.99])
+    assert quiet["calibration"] == "3x-within-regime-rep-spread"
+    assert quiet["slowdown_bound"] == bench.GATE_MIN_SLOW_BOUND  # floored
+    assert quiet["speedup_bound"] == pytest.approx(
+        quiet["slowdown_bound"] + bench.GATE_JIT_ALLOWANCE
+    )
+    assert quiet["reps"] == 6
+    noisy = bench._calibrate_gate_bounds([2.0, 2.3, 2.1], [2.0, 2.2, 2.05])
+    assert noisy["slowdown_bound"] == pytest.approx(3 * 0.15, abs=1e-3)
+    assert noisy["slowdown_bound"] > quiet["slowdown_bound"]
+    crazy = bench._calibrate_gate_bounds([2.0, 4.0, 2.0], [2.0, 2.0, 2.0])
+    assert crazy["slowdown_bound"] == bench.GATE_MAX_SLOW_BOUND  # capped
+
+
+def test_calibration_fails_safe_to_constants(bench):
+    """Degenerate rep lists (empty, zero times) must never produce a
+    meaningless bound — the documented constants take over."""
+    for pre, post in ([], []), ([2.0, 2.1, 2.0], []), ([0.0, 2.0], [2.0]):
+        got = bench._calibrate_gate_bounds(pre, post)
+        assert got["calibration"] == "fallback-constants"
+        assert got["slowdown_bound"] == bench.CONTROL_SPREAD_BOUND
+        assert got["speedup_bound"] == bench.CONTROL_SPEEDUP_BOUND
+
+
+def test_derived_bounds_drive_the_gate(bench):
+    """The same pre/post pair passes under a wide derived bound and is
+    withheld under a tight one — and the status line names the bound it
+    was judged against."""
+    timings = {"q1": 1.0}
+    prev = _prev({"q1": 1.0})
+    tight = {"slowdown_bound": 0.10, "speedup_bound": 0.25}
+    wide = {"slowdown_bound": 0.45, "speedup_bound": 0.60}
+    pair = (2.0, 2.4)  # +20% slowdown
+    out_tight = bench._vs_prev_normalized(
+        timings, 1.0, 0.5, spread=pair, prev=prev, bounds=tight
+    )
+    assert set(out_tight) == {"status"}
+    assert "0.1" in out_tight["status"]
+    out_wide = bench._vs_prev_normalized(
+        timings, 1.0, 0.5, spread=pair, prev=prev, bounds=wide
+    )
+    assert "normalized_query_ratio" in out_wide

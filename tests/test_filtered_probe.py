@@ -285,3 +285,73 @@ def test_distributed_tiers_take_the_selectivity_jump(spark, tmp_path):
         )
     )
     assert S._filtered_ivfpq_topk_distributed.last_rounds > 1
+
+
+# ---------------------------------------------------------------------------
+# Stats survive RETRAIN and REBUILD (verdict r10 item 6 — until now
+# unasserted: retrain swaps every live cell, rebuild writes a fresh
+# layout; either could silently strand or drop the sidecar)
+# ---------------------------------------------------------------------------
+
+
+def _recount(spark, path):
+    return _rows(
+        spark.read.parquet(path)
+        .groupBy("cid", F.col("label").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_stats_stay_true_through_codebook_retrain(spark, tmp_path):
+    """A forced retrain rewrites every live cell through the staged
+    swap with codes-only changes — per-(cid, value) counts are
+    invariant, so the sidecar must still equal a from-scratch recount
+    and filtered search must produce identical output after it."""
+    emb = _selective_corpus(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "pq")
+    S.write_ivfpq_index(emb, path, n_centroids=4, extra_cols=("label",))
+    want = _rows(
+        S.filtered_ivfpq_topk(spark, path, q, filter_col="label",
+                              k=5, n_probe=1)
+    )
+    assert S.retrain_ivfpq_codebook(spark, path, force=True, mode="anchor")
+    assert S.read_ivf_list_stats(spark, path, "label") is not None
+    assert _rows(S.read_ivf_list_stats(spark, path, "label")) == _recount(
+        spark, path
+    )
+    got = _rows(
+        S.filtered_ivfpq_topk(spark, path, q, filter_col="label",
+                              k=5, n_probe=1)
+    )
+    assert got == want
+
+
+def test_stats_regenerate_through_versioned_rebuild(spark, tmp_path):
+    """A blue/green rebuild carries the layout's metadata columns
+    automatically (verdict r10 nit (c)) and REGENERATES their stats
+    sidecars for the new geometry — the selectivity jump still fires
+    (1 round on the selective label) when searching through the
+    ROOT."""
+    emb = _selective_corpus(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    root = str(tmp_path / "idx")
+    S.build_ivf_index_versioned(
+        emb, root, n_centroids=4, kmeans_max_iter=5, extra_cols=("label",)
+    )
+    want = _rows(S.filtered_topk(emb, q, filter_col="label", k=5))
+    v2 = S.rebuild_ivf_index_versioned(
+        spark, root, force=True, n_centroids=4, kmeans_max_iter=5
+    )
+    assert v2 is not None
+    # fresh stats for the fresh geometry, true against a recount
+    assert _rows(S.read_ivf_list_stats(spark, v2, "label")) == _recount(
+        spark, v2
+    )
+    got = _rows(
+        S.filtered_ivf_topk(spark, root, q, filter_col="label",
+                            k=5, n_probe=1)
+    )
+    assert got == want
+    # the sized first probe is intact post-rebuild: one round trip
+    assert S._filtered_ivf_topk_driver.last_rounds == 1

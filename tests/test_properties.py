@@ -869,3 +869,104 @@ def test_ivfpq_append_delete_commute(spark, sf_small, order):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     assert got == _pq_maint_ref["ref"], order
+
+
+_PQ_FULL_OPS = ("a1", "a2", "r", "d")
+_pq_full_ref = {}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(order=st.permutations(_PQ_FULL_OPS))
+def test_ivfpq_resplit_interleavings_commute_at_exactness(
+    spark, sf_small, order
+):
+    """The adjudicated CEILING for re-split interleavings at the
+    compressed tier (verdict r10 item 8, closed as documented-impossible
+    in COVERAGE.md): hash-commutativity of the stored layout cannot
+    exist — a re-split derives its child centroids from whatever rows
+    the cell holds AT SPLIT TIME, and post-split appends coarse-assign
+    against the post-split centroid set, so both the geometry and the
+    codes are genuinely order-dependent (a deferred-re-encode variant
+    would change neither fact; it would only add a stale-codes window).
+    What every interleaving MUST preserve is pinned here instead:
+
+    1. the row SET — no op loses or duplicates rows;
+    2. code SELF-CONSISTENCY — every stored code is re-derivable from
+       (vector, owning centroid, codebook): the eager re-encode design
+       has NO stale window at all, strictly stronger than the deferred
+       alternative's bounded staleness;
+    3. probe-all + rerank-all search == brute force over survivors —
+       order-INdependent, because exactness is layout-independent (the
+       same argument that makes the raw tier's algebra commute; it
+       never depended on geometry there either)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from postgres_etl_pipeline_spark.operators import similarity as S
+    from postgres_etl_pipeline_spark.queries import spread, t
+
+    emb = spread(t(spark, sf_small, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 5 <= 2)
+    slices = {
+        "a1": emb.filter(F.col("vec_id") % 5 == 3),
+        "a2": emb.filter(F.col("vec_id") % 5 == 4),
+    }
+    tombs = base.filter(F.col("vec_id") % 9 == 0)
+    q = emb.filter(F.col("vec_id") < 10)
+    Cc = S.lattice_anchor_centroids(emb, 8)
+    As = S.anchor_residual_codebook(emb, Cc)
+    if "ref" not in _pq_full_ref:
+        survivors = emb.filter(
+            ~((F.col("vec_id") % 5 <= 2) & (F.col("vec_id") % 9 == 0))
+        )
+        _pq_full_ref["ref"] = sorted(
+            map(tuple, S.brute_force_topk(survivors, q, k=5).collect())
+        )
+        _pq_full_ref["ids"] = sorted(
+            r[0] for r in survivors.select("vec_id").collect()
+        )
+    scratch = tempfile.mkdtemp(prefix="pq_full_commute_")
+    try:
+        path = scratch + "/index"
+        S.write_ivfpq_index(base, path, coarse_cents=Cc, codebook=As)
+        for op in order:
+            if op in slices:
+                S.append_to_ivfpq_index(slices[op], path)
+            elif op == "r":
+                S.resplit_ivfpq_cell(spark, path, n_sub=2, split_mode="anchor")
+            else:
+                S.delete_from_ivfpq_index(spark, path, tombs)
+        # (1) row set is order-independent
+        rows = spark.read.parquet(path).select(
+            "neighbor_id", "cv", "codes", "cid"
+        ).collect()
+        assert sorted(r["neighbor_id"] for r in rows) == _pq_full_ref["ids"], order
+        # (2) every stored code re-derives from (vector, owning centroid,
+        # codebook) — zero stale window after ANY interleaving
+        Cc2, As2, scale = S.read_ivfpq_sidecars(spark, path)
+        m, d = As2.shape[1], As2.shape[2]
+        a_sq = (np.asarray(As2) ** 2).sum(-1)  # (C, m)
+        for r in rows:
+            X = np.floor(np.array(r["cv"]) * scale + 0.5).astype(np.int64)
+            R = (X - Cc2[r["cid"]]).reshape(m, d)
+            for s in range(m):
+                gs = R[s] @ np.asarray(As2)[:, s, :].T
+                want = int(np.argmin(a_sq[:, s] - 2 * gs))
+                assert r["codes"][s] == want, (order, r["neighbor_id"], s)
+        # (3) exactness is layout-independent: probe-all + rerank-all
+        # equals brute force over survivors, whatever the interleaving
+        got = sorted(
+            map(
+                tuple,
+                S.ivfpq_index_topk(
+                    spark, path, q, k=5, rerank=10_000,
+                    n_probe=len(Cc2),
+                ).collect(),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    assert got == _pq_full_ref["ref"], order

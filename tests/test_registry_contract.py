@@ -15,19 +15,14 @@ from pyspark.sql import types as T
 
 from postgres_etl_pipeline_spark.queries import REGISTRY, queries as load_all
 
-# Only genuinely un-oracle-able entries remain: SKETCH outputs whose exact
-# values are implementation-defined (error bounds pinned in
-# tests/test_sketches.py). embedding_ivf_topk (probe-all = exact) and
-# multimodal_feature_extract (deterministic stub decode) gained hash
-# oracles in round 5.
-ROWS_ONLY = {
-    "approx_percentiles_by_brand",   # sketch values are engine-specific
-    "hll_daily_users",               # DataSketches estimates
-    # semdedup_scaled_keep_list left this set in round 10: its keep-list
-    # VALUES stay engine-specific, but the entry now emits the
-    # structural-invariant audit relation, hash-pinned against the
-    # constant invariant SQL (verdict r09 item 8)
-}
+# Round 11 (verdict r10 item 5): the rows-only debt is RETIRED. The two
+# sketch entries (approx_percentiles_by_brand, hll_daily_users) joined
+# semdedup_scaled_keep_list in emitting invariant-audit relations —
+# their VALUES stay engine-specific, but each entry now verifies its
+# sketch's published error bound against the exact answer Spark-side
+# and hash-pins the audit against the constant SQL stating it. Every
+# catalog entry is oracle-checked.
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.fixture(scope="module", autouse=True)
