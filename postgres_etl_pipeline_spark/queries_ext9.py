@@ -64,24 +64,23 @@ def ivf_versioned_rebuild_topk(spark, sf_dir):
         cents = S.build_ivf_index_versioned(
             emb, root, n_centroids=8, kmeans_max_iter=1, kmeans_init="random"
         )
-        n_probe = 16
-        if len(cents):
-            vpath = S.rebuild_ivf_index_versioned(
-                spark, root, force=True,
-                n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        if not len(cents):
+            # empty corpus: nothing was published (no committed data dir
+            # to point serving at) and the search answer is empty
+            return spark.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, cos_sim double, rank int",
             )
-            assert vpath == S.resolve_index_path(spark, root)
-            # retire v1; the pointer-protected v2 must survive
-            S.gc_retired_versions(spark, root, keep=1, min_age_sec=0.0)
-            out = S.ivf_index_topk(
-                spark, root, emb.filter(F.col("vec_id") < 20),
-                k=5, n_probe=n_probe,
-            )
-        else:  # empty corpus: v1 is sidecar-only — search it directly
-            out = S.ivf_index_topk(
-                spark, root + "/v_0000000001/index",
-                emb.filter(F.col("vec_id") < 20), k=5, n_probe=n_probe,
-            )
+        vpath = S.rebuild_ivf_index_versioned(
+            spark, root, force=True,
+            n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        )
+        assert vpath == S.resolve_index_path(spark, root)
+        # retire v1; the pointer-protected v2 must survive
+        S.gc_retired_versions(spark, root, keep=1, min_age_sec=0.0)
+        out = S.ivf_index_topk(
+            spark, root, emb.filter(F.col("vec_id") < 20), k=5, n_probe=16
+        )
         rows = out.collect()
         schema = out.schema
     finally:

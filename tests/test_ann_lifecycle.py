@@ -860,3 +860,56 @@ def test_zombie_writer_cannot_release_a_stolen_lease(
     with pytest.raises(S.WriterLeaseHeld, match="superseded"):
         S._refresh_writer_lease(spark, path, zombie)
     assert S.release_writer_lease(spark, path, current) is True
+
+
+# ---------------------------------------------------------------------------
+# Delete affected-cell scan bounding (verdict r10 nit (b)): bounded
+# tombstone batches push a literal IN to the parquet scan — row-group
+# min/max stats prune non-matching cells with zero extra sidecar state
+# ---------------------------------------------------------------------------
+
+
+def test_delete_pushdown_path_matches_join_path(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """Both tombstone resolutions (literal-IN pushdown for bounded
+    batches, shuffle join for unbounded) must rewrite the same cells to
+    the same survivors; the pushdown path's probe and survivor scans
+    must actually carry the In predicate into PushedFilters (what lets
+    parquet skip row groups whose id range can't match)."""
+    import re
+
+    from postgres_etl_pipeline_spark.plans import plan_string
+
+    emb = _emb(spark, sf_small)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        S.write_ivf_index(emb, p, n_centroids=4, kmeans_max_iter=1,
+                          kmeans_init="random")
+    tomb = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    captured = []
+    real = S._stage_and_swap_partitions
+
+    def spy(spark_, path_, cids, new_rows, *args, **kw):
+        captured.append(new_rows)
+        return real(spark_, path_, cids, new_rows, *args, **kw)
+
+    monkeypatch.setattr(S, "_stage_and_swap_partitions", spy)
+    got_a = S.delete_from_ivf_index(spark, a, tomb)       # pushdown path
+    monkeypatch.setattr(S, "DELETE_PUSHDOWN_CUT", 0)
+    got_b = S.delete_from_ivf_index(spark, b, tomb)       # join path
+    monkeypatch.undo()
+    assert got_a == got_b and got_a
+    assert _rows(spark.read.parquet(a).drop("cv")) == _rows(
+        spark.read.parquet(b).drop("cv")
+    )
+    # the pushdown survivors scan: neighbor_id NOT-IN reached the reader
+    pushed = re.findall(
+        r"PushedFilters: \[[^\]]*\]", plan_string(captured[0], "formatted")
+    )
+    assert any("In(neighbor_id" in p for p in pushed), pushed
+    # the join path shuffles instead — no literal In pushed
+    pushed_b = re.findall(
+        r"PushedFilters: \[[^\]]*\]", plan_string(captured[1], "formatted")
+    )
+    assert not any("In(neighbor_id" in p for p in pushed_b), pushed_b

@@ -12,7 +12,14 @@ from .oracle_harness import compare
 _load_all()  # pull the extension catalog into REGISTRY before parametrize
 
 ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle]
-ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if not s.oracle]
+
+
+def test_every_entry_is_oracle_checked():
+    """Round 11 retired the rows-only set (the two sketch entries now
+    emit invariant-audit relations with constant-SQL oracles) — this
+    suite therefore IS the whole catalog; a new oracle-less entry must
+    be a deliberate decision, not a forgotten oracle."""
+    assert [n for n, s in REGISTRY.items() if not s.oracle] == []
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -20,11 +27,3 @@ def test_query_matches_oracle(spark, sf_small, name):
     spec = REGISTRY[name]
     result = compare(spec.fn(spark, sf_small), spec.oracle, sf_small)
     assert result["ok"], f"{name}: {result}"
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, sf_small, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_small)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
