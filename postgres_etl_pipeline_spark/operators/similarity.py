@@ -2037,16 +2037,33 @@ def rebuild_ivf_index_versioned(
     worst one half-built subtree for :func:`gc_retired_versions`.
     Returns the new version's layout path (None below threshold).
     Metadata columns and their selectivity sidecars ride automatically
-    (see :func:`rebuild_ivf_index`)."""
+    (see :func:`rebuild_ivf_index`).
+
+    Holds the LIVE version's writer lease for the whole
+    measure→build→publish span: an append that landed on the old
+    version after the rebuild's corpus read would be absent from the
+    new version and silently lost once the old one is GC'd — with the
+    lease held, that append raises :class:`WriterLeaseHeld` instead
+    (retry after the flip lands it on the new live version). The lease
+    is re-stamped before the flip so a build longer than the TTL can
+    never publish on a lease another writer already stole (pinned in
+    tests)."""
     live = resolve_index_path(spark, root)
     vpath = new_index_version_path(spark, root)
-    cents = rebuild_ivf_index(
-        spark, live, vpath, drift_threshold=drift_threshold,
-        sample_of=sample_of, force=force, **build_kw,
-    )
-    if cents is None:
-        return None
-    publish_index_version(spark, root, vpath)
+    token, stole = acquire_writer_lease(spark, live)
+    try:
+        if stole:
+            _recover_interrupted_partition_swap_unlocked(spark, live)
+        cents = rebuild_ivf_index(
+            spark, live, vpath, drift_threshold=drift_threshold,
+            sample_of=sample_of, force=force, **build_kw,
+        )
+        if cents is None:
+            return None
+        _refresh_writer_lease(spark, live, token)
+        publish_index_version(spark, root, vpath)
+    finally:
+        release_writer_lease(spark, live, token)
     return vpath
 
 
@@ -2700,9 +2717,21 @@ def append_to_ivf_index(
         # pin the batch's assignment once: the same rows feed the append
         # AND the stats merge
         assigned = assigned.localCheckpoint(eager=True)
-    assigned.write.mode("append").partitionBy("cid").parquet(path)
-    if extra_cols:
-        _merge_ivf_list_stats(spark, assigned, path)
+    # lease-guarded (round 11): an append racing a maintenance swap would
+    # interleave with its staged cells, and an append racing a BLUE/GREEN
+    # REBUILD would land on the old version after the rebuild's corpus
+    # read — absent from the new version and silently LOST once the old
+    # one is GC'd. The rebuild holds this lease for its whole
+    # measure→build→publish span, so the race dies loudly here instead.
+    token, stole = acquire_writer_lease(spark, path)
+    try:
+        if stole:
+            _recover_interrupted_partition_swap_unlocked(spark, path)
+        assigned.write.mode("append").partitionBy("cid").parquet(path)
+        if extra_cols:
+            _merge_ivf_list_stats(spark, assigned, path)
+    finally:
+        release_writer_lease(spark, path, token)
     return cents
 
 
@@ -4270,9 +4299,18 @@ def append_to_ivfpq_index(
     encoded = _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols)
     if extra_cols:
         encoded = encoded.localCheckpoint(eager=True)  # append + stats merge
-    encoded.write.mode("append").partitionBy("cid").parquet(path)
-    if extra_cols:
-        _merge_ivf_list_stats(spark, encoded, path)
+    # lease-guarded for the same two races as the raw-tier append (see
+    # append_to_ivf_index): a concurrent maintenance swap, and the
+    # append-lost-behind-a-rebuild window
+    token, stole = acquire_writer_lease(spark, path)
+    try:
+        if stole:
+            _recover_interrupted_partition_swap_unlocked(spark, path)
+        encoded.write.mode("append").partitionBy("cid").parquet(path)
+        if extra_cols:
+            _merge_ivf_list_stats(spark, encoded, path)
+    finally:
+        release_writer_lease(spark, path, token)
     return Cc, As
 
 
@@ -5124,16 +5162,25 @@ def rebuild_ivfpq_index_versioned(
     dir, FLIP the pointer when the build commits — readers searching
     through the root never see a half-built layout, and a crash leaves
     at worst one unpublished subtree for :func:`gc_retired_versions`.
-    Returns the new version's layout path (None below threshold)."""
+    Returns the new version's layout path (None below threshold).
+    Holds the live version's writer lease across measure→build→publish
+    for the same lost-append race the raw-tier wrapper documents."""
     live = resolve_index_path(spark, root)
     vpath = new_index_version_path(spark, root)
-    out = rebuild_ivfpq_index(
-        spark, live, vpath, drift_threshold=drift_threshold,
-        sample_of=sample_of, force=force, **build_kw,
-    )
-    if out is None:
-        return None
-    publish_index_version(spark, root, vpath)
+    token, stole = acquire_writer_lease(spark, live)
+    try:
+        if stole:
+            _recover_interrupted_partition_swap_unlocked(spark, live)
+        out = rebuild_ivfpq_index(
+            spark, live, vpath, drift_threshold=drift_threshold,
+            sample_of=sample_of, force=force, **build_kw,
+        )
+        if out is None:
+            return None
+        _refresh_writer_lease(spark, live, token)
+        publish_index_version(spark, root, vpath)
+    finally:
+        release_writer_lease(spark, live, token)
     return vpath
 
 

@@ -90,6 +90,20 @@ is deliberately a CONSTANT invariant relation (the Spark side does ALL
 the verification work — fit, prune, repartitioned recompute, pairwise
 checks — and DuckDB just states what must hold), so its ratio is
 meaningless by construction and reported only for completeness.
+
+The round-11 VERSIONED rows are the heaviest lifecycles yet, by
+design: `ivf_versioned_rebuild_topk` is TWO full index builds (v1 +
+the forced blue/green rebuild) plus the pointer flip, retired-version
+GC, and the search through the root; `ivfpq_coarse_rebuild_search` is
+two full IVFADC builds around the coarse-drift trigger. Their ratios
+measure the whole deployment lifecycle against one oracle execution —
+the serving-path number is the same probe-all search every other row
+isolates, and the pointer machinery itself is bounded metadata (one
+marker create + one listing; invisible at any corpus size). The two
+sketch-audit rows (`approx_percentiles_by_brand`, `hll_daily_users`)
+follow the semdedup convention: the oracle is constant SQL and Spark
+does ALL the verification (sketch + exact answer + bound check), so
+their ratios are likewise reported only for completeness.
 """
 
 

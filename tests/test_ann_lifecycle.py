@@ -913,3 +913,47 @@ def test_delete_pushdown_path_matches_join_path(
         r"PushedFilters: \[[^\]]*\]", plan_string(captured[1], "formatted")
     )
     assert not any("In(neighbor_id" in p for p in pushed_b), pushed_b
+
+
+def test_append_during_rebuild_raises_instead_of_losing_rows(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The lost-append race (round 11): an append landing on the live
+    version AFTER a blue/green rebuild's corpus read would be absent
+    from the new version and silently gone once the old one is GC'd.
+    The versioned rebuild holds the live layout's writer lease for its
+    whole measure->build->publish span, so the racing append raises;
+    retried after the flip, it lands on the NEW live version and is
+    searchable through the root."""
+    emb = _emb(spark, sf_small).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    late = emb.filter(F.col("vec_id") % 10 == 0)
+    root = str(tmp_path / "idx")
+    S.build_ivf_index_versioned(base, root, n_centroids=4,
+                                kmeans_max_iter=1, kmeans_init="random")
+    live_v1 = S.resolve_index_path(spark, root)
+    seen = {}
+    real_write = S.write_ivf_index
+
+    def write_with_racing_append(corpus, path, **kw):
+        # mid-build, a streaming drain tries to append to the LIVE
+        # version — must die loudly, not vanish behind the flip
+        with pytest.raises(S.WriterLeaseHeld):
+            S.append_to_ivf_index(late, live_v1)
+        seen["raced"] = True
+        return real_write(corpus, path, **kw)
+
+    monkeypatch.setattr(S, "write_ivf_index", write_with_racing_append)
+    v2 = S.rebuild_ivf_index_versioned(
+        spark, root, force=True,
+        n_centroids=4, kmeans_max_iter=1, kmeans_init="random",
+    )
+    monkeypatch.undo()
+    assert seen.get("raced") and v2 is not None
+    # the lease died with the rebuild; the retried append lands on the
+    # new live version and the full corpus is served through the root
+    assert not os.path.exists(v2 + "__writer_lease")
+    S.append_to_ivf_index(late, S.resolve_index_path(spark, root))
+    q = _q(emb)
+    got = _rows(S.ivf_index_topk(spark, root, q, k=5, n_probe=4))
+    assert got == _rows(S.brute_force_topk(emb, q, k=5))
