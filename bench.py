@@ -55,7 +55,7 @@ def _machine_control(spark) -> float:
     return best
 
 
-def _machine_control2(spark) -> float:
+def _machine_control2(spark) -> tuple[float, list[float]]:
     """The ≥2 s control workload (verdict r09 item 5): the same
     code-independent CPU + shuffle + join mix as ``_machine_control``,
     4× the rows, best-of-2 — long enough that scheduler noise and a

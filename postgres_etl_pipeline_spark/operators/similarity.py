@@ -1896,7 +1896,19 @@ def publish_index_version(spark, root: str, version_path: str) -> None:
     which needs read-time recovery for the gap between the two metadata
     ops. Retired markers are bounded metadata GC'd with their versions.
     Validates the version's layout actually committed (``_SUCCESS``)
-    before pointing serving at it."""
+    before pointing serving at it.
+
+    After the flip — still inside the caller's lease span on the old
+    version — the PREVIOUSLY-live layout gets an ``index__retired``
+    tombstone (advice r11 #1): a long-lived drain that cached the old
+    resolved path before this rebuild and appends after the lease is
+    released would otherwise acquire the retired version's now-free
+    lease and write rows that serving never sees and GC deletes.
+    :func:`_check_layout_live` (run by every maintenance writer after
+    lease acquisition) turns that silent loss into a loud
+    :class:`StaleIndexVersion` with re-resolve guidance; the pointer
+    re-derivation there backstops the crash window between the flip
+    and this marker write."""
     base = root.rstrip("/")
     vp = version_path.rstrip("/")
     if not (vp.startswith(base + "/") and vp.endswith("/index")):
@@ -1919,10 +1931,20 @@ def publish_index_version(spark, root: str, version_path: str) -> None:
         )
     markers = _list_version_markers(fs, hp, base)
     seq = (markers[-1][0] + 1) if markers else 1
+    prev_ver = markers[-1][1] if markers else None
     fs.mkdirs(hp(base + "/" + _PTR_DIR))
-    marker = hp(f"{base}/{_PTR_DIR}/ptr_{seq:010d}__{ver}")
-    out = fs.create(marker, False)  # create-exclusive: the atomic flip
-    out.close()
+    marker = f"{base}/{_PTR_DIR}/ptr_{seq:010d}__{ver}"
+    _create_exclusive(fs, hp, marker, b"")  # the atomic flip
+    # a ROLLBACK republish of a previously-retired version must clear
+    # its tombstone (the pointer already overrides it for liveness
+    # checks — this is hygiene for detached readers of the marker)
+    fs.delete(hp(_retired_marker(vp)), False)
+    if prev_ver is not None and prev_ver != ver:
+        retired = _retired_marker(f"{base}/{prev_ver}/index")
+        if not fs.exists(hp(retired)):
+            out = fs.create(hp(retired), True)
+            out.write(bytearray(f"superseded by {ver}\n".encode()))
+            out.close()
 
 
 def resolve_index_path(spark, root: str) -> str:
@@ -1967,6 +1989,17 @@ def gc_retired_versions(
     * never-published version dirs whose layout has NO ``_SUCCESS`` are
       crashed builds — deleted (the round-10 leak: a crashed
       blue/green rebuild left its half-built dir forever);
+    * never-published dirs are considered AT ALL only when their name
+      matches the ``<tag>_<10-digit-seq>`` pattern
+      :func:`new_index_version_path` produces (advice r11 #2: foreign
+      data accidentally placed under a root must never be destroyed by
+      a GC pass that mistakes it for a crashed build);
+    * dirs whose ``index__writer_lease`` is LIVE (younger than the
+      lease TTL) are skipped — a rebuild stamps a lease on the version
+      it is building (and on the one it reads), so an in-flight build
+      that outlives ``min_age_sec`` is protected by the lease, making
+      the age guard a fallback instead of the only defense (advice
+      r11 #2);
     * anything younger than ``min_age_sec`` (dir modification time) is
       left alone — an in-flight build that hasn't committed yet looks
       exactly like a crashed one, and the age guard is what tells them
@@ -1975,6 +2008,7 @@ def gc_retired_versions(
     Bounded metadata work throughout (listStatus + per-version delete);
     safe to run from a scheduler next to live readers — readers resolve
     through the pointer and the pointed-at subtree is untouched."""
+    import re as _re
     import time as _time
 
     fs, hp = _hadoop_fs(spark, root)
@@ -1982,6 +2016,7 @@ def gc_retired_versions(
     markers = _list_version_markers(fs, hp, base)
     published = [ver for _, ver in markers]
     protected = set(published[-max(int(keep), 1):]) if published else set()
+    version_name = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9.\-]*_\d{10}$")
     now_ms = _time.time() * 1000.0
     deleted = []
     if not fs.exists(hp(base)):
@@ -1992,8 +2027,15 @@ def gc_retired_versions(
             continue
         if now_ms - st.getModificationTime() < float(min_age_sec) * 1000.0:
             continue
+        held = _read_lease(fs, hp, f"{base}/{name}/index__writer_lease")
+        if held is not None and (
+            _time.time() - held[1] / 1000.0 <= WRITER_LEASE_TTL_SEC
+        ):
+            continue  # a live writer (in-flight build) owns this version
         if name in published:
             pass  # retired beyond the keep window
+        elif not version_name.match(name):
+            continue  # not a version dir this root's builds produced
         elif fs.exists(hp(f"{base}/{name}/index/_SUCCESS")):
             continue  # complete but never published — operator's call, keep
         fs.delete(st.getPath(), True)
@@ -2014,9 +2056,16 @@ def build_ivf_index_versioned(corpus: DataFrame, root: str, **build_kw):
     contract refuses uncommitted layouts by design)."""
     spark = corpus.sparkSession
     vpath = new_index_version_path(spark, root)
-    cents = write_ivf_index(corpus, vpath, **build_kw)
-    if len(cents):
-        publish_index_version(spark, root, vpath)
+    # build-version lease + heartbeat: a long initial build must not be
+    # GC-able or stealable mid-write (same contract as the rebuilds)
+    btoken, _ = acquire_writer_lease(spark, vpath)
+    try:
+        with _LeaseHeartbeat(spark, [(vpath, btoken)]):
+            cents = write_ivf_index(corpus, vpath, **build_kw)
+        if len(cents):
+            publish_index_version(spark, root, vpath)
+    finally:
+        release_writer_lease(spark, vpath, btoken)
     return cents
 
 
@@ -2051,18 +2100,28 @@ def rebuild_ivf_index_versioned(
     live = resolve_index_path(spark, root)
     vpath = new_index_version_path(spark, root)
     token, stole = acquire_writer_lease(spark, live)
+    # also stamp a lease on the version being BUILT: gc_retired_versions
+    # skips lease-held dirs, so a build that outlives its min_age guard
+    # is never mistaken for a crashed one (advice r11 #2)
+    btoken, _ = acquire_writer_lease(spark, vpath)
     try:
         if stole:
             _recover_interrupted_partition_swap_unlocked(spark, live)
-        cents = rebuild_ivf_index(
-            spark, live, vpath, drift_threshold=drift_threshold,
-            sample_of=sample_of, force=force, **build_kw,
-        )
+        # the BUILD is the long phase: heartbeat both leases so a
+        # build longer than the TTL is never stolen from or GC'd
+        with _LeaseHeartbeat(spark, [(live, token), (vpath, btoken)]):
+            cents = rebuild_ivf_index(
+                spark, live, vpath, drift_threshold=drift_threshold,
+                sample_of=sample_of, force=force, **build_kw,
+            )
         if cents is None:
+            _discard_unbuilt_version(spark, vpath, btoken)
             return None
         _refresh_writer_lease(spark, live, token)
+        _refresh_writer_lease(spark, vpath, btoken)
         publish_index_version(spark, root, vpath)
     finally:
+        release_writer_lease(spark, vpath, btoken)
         release_writer_lease(spark, live, token)
     return vpath
 
@@ -2694,39 +2753,48 @@ def append_to_ivf_index(
     (validated against the layout schema — an append that silently
     dropped the filter column would write rows filtered search can never
     match); any ``<path>_stats_*`` selectivity sidecars are sum-merged
-    with the batch's counts so the first-probe sizing stays current."""
+    with the batch's counts so the first-probe sizing stays current.
+
+    ``path`` may be a VERSIONED ROOT (advice r11 #1): resolution to the
+    live version happens INSIDE the lease acquisition
+    (:func:`_acquire_live_layout`), so a blue/green flip can never
+    slip between resolve and write — and a cached literal path that a
+    rebuild has since retired raises :class:`StaleIndexVersion` loudly
+    instead of appending rows serving never sees. Long-lived drains
+    should therefore pass the root, not a resolved path."""
     spark = batch.sparkSession
-    cents = read_ivf_centroids(spark, path)
-    if not len(cents):
-        raise ValueError(
-            f"IVF index at {path!r} has no centroids — build a non-empty "
-            "index with write_ivf_index before appending"
-        )
     extra_cols = tuple(extra_cols)
-    _check_layout_extra_cols(
-        spark, path, extra_cols, ("neighbor_id", "cv", "cid"),
-        "append_to_ivf_index",
-    )
     c = batch.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("cv"),
         *[F.col(x) for x in extra_cols],
     )
-    assigned = assign_to_centroids(c, cents, extra_cols)
-    if extra_cols:
-        # pin the batch's assignment once: the same rows feed the append
-        # AND the stats merge
-        assigned = assigned.localCheckpoint(eager=True)
-    # lease-guarded (round 11): an append racing a maintenance swap would
-    # interleave with its staged cells, and an append racing a BLUE/GREEN
-    # REBUILD would land on the old version after the rebuild's corpus
-    # read — absent from the new version and silently LOST once the old
-    # one is GC'd. The rebuild holds this lease for its whole
-    # measure→build→publish span, so the race dies loudly here instead.
-    token, stole = acquire_writer_lease(spark, path)
+    # resolve + lease as one atomic unit (advice r11 #1): an append
+    # racing a maintenance swap would interleave with its staged cells,
+    # and an append racing a BLUE/GREEN REBUILD would land on the old
+    # version after the rebuild's corpus read — absent from the new
+    # version and silently LOST once the old one is GC'd. The rebuild
+    # holds this lease for its whole measure→build→publish span and
+    # drops a __retired tombstone at publish, so both races die loudly.
+    path, token, stole = _acquire_live_layout(spark, path)
     try:
         if stole:
             _recover_interrupted_partition_swap_unlocked(spark, path)
+        cents = read_ivf_centroids(spark, path)
+        if not len(cents):
+            raise ValueError(
+                f"IVF index at {path!r} has no centroids — build a "
+                "non-empty index with write_ivf_index before appending"
+            )
+        _check_layout_extra_cols(
+            spark, path, extra_cols, ("neighbor_id", "cv", "cid"),
+            "append_to_ivf_index",
+        )
+        assigned = assign_to_centroids(c, cents, extra_cols)
+        if extra_cols:
+            # pin the batch's assignment once: the same rows feed the
+            # append AND the stats merge
+            assigned = assigned.localCheckpoint(eager=True)
         assigned.write.mode("append").partitionBy("cid").parquet(path)
         if extra_cols:
             _merge_ivf_list_stats(spark, assigned, path)
@@ -2741,7 +2809,16 @@ across the staging WRITE (the long part of a swap); a production
 deployment would heartbeat instead — here the swap refreshes the lease
 once after staging, before the rename sequence, which bounds the
 exposure the same way for the single-box case. Tests monkeypatch this
-down to exercise the steal path."""
+down to exercise the steal path.
+
+ATOMICITY: the claim is ``create(path, overwrite=false)``, which is a
+single atomic namenode op on HDFS-like stores but a NON-atomic
+exists-check-then-create in Hadoop's Local/RawLocalFileSystem (advice
+r11 #3) — so on ``file:`` layouts the claim goes through the kernel's
+``open(O_CREAT|O_EXCL)`` instead (:func:`_create_exclusive`), which
+posix guarantees atomic. Object stores without atomic create-if-absent
+(plain S3) need an external lock service; the lease file is the
+interface point."""
 
 
 class WriterLeaseHeld(RuntimeError):
@@ -2751,8 +2828,60 @@ class WriterLeaseHeld(RuntimeError):
     dirs and manifests silently)."""
 
 
+class StaleIndexVersion(RuntimeError):
+    """The layout path names a RETIRED version of a blue/green index —
+    a maintenance write here would land on a subtree serving no longer
+    reads and GC will delete (advice r11 #1: the silent-lost-append
+    window for drains that cached a resolved path across a rebuild).
+    Re-resolve through the index ROOT (pass the root itself to the
+    maintenance op — appends/deletes resolve it to the live version
+    inside the lease) and retry."""
+
+
 def _lease_file(path: str) -> str:
     return path.rstrip("/") + "__writer_lease"
+
+
+def _retired_marker(path: str) -> str:
+    return path.rstrip("/") + "__retired"
+
+
+def _check_layout_live(spark, path: str) -> None:
+    """Post-lease-acquisition liveness check, run by EVERY maintenance
+    writer (appends and the staged swap): raises
+    :class:`StaleIndexVersion` when ``path`` was retired by a
+    blue/green pointer flip. Two independent detectors, both bounded
+    metadata: the ``__retired`` tombstone :func:`publish_index_version`
+    drops into the superseded version dir, and — for layouts that live
+    under a versioned root — a re-derivation from the pointer itself,
+    which closes the crash window between the flip and the tombstone
+    write. The check runs AFTER the lease claim, so resolution and the
+    write form one atomic unit: a flip can't sneak between a passed
+    check and the write, because the flip happens under this same
+    lease."""
+    fs, hp = _hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    # the POINTER is the source of truth when the layout sits under a
+    # versioned root: it also overrides a stale __retired marker left
+    # by a rollback republish that crashed before clearing it
+    if base.endswith("/index") and base.count("/") >= 2:
+        root = base.rsplit("/", 2)[0]
+        if fs.exists(hp(root + "/" + _PTR_DIR)):
+            live = resolve_index_path(spark, root).rstrip("/")
+            if live != base:
+                raise StaleIndexVersion(
+                    f"layout at {base!r} is not the live version of "
+                    f"{root!r} (serving points at {live!r}) — re-resolve "
+                    "through the root (or pass the root itself) and retry"
+                )
+            return
+    if fs.exists(hp(_retired_marker(base))):
+        raise StaleIndexVersion(
+            f"layout at {base!r} is a RETIRED index version (superseded "
+            "by a blue/green rebuild) — writes here are invisible to "
+            "serving and will be garbage-collected; re-resolve through "
+            "the index root (or pass the root itself) and retry"
+        )
 
 
 def _read_lease(fs, hp, lease: str):
@@ -2773,12 +2902,83 @@ def _read_lease(fs, hp, lease: str):
         return None
 
 
+def _create_exclusive(fs, hp, path: str, payload: bytes) -> None:
+    """Atomic create-if-absent of a small marker/lease file — raises
+    when the file already exists. On HDFS-like stores this is the
+    namenode's atomic ``create(overwrite=false)``; on ``file:`` URIs
+    Hadoop's LocalFileSystem implements that call as a NON-atomic
+    exists-then-create (advice r11 #3 — two racing writers could both
+    "win"), so local paths claim via the kernel's ``O_CREAT|O_EXCL``,
+    which posix guarantees atomic, then the payload rides the same fd."""
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "file"):
+        import os
+
+        local = path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+        os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
+        fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+    else:
+        out = fs.create(hp(path), False)
+        out.write(bytearray(payload))
+        out.close()
+
+
 def _write_lease(fs, hp, lease: str, token: str, overwrite: bool) -> None:
     import time as _time
 
-    out = fs.create(hp(lease), overwrite)  # overwrite=False → atomic claim
-    out.write(bytearray(f"{token}\n{_time.time() * 1000.0:.0f}".encode()))
-    out.close()
+    payload = f"{token}\n{_time.time() * 1000.0:.0f}".encode()
+    if overwrite:
+        out = fs.create(hp(lease), True)  # re-stamp by the owner
+        out.write(bytearray(payload))
+        out.close()
+    else:
+        _create_exclusive(fs, hp, lease, payload)  # the atomic claim
+
+
+def _discard_unbuilt_version(spark, vpath: str, btoken: str) -> None:
+    """Remove the version dir a below-threshold rebuild allocated but
+    never built into — it holds only the build lease stamped to protect
+    an in-flight build from GC; with no build coming, release the lease
+    and delete the dir so the root never accumulates empty version
+    slots (sequence numbers are never reused, so the slot stays
+    burned)."""
+    release_writer_lease(spark, vpath, btoken)
+    fs, hp = _hadoop_fs(spark, vpath)
+    fs.delete(hp(vpath.rstrip("/").rsplit("/", 1)[0]), True)
+
+
+def _acquire_live_layout(spark, path: str) -> tuple[str, str, bool]:
+    """Resolve ``path`` (a layout path OR a versioned index root) to
+    the LIVE layout and claim its writer lease as ONE atomic unit
+    (advice r11 #1): resolve → acquire → :func:`_check_layout_live`
+    under the lease. When a blue/green flip raced the resolve — the
+    acquired path turns out retired — release and re-resolve ONCE: a
+    caller that passed the ROOT lands on the new live version (the
+    normal long-lived-drain case), a caller holding a stale cached
+    LITERAL path hits the same retired version again and gets the loud
+    :class:`StaleIndexVersion` with re-resolve guidance. Returns
+    ``(resolved_path, token, stole)``; the caller owns the release."""
+    last: Exception | None = None
+    for _attempt in range(2):
+        resolved = _resolve_maybe_root(spark, path).rstrip("/")
+        token, stole = acquire_writer_lease(spark, resolved)
+        try:
+            _check_layout_live(spark, resolved)
+        except StaleIndexVersion as e:
+            release_writer_lease(spark, resolved, token)
+            last = e
+            continue
+        return resolved, token, stole
+    assert last is not None
+    raise last
 
 
 def acquire_writer_lease(
@@ -2868,6 +3068,51 @@ def _refresh_writer_lease(spark, path: str, token: str) -> None:
     _write_lease(fs, hp, lease, token, overwrite=True)
 
 
+class _LeaseHeartbeat:
+    """Re-stamp held leases every TTL/3 from a daemon thread while a
+    LONG phase runs (a staging write, a blue/green version build) —
+    closes the exposure window for operations that outlive
+    ``WRITER_LEASE_TTL_SEC``: without a heartbeat, a build longer than
+    the TTL looks exactly like a crashed writer, so a concurrent
+    maintenance call would steal the lease mid-build and
+    ``gc_retired_versions`` would treat the in-flight version as
+    GC-able once its lease aged past the TTL. A CRASH stops the
+    heartbeat with the process, so the lease goes stale after one TTL
+    and the steal+recover path takes over — precisely the
+    crashed-writer semantics the TTL encodes; a heartbeat that finds
+    its lease stolen (it slept through > TTL of scheduler starvation)
+    exits quietly and leaves the loud abort to the owner thread's own
+    pre-rename ``_refresh_writer_lease``."""
+
+    def __init__(self, spark, leases: list[tuple[str, str]]):
+        self._spark = spark
+        self._leases = list(leases)  # (path, token)
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+        interval = max(WRITER_LEASE_TTL_SEC / 3.0, 1.0)
+
+        def beat() -> None:
+            while not self._stop.wait(interval):
+                for path, token in self._leases:
+                    try:
+                        _refresh_writer_lease(self._spark, path, token)
+                    except Exception:
+                        return  # lost/stolen: owner thread raises loudly
+        self._thread = threading.Thread(
+            target=beat, name="writer-lease-heartbeat", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *_exc):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        return False
+
+
 def _stage_and_swap_partitions(
     spark,
     path: str,
@@ -2916,17 +3161,27 @@ def _stage_and_swap_partitions(
     base = path.rstrip("/")
     token, stole = acquire_writer_lease(spark, base)
     try:
+        # retired-version guard (advice r11 #1): a maintenance op driven
+        # by a cached pre-rebuild path must die loudly here, not rewrite
+        # cells of a subtree serving no longer reads and GC will delete
+        _check_layout_live(spark, base)
         if stole:
             # a stale lease means an interrupted writer — its orphan
             # stage must be completed/rolled back before we read the
             # layout to derive our own staging rows
             _recover_interrupted_partition_swap_unlocked(spark, base)
         stage = base + f".__{tag}_{_uuid.uuid4().hex[:8]}"
-        new_rows.write.partitionBy("cid").parquet(stage)
-        for suffix, df in sorted((sidecars or {}).items()):
-            df.coalesce(1).write.parquet(stage + f"/__new_sidecar{suffix}")
-        # the staging write is the long phase — re-stamp the lease so the
-        # rename sequence never runs past the TTL another writer watches
+        # the staging write is the long phase — heartbeat the lease so a
+        # write longer than the TTL never looks like a crashed writer
+        with _LeaseHeartbeat(spark, [(base, token)]):
+            new_rows.write.partitionBy("cid").parquet(stage)
+            for suffix, df in sorted((sidecars or {}).items()):
+                df.coalesce(1).write.parquet(
+                    stage + f"/__new_sidecar{suffix}"
+                )
+        # final owner-checked re-stamp: the rename sequence never runs on
+        # a lease another writer could already consider stale (and a
+        # heartbeat that lost the lease surfaces loudly HERE)
         _refresh_writer_lease(spark, base, token)
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -2954,18 +3209,45 @@ def _finish_partition_swap(fs, hp, base: str, stage: str, replaced_cids):
     ``cid=*`` dir whose live twin exists would be a contract violation
     and dies loudly instead of nesting dirs (local-FS rename moves INTO
     an existing dir — silent corruption); a staged sidecar that is gone
-    was already promoted."""
-    for cid in replaced_cids:
-        live = hp(f"{base}/cid={int(cid)}")
-        moved = hp(f"{stage}/__replaced_cid={int(cid)}")
-        if fs.exists(moved) or not fs.exists(live):
-            continue  # this cid's step 4 already ran (or cell was empty)
-        if not fs.rename(live, moved):
-            raise IOError(f"rename {live} -> {moved} failed mid-swap")
+    was already promoted.
+
+    Renames are INTERLEAVED per cell — each replaced cid's old dir
+    moves out and its staged replacement moves in back-to-back (round
+    12): the earlier all-outs-then-all-ins order left every replaced
+    cell ABSENT from the layout for O(2·N) metadata renames, so a
+    concurrent reader of a many-cell swap (a batched compaction) could
+    silently miss whole inverted lists mid-scan. Per-cell interleaving
+    bounds the missing window to two adjacent renames per cell; the
+    residual serving semantics under per-cell maintenance stay
+    read-committed at CELL granularity (a reader can still see cell A
+    post-op and cell B pre-op — full snapshot isolation is what the
+    versioned-root blue/green path provides; adjudicated in
+    COVERAGE.md)."""
+    staged = {}
     for st in fs.listStatus(hp(stage)):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("cid=")):
-            continue
+        if st.isDirectory() and name.startswith("cid="):
+            staged[name] = st.getPath()
+    for cid in replaced_cids:
+        name = f"cid={int(cid)}"
+        live = hp(f"{base}/{name}")
+        moved = hp(f"{stage}/__replaced_cid={int(cid)}")
+        if not fs.exists(moved) and fs.exists(live):
+            if not fs.rename(live, moved):
+                raise IOError(f"rename {live} -> {moved} failed mid-swap")
+        sp = staged.pop(name, None)
+        if sp is None:
+            continue  # cell emptied by the op (or already promoted)
+        tgt = hp(f"{base}/{name}")
+        if fs.exists(tgt):
+            raise IOError(
+                f"staged partition {name} collides with a live partition "
+                f"after its replaced twin was moved out — layout "
+                f"corrupted? (stage kept at {stage})"
+            )
+        if not fs.rename(sp, tgt):
+            raise IOError(f"rename {sp} -> {tgt} failed mid-swap")
+    for name, sp in staged.items():  # fresh tail cells (e.g. a re-split)
         tgt = hp(f"{base}/{name}")
         if fs.exists(tgt):
             raise IOError(
@@ -2973,8 +3255,8 @@ def _finish_partition_swap(fs, hp, base: str, stage: str, replaced_cids):
                 f"not named in the replace manifest — refusing to rename "
                 f"into an existing dir (stage kept at {stage})"
             )
-        if not fs.rename(st.getPath(), tgt):
-            raise IOError(f"rename {st.getPath()} -> {tgt} failed mid-swap")
+        if not fs.rename(sp, tgt):
+            raise IOError(f"rename {sp} -> {tgt} failed mid-swap")
     marker = "__new_sidecar"
     for st in fs.listStatus(hp(stage)):
         name = st.getPath().getName()
@@ -3099,15 +3381,20 @@ def delete_from_ivf_index(
     retention sweeps keep the shuffle join. Pinned in
     tests/test_plan_shapes.py (PushedFilters carries the In) and both
     paths are pinned result-equal."""
+    path = _resolve_maybe_root(spark, path)
     ids = tombstones.select(
         F.col(id_col).cast("long").alias("neighbor_id")
     ).distinct()
     idx = spark.read.parquet(path)
     id_rows = ids.limit(DELETE_PUSHDOWN_CUT + 1).collect()
     if len(id_rows) <= DELETE_PUSHDOWN_CUT:
-        if not id_rows:
+        id_list = sorted(
+            int(r["neighbor_id"])
+            for r in id_rows
+            if r["neighbor_id"] is not None
+        )
+        if not id_list:
             return []
-        id_list = sorted(int(r["neighbor_id"]) for r in id_rows)
         probe = idx.filter(F.col("neighbor_id").isin(id_list))
         anti = F.col("neighbor_id").isin(id_list)
         affected = sorted(
@@ -3115,7 +3402,12 @@ def delete_from_ivf_index(
         )
         if not affected:
             return []
-        survivors = idx.filter(F.col("cid").isin(affected)).filter(~anti)
+        # ~IN evaluates to NULL (row dropped) for NULL ids, but the join
+        # path's left_anti KEEPS null-id rows — keep them here too so
+        # both paths stay result-equal on any layout (advice r11 #4)
+        survivors = idx.filter(F.col("cid").isin(affected)).filter(
+            ~anti | F.col("neighbor_id").isNull()
+        )
     else:
         affected = sorted(
             int(r["cid"])
@@ -3214,7 +3506,7 @@ def compact_ivf_cells(
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path
-    base = path.rstrip("/")
+    base = _resolve_maybe_root(spark, path).rstrip("/")
     root = hp(base)
     fs = root.getFileSystem(conf)
     todo: list[tuple[int, int]] = []  # (cid, n_out_files)
@@ -3298,6 +3590,7 @@ def resplit_ivf_cell(
     machinery, as before."""
     import numpy as np
 
+    path = _resolve_maybe_root(spark, path)
     cents = read_ivf_centroids(spark, path)
     if not len(cents):
         raise ValueError(f"IVF index at {path!r} has no centroids")
@@ -4279,33 +4572,41 @@ def append_to_ivfpq_index(
     partitions. The compressed-tier twin of :func:`append_to_ivf_index`.
     The lattice scale comes from the ``_meta`` sidecar (``scale=None``);
     an explicit mismatching value raises instead of mis-encoding the
-    batch onto the wrong lattice (advice r09 #1)."""
+    batch onto the wrong lattice (advice r09 #1). ``path`` may be a
+    VERSIONED ROOT — resolved to the live version inside the lease
+    acquisition, same contract as :func:`append_to_ivf_index` (advice
+    r11 #1)."""
     spark = batch.sparkSession
-    Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
-    scale = _resolve_index_scale(stored_scale, scale, "append_to_ivfpq_index")
-    if not len(Cc):
-        raise ValueError(f"IVFADC index at {path!r} has no centroids")
-    _check_layout_extra_cols(
-        spark, path, tuple(extra_cols), ("neighbor_id", "cv", "codes", "cid"),
-        "append_to_ivfpq_index",
-    )
-    m, d = As.shape[1], As.shape[2]
-    c = batch.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_vec(vec_col).alias("cv"),
-        fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
-        *[F.col(x) for x in extra_cols],
-    )
-    encoded = _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols)
-    if extra_cols:
-        encoded = encoded.localCheckpoint(eager=True)  # append + stats merge
+    extra_cols = tuple(extra_cols)
     # lease-guarded for the same two races as the raw-tier append (see
     # append_to_ivf_index): a concurrent maintenance swap, and the
-    # append-lost-behind-a-rebuild window
-    token, stole = acquire_writer_lease(spark, path)
+    # append-lost-behind-a-rebuild window; sidecar reads and encoding
+    # sit INSIDE the lease so the codes can never come from a codebook
+    # a racing retrain/rebuild just replaced
+    path, token, stole = _acquire_live_layout(spark, path)
     try:
         if stole:
             _recover_interrupted_partition_swap_unlocked(spark, path)
+        Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
+        scale = _resolve_index_scale(
+            stored_scale, scale, "append_to_ivfpq_index"
+        )
+        if not len(Cc):
+            raise ValueError(f"IVFADC index at {path!r} has no centroids")
+        _check_layout_extra_cols(
+            spark, path, extra_cols, ("neighbor_id", "cv", "codes", "cid"),
+            "append_to_ivfpq_index",
+        )
+        m, d = As.shape[1], As.shape[2]
+        c = batch.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(vec_col).alias("cv"),
+            fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
+            *[F.col(x) for x in extra_cols],
+        )
+        encoded = _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols)
+        if extra_cols:
+            encoded = encoded.localCheckpoint(eager=True)  # append + stats
         encoded.write.mode("append").partitionBy("cid").parquet(path)
         if extra_cols:
             _merge_ivf_list_stats(spark, encoded, path)
@@ -4888,6 +5189,7 @@ def resplit_ivfpq_cell(
     restored at the compressed tier."""
     import numpy as np
 
+    path = _resolve_maybe_root(spark, path)
     Cc, As, stored_scale = read_ivfpq_sidecars(spark, path)
     scale = _resolve_index_scale(stored_scale, scale, "resplit_ivfpq_cell")
     if not len(Cc):
@@ -5144,8 +5446,15 @@ def build_ivfpq_index_versioned(corpus: DataFrame, root: str, **build_kw):
     :func:`build_ivf_index_versioned`). Returns (Cc, As)."""
     spark = corpus.sparkSession
     vpath = new_index_version_path(spark, root)
-    out = write_ivfpq_index(corpus, vpath, **build_kw)
-    publish_index_version(spark, root, vpath)
+    # build-version lease + heartbeat: a long initial build must not be
+    # GC-able or stealable mid-write (same contract as the rebuilds)
+    btoken, _ = acquire_writer_lease(spark, vpath)
+    try:
+        with _LeaseHeartbeat(spark, [(vpath, btoken)]):
+            out = write_ivfpq_index(corpus, vpath, **build_kw)
+        publish_index_version(spark, root, vpath)
+    finally:
+        release_writer_lease(spark, vpath, btoken)
     return out
 
 
@@ -5168,18 +5477,25 @@ def rebuild_ivfpq_index_versioned(
     live = resolve_index_path(spark, root)
     vpath = new_index_version_path(spark, root)
     token, stole = acquire_writer_lease(spark, live)
+    # build-version lease: see rebuild_ivf_index_versioned (advice r11 #2)
+    btoken, _ = acquire_writer_lease(spark, vpath)
     try:
         if stole:
             _recover_interrupted_partition_swap_unlocked(spark, live)
-        out = rebuild_ivfpq_index(
-            spark, live, vpath, drift_threshold=drift_threshold,
-            sample_of=sample_of, force=force, **build_kw,
-        )
+        # heartbeat both leases across the build (see the raw-tier twin)
+        with _LeaseHeartbeat(spark, [(live, token), (vpath, btoken)]):
+            out = rebuild_ivfpq_index(
+                spark, live, vpath, drift_threshold=drift_threshold,
+                sample_of=sample_of, force=force, **build_kw,
+            )
         if out is None:
+            _discard_unbuilt_version(spark, vpath, btoken)
             return None
         _refresh_writer_lease(spark, live, token)
+        _refresh_writer_lease(spark, vpath, btoken)
         publish_index_version(spark, root, vpath)
     finally:
+        release_writer_lease(spark, vpath, btoken)
         release_writer_lease(spark, live, token)
     return vpath
 
@@ -5230,6 +5546,7 @@ def retrain_ivfpq_codebook(
     retrain ran."""
     import numpy as np
 
+    path = _resolve_maybe_root(spark, path)
     Cc, As, scale = read_ivfpq_sidecars(spark, path)
     if not len(Cc):
         raise ValueError(f"IVFADC index at {path!r} has no centroids")

@@ -1,0 +1,119 @@
+"""Extension catalog, batch 10 (round 12): the versioned-root DRAIN
+lifecycle — the advice-r11 lost-append race, closed and driver-checked.
+
+Round 11 made blue/green rebuilds deployable (pointer, GC, leases) but
+left one silent-loss window OPEN: a long-lived drain that resolved the
+live layout path BEFORE a rebuild and appends AFTER the rebuild's lease
+is released acquires the retired version's now-free lease and lands
+rows serving never sees — permanently lost at GC. Round 12 closes it
+from both ends: the publish drops an ``index__retired`` tombstone and
+every maintenance writer re-checks liveness AFTER acquiring the lease
+(stale cached paths raise ``StaleIndexVersion``), and the maintenance
+surface is ROOT-AWARE — appends/deletes passed the root re-resolve the
+live version INSIDE the lease, making resolution and write one atomic
+unit.
+
+The entry here certifies the whole composition end-to-end the way a
+production corpus actually runs: build v1 → append a drain batch
+THROUGH THE ROOT → forced blue/green rebuild (flip to v2; the appended
+rows must ride into v2 — this is exactly the data a lost-append bug
+would drop) → append another batch through the root (lands on v2) →
+tombstone-delete through the root → GC the retired version → probe-all
+search through the pointer. Hash-equal to the brute-force oracle over
+the surviving rows because probe-all search is exact regardless of the
+centroid geometry.
+
+Same registry/oracle conventions as queries_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import register, spread, t
+
+# survivors: the whole embeddings table minus the tombstoned tenth;
+# queries: vec_id < 20 (deleted ids still QUERY — deletion removes a
+# vector from the corpus, not from the workload)
+_ROOT_LIFECYCLE_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    survivors AS (
+      SELECT * FROM v WHERE vec_id % 10 <> 7
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
+      FROM v q JOIN survivors c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "ivf_root_drain_lifecycle",
+    _ROOT_LIFECYCLE_ORACLE,
+    survey="§7 Phase 5 extension (advice r11 #1): ROOT-AWARE index "
+    "maintenance — append_to_ivf_index/delete_from_ivf_index accept the "
+    "versioned root and resolve the live version INSIDE the writer "
+    "lease (resolution + write = one atomic unit), publish drops an "
+    "index__retired tombstone so a drain holding a stale cached path "
+    "raises StaleIndexVersion instead of silently losing rows behind a "
+    "blue/green flip; this entry drives append-through-root -> forced "
+    "rebuild -> append -> tombstone-delete -> GC -> probe-all search "
+    "through the pointer, hash-pinned against brute force over the "
+    "survivors",
+    tags=("ext", "similarity"),
+)
+def ivf_root_drain_lifecycle(spark, sf_dir):
+    """The versioned-root maintenance lifecycle a production drain runs,
+    end to end through the POINTER: every mutation below passes the
+    ROOT, never a resolved path — the first append's rows must survive
+    the forced rebuild (they ride the corpus read into v2), the second
+    append must land on v2, and the delete must rewrite v2's affected
+    cells. Probe-all search through the root then hash-equals brute
+    force over (corpus ∪ appends) − tombstones."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    drain1 = emb.filter(F.col("vec_id") % 3 == 1)
+    drain2 = emb.filter(F.col("vec_id") % 3 == 2)
+    tombs = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    scratch = tempfile.mkdtemp(prefix="ivf_root_drain_")
+    try:
+        root = scratch + "/idx"
+        cents = S.build_ivf_index_versioned(
+            base, root, n_centroids=8, kmeans_max_iter=1, kmeans_init="random"
+        )
+        if not len(cents):
+            # empty corpus: nothing published; the search answer is empty
+            return spark.createDataFrame([], empty_schema)
+        S.append_to_ivf_index(drain1, root)  # root-aware: resolves to v1
+        vpath = S.rebuild_ivf_index_versioned(
+            spark, root, force=True,
+            n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        )
+        assert vpath == S.resolve_index_path(spark, root)
+        S.append_to_ivf_index(drain2, root)  # lands on v2 via the pointer
+        S.delete_from_ivf_index(spark, root, tombs)  # rewrites v2's cells
+        S.gc_retired_versions(spark, root, keep=1, min_age_sec=0.0)
+        out = S.ivf_index_topk(
+            spark, root, emb.filter(F.col("vec_id") < 20), k=5, n_probe=16
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

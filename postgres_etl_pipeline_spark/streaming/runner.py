@@ -539,11 +539,21 @@ def run_ivf_maintenance_sink(
     # repair any interrupted per-partition swap BEFORE the drain starts
     # (the maintenance-loop discipline recover_interrupted_partition_swap's
     # docstring prescribes): a sink crashed mid-delete/mid-resplit must
-    # not leave the layout missing a cell for the whole next drain
-    from ..operators.similarity import recover_interrupted_partition_swap
+    # not leave the layout missing a cell for the whole next drain.
+    # index_path may be a VERSIONED ROOT (advice r11 #1 — the right way
+    # to point a long-lived drain at a blue/green index: each batch's
+    # append/delete re-resolves the live version INSIDE the writer
+    # lease, so a rebuild mid-drain flips the next batch to the new
+    # version instead of silently losing it); recovery runs on the
+    # currently-live layout
+    from ..operators.similarity import (
+        _resolve_maybe_root,
+        recover_interrupted_partition_swap,
+    )
 
     recover_interrupted_partition_swap(
-        stream_vectors.sparkSession, index_path
+        stream_vectors.sparkSession,
+        _resolve_maybe_root(stream_vectors.sparkSession, index_path),
     )
     if index_kind == "ivf":
         _append = lambda df: append_to_ivf_index(  # noqa: E731
