@@ -2795,9 +2795,10 @@ def append_to_ivf_index(
             # pin the batch's assignment once: the same rows feed the
             # append AND the stats merge
             assigned = assigned.localCheckpoint(eager=True)
-        assigned.write.mode("append").partitionBy("cid").parquet(path)
-        if extra_cols:
-            _merge_ivf_list_stats(spark, assigned, path)
+        with _LeaseHeartbeat(spark, [(path, token)]):
+            assigned.write.mode("append").partitionBy("cid").parquet(path)
+            if extra_cols:
+                _merge_ivf_list_stats(spark, assigned, path)
     finally:
         release_writer_lease(spark, path, token)
     return cents
@@ -4607,9 +4608,10 @@ def append_to_ivfpq_index(
         encoded = _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols)
         if extra_cols:
             encoded = encoded.localCheckpoint(eager=True)  # append + stats
-        encoded.write.mode("append").partitionBy("cid").parquet(path)
-        if extra_cols:
-            _merge_ivf_list_stats(spark, encoded, path)
+        with _LeaseHeartbeat(spark, [(path, token)]):
+            encoded.write.mode("append").partitionBy("cid").parquet(path)
+            if extra_cols:
+                _merge_ivf_list_stats(spark, encoded, path)
     finally:
         release_writer_lease(spark, path, token)
     return Cc, As

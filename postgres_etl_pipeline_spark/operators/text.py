@@ -610,3 +610,106 @@ def bigram_logprob_scores(
             ),
         )
     )
+
+
+def pack_sequences(
+    df: "DataFrame",
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> "DataFrame":
+    """GPT-style concat-and-chunk SEQUENCE PACKING — the step between a
+    cleaned corpus and a training run: documents are laid end-to-end in
+    a deterministic global order (ascending ``id_col``) and the token
+    stream is cut into fixed-``seq_len`` training sequences; a document
+    crossing a boundary contributes one span per sequence it touches.
+    Output: ``(seq_id, doc_id, doc_start_tok, seq_off, n_tok)`` — the
+    span map a loader needs to assemble batch tensors (and the
+    attention-mask boundaries, since doc edges inside a sequence are
+    exactly the span edges). Every sequence except the last is exactly
+    ``seq_len`` tokens; spans partition both the token stream and each
+    document with no gaps or overlaps (property-pinned).
+
+    Scale shape — the interesting part: a global running offset is
+    normally ONE window over a total order, i.e. a single-partition
+    sort (the classic driver-sized bottleneck that makes naive packing
+    un-runnable at 100 TB). Here it is the textbook two-phase
+    distributed prefix sum, expressed in DataFrame ops:
+
+    1. ``repartitionByRange(id_col)`` — ascending partition index IS
+       ascending id order (RangePartitioner's contract), pinned by an
+       eager ``localCheckpoint`` so the partition ids the cumsum and
+       the totals see are the same physical partitioning;
+    2. one per-partition window cumsum (each partition sorts only its
+       own slice — fully parallel);
+    3. per-partition token totals collected as BOUNDED driver metadata
+       (``n_parts`` rows), their exclusive prefix broadcast back as a
+       map-literal lookup — O(n_parts) driver state, never O(rows).
+
+    The span set is partitioning-INDEPENDENT (offsets derive from the
+    total id order, whatever ``n_parts`` is), which is what lets the
+    catalog entry hash-pin it against a single-window SQL oracle.
+    Boundary arithmetic stays in exact integer ``div`` — no floating
+    floor at 10^14-token offsets. ``id_col`` must be unique (ties would
+    make the within-partition order, hence the packing, ambiguous)."""
+    from pyspark.sql import Window
+
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n = int(n_parts) if n_parts else df.sparkSession.sparkContext.defaultParallelism
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    parted = (
+        docs.repartitionByRange(n, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    local = parted.withColumn("local_end", F.sum("n_tok").over(w))
+    totals = {
+        int(r["pid"]): int(r["t"])
+        for r in parted.groupBy("pid").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    if not totals:
+        # empty corpus: zero spans (an argless map literal is untyped —
+        # and there is nothing to pack anyway)
+        return df.sparkSession.createDataFrame(
+            [],
+            "seq_id long, doc_id long, doc_start_tok long, "
+            "seq_off long, n_tok long",
+        )
+    offs, acc = {}, 0
+    for p in sorted(totals):
+        offs[p] = acc
+        acc += totals[p]
+    off_map = F.create_map(
+        *[F.lit(int(v)) for p in sorted(offs) for v in (p, offs[p])]
+    )
+    base = local.select(
+        "doc_id",
+        "n_tok",
+        (off_map[F.col("pid")] + F.col("local_end") - F.col("n_tok")).alias(
+            "start_off"
+        ),
+    ).withColumn("end_off", F.col("start_off") + F.col("n_tok") - 1)
+    spans = base.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(F.expr(f"start_off div {L}"), F.expr(f"end_off div {L}"))
+        ),
+    )
+    span_start = F.greatest(F.col("start_off"), F.col("seq_id") * L)
+    span_end = F.least(
+        F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + F.lit(1)) * L
+    )
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (span_start - F.col("start_off")).cast("long").alias("doc_start_tok"),
+        (span_start - F.col("seq_id") * L).cast("long").alias("seq_off"),
+        (span_end - span_start).cast("long").alias("n_tok"),
+    )

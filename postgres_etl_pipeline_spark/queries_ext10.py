@@ -117,3 +117,65 @@ def ivf_root_drain_lifecycle(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# tokenization canon shared with queries_ext._TOKS (collapse whitespace →
+# trim → split on one space); the oracle states the packing as ONE
+# global window — the formulation that does NOT scale (single-partition
+# sort) but is exactly what the distributed two-phase prefix sum must
+# reproduce bit-for-bit
+_PACK_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                 ' ')) AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+      FROM d WHERE n_tok > 0
+    ),
+    s AS (
+      SELECT o.*, k.seq_id
+      FROM o, LATERAL (
+        SELECT unnest(generate_series(start_off // 512,
+                                      (start_off + n_tok - 1) // 512))
+               AS seq_id
+      ) k
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(start_off, seq_id * 512) - start_off AS BIGINT)
+             AS doc_start_tok,
+           CAST(GREATEST(start_off, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS seq_off,
+           CAST(LEAST(start_off + n_tok, (seq_id + 1) * 512)
+                - GREATEST(start_off, seq_id * 512) AS BIGINT) AS n_tok
+    FROM s
+    """
+
+
+@register(
+    "pack_training_sequences",
+    _PACK_ORACLE,
+    survey="§7 Phase 5 extension: GPT-style concat-and-chunk SEQUENCE "
+    "PACKING — documents laid end-to-end in ascending doc_id order, the "
+    "token stream cut into fixed-512-token training sequences, boundary "
+    "docs contributing one span per sequence touched; the global running "
+    "offset is a two-phase distributed prefix sum (range repartition -> "
+    "per-partition window cumsum -> O(n_parts) exclusive-prefix "
+    "broadcast), never a single-partition sort — the oracle states the "
+    "same packing as the one-window formulation and the hash pins the "
+    "distributed derivation to it",
+    tags=("ext", "text"),
+)
+def pack_training_sequences(spark, sf_dir):
+    """Pack the documents table into 512-token training sequences; the
+    span map (seq_id, doc_id, doc_start_tok, seq_off, n_tok) is what a
+    training loader assembles batches (and intra-sequence attention
+    boundaries) from. Partitioning-independent by construction — see
+    operators.text.pack_sequences."""
+    from .operators.text import pack_sequences
+
+    return pack_sequences(t(spark, sf_dir, "documents"), seq_len=512)

@@ -671,3 +671,16 @@ def test_distributed_probe_order_pass_is_shuffle_free(spark, sf_small, tmp_path)
     )
     s = plan_summary(porder)
     assert s.joins == 0 and s.shuffles == 0, s
+
+
+def test_sequence_packing_has_no_single_partition_window(spark, sf_small):
+    """Sequence packing's global running offset must be the two-phase
+    distributed prefix sum, NEVER a single-partition window sort: the
+    cumsum window is partitioned by the range-partition id, so no
+    operator in the plan runs on Exchange SinglePartition — the exact
+    bottleneck the naive one-window formulation (which the DuckDB
+    oracle deliberately states) would hit at 100 TB."""
+    df = q("pack_training_sequences", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition cumsum is real

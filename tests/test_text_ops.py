@@ -975,3 +975,81 @@ def test_bigram_logprob_scores_semantics(spark):
     uni = {r.doc_id: r.mean_logprob
            for r in unigram_logprob_scores(df).collect()}
     assert uni[3] == uni[0]  # ...which the unigram score cannot see
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 12): concat-and-chunk spans over a distributed
+# prefix sum — the invariants a training loader relies on
+# ---------------------------------------------------------------------------
+
+
+def _pack_rows(df, seq_len, n_parts=None):
+    out = X.pack_sequences(df, seq_len=seq_len, n_parts=n_parts)
+    return sorted(map(tuple, out.collect()))
+
+
+def test_pack_sequences_partitions_the_token_stream(spark):
+    """Spans tile the concatenated token stream exactly: every sequence
+    but the last is full, seq_off runs contiguously inside a sequence,
+    per-doc spans are contiguous from 0 to the doc's token count, and
+    the result is independent of the partition count (the two-phase
+    prefix sum equals the one-window formulation)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 16
+    spans = _pack_rows(df, L, n_parts=5)
+    # partitioning-independence: 1 partition == 5 partitions == 13
+    assert spans == _pack_rows(df, L, n_parts=1)
+    assert spans == _pack_rows(df, L, n_parts=13)
+    total = sum(len(t.split()) for _i, t in rows)
+    n_seqs = -(-total // L)
+    by_seq = {}
+    for seq_id, doc_id, doc_start, seq_off, n in spans:
+        by_seq.setdefault(seq_id, []).append((seq_off, n, doc_id, doc_start))
+    assert set(by_seq) == set(range(n_seqs))
+    for seq_id, items in by_seq.items():
+        items.sort()
+        pos = 0
+        for seq_off, n, _d, _ds in items:
+            assert seq_off == pos and n > 0  # contiguous, no gaps/overlaps
+            pos += n
+        assert pos == (L if seq_id < n_seqs - 1 else total - L * (n_seqs - 1))
+    # per-doc: spans reassemble the doc in order with nothing missing
+    by_doc = {}
+    for seq_id, doc_id, doc_start, _so, n in spans:
+        by_doc.setdefault(doc_id, []).append((doc_start, n, seq_id))
+    for (doc_id, text) in rows:
+        items = sorted(by_doc[doc_id])
+        pos = 0
+        last_seq = None
+        for doc_start, n, seq_id in items:
+            assert doc_start == pos
+            if last_seq is not None:
+                assert seq_id == last_seq + 1  # boundary docs span ADJACENT seqs
+            last_seq = seq_id
+            pos += n
+        assert pos == len(text.split())
+
+
+def test_pack_sequences_edge_shapes(spark):
+    """One doc longer than several sequences; seq_len=1; empty input."""
+    df = spark.createDataFrame(
+        [(10, " ".join(["t"] * 37))], "doc_id long, text string"
+    )
+    spans = _pack_rows(df, 8)
+    assert [s[0] for s in spans] == [0, 1, 2, 3, 4]  # 37 toks -> 5 seqs of 8
+    assert [s[4] for s in spans] == [8, 8, 8, 8, 5]
+    assert all(s[3] == 0 for s in spans)  # each span starts its sequence
+    assert _pack_rows(df, 1) == [
+        (k, 10, k, 0, 1) for k in range(37)
+    ]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _pack_rows(empty, 8) == []
+    with pytest.raises(ValueError, match="seq_len"):
+        X.pack_sequences(df, seq_len=0)
