@@ -5626,3 +5626,87 @@ def retrain_ivfpq_codebook(
         sidecars={"_codebook": book_df, "_meta": meta_df},
     )
     return True
+
+
+def maintain_index(
+    spark,
+    root: str,
+    kind: str = "ivf",
+    coarse_threshold: float = 2.0,
+    residual_threshold: float = 2.0,
+    compact_target_bytes: int = 128 * 1024 * 1024,
+    compact_min_files: int = 2,
+    gc_keep: int = 1,
+    gc_min_age_sec: float = 3600.0,
+    sample_of: DataFrame | None = None,
+    **rebuild_kw,
+) -> dict:
+    """ONE scheduled maintenance tick for a versioned ANN index root —
+    the orchestrator a production scheduler actually calls, composing
+    the whole repair algebra in its correct order and returning an
+    action report a fleet dashboard can log. Every constituent op is
+    individually driver-checked; this ties them into the cadence the
+    SCALE.md deployment sketch describes:
+
+    1. **recover** — complete/roll back any interrupted staged swap on
+       the live version (crashed prior tick);
+    2. **coarse drift** — measure nearest-centroid error against the
+       build-time baseline (pass ``sample_of`` = the recent appends for
+       the sharpest signal); past ``coarse_threshold`` × baseline, run
+       the blue/green versioned rebuild (readers stay on the old
+       version until the atomic pointer flip);
+    3. **residual drift** (IVFADC only) — codebook retrain past
+       ``residual_threshold``; a rebuild in step 2 already re-derived
+       the codebook, so this is a guaranteed no-op right after one;
+    4. **compaction** — coalesce streaming-fragmented cells (one job +
+       one staged swap whatever the cell count);
+    5. **GC** — delete retired versions beyond ``gc_keep`` and crashed
+       half-built subtrees older than ``gc_min_age_sec`` (lease-held
+       and foreign dirs are never touched).
+
+    Safe next to live serving (readers resolve through the pointer;
+    per-cell swaps are read-committed at cell granularity) and next to
+    a live drain only by mutual exclusion: each step takes the writer
+    lease, so a concurrent drain's batch raises
+    :class:`WriterLeaseHeld` and retries after the tick — run the tick
+    from the drain's own scheduler slot in production. Idempotent: a
+    second immediate tick reports all no-ops (pinned in tests).
+
+    Every decision input here is bounded metadata or a bounded sample —
+    at 100 TB a tick costs O(sample + affected cells), never O(corpus),
+    unless the corpus genuinely drifted wholesale (step 2's rebuild is
+    then the point)."""
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"kind must be 'ivf' or 'ivfpq', got {kind!r}")
+    report: dict = {"root": root, "kind": kind}
+    live = resolve_index_path(spark, root)
+    report["recovered"] = recover_interrupted_partition_swap(spark, live)
+    measure = (
+        measure_ivf_coarse_drift if kind == "ivf"
+        else measure_ivfpq_coarse_drift
+    )
+    err, base = measure(spark, live, sample_of=sample_of)
+    report["coarse_err"], report["coarse_baseline"] = err, base
+    if err > float(coarse_threshold) * base:
+        rebuild = (
+            rebuild_ivf_index_versioned if kind == "ivf"
+            else rebuild_ivfpq_index_versioned
+        )
+        report["rebuilt_to"] = rebuild(
+            spark, root, force=True, sample_of=sample_of, **rebuild_kw
+        )
+    else:
+        report["rebuilt_to"] = None
+    if kind == "ivfpq":
+        report["retrained"] = retrain_ivfpq_codebook(
+            spark, root, drift_threshold=residual_threshold,
+            sample_of=sample_of,
+        )
+    report["compacted_cids"] = compact_ivf_cells(
+        spark, root, target_bytes=compact_target_bytes,
+        min_files=compact_min_files,
+    )
+    report["gc_deleted"] = gc_retired_versions(
+        spark, root, keep=gc_keep, min_age_sec=gc_min_age_sec
+    )
+    return report

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries import register, spread, t
+from .queries_ext9 import _cosine_topk_oracle
 
 # survivors: the whole embeddings table minus the tombstoned tenth;
 # queries: vec_id < 20 (deleted ids still QUERY — deletion removes a
@@ -179,3 +180,67 @@ def pack_training_sequences(spark, sf_dir):
     from .operators.text import pack_sequences
 
     return pack_sequences(t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "ivf_maintenance_tick_topk",
+    # the tick's constituent ops are all exactness-preserving (compaction
+    # is a pure file-layout change; a forced blue/green rebuild re-clusters
+    # the same rows; GC touches only retired subtrees), so probe-all search
+    # through the root after TWO ticks — one that compacts, one that
+    # rebuilds — hash-equals the brute-force oracle
+    _cosine_topk_oracle(),
+    survey="§7 Phase 5 extension (round 12): the maintenance ORCHESTRATOR "
+    "— maintain_index(root) is the one call a production scheduler makes "
+    "per tick: recover interrupted swaps, measure coarse drift against "
+    "the build-time baseline (bounded sample), blue/green rebuild past "
+    "threshold, codebook retrain at the compressed tier, one-swap "
+    "compaction of streaming-fragmented cells, retired-version GC — "
+    "each step under the writer lease, each decision bounded metadata; "
+    "this entry drives a fragmented root through a compacting tick and "
+    "a forced-rebuild tick and hash-pins serving through the pointer",
+    tags=("ext", "similarity"),
+)
+def ivf_maintenance_tick_topk(spark, sf_dir):
+    """Fragment a versioned root with three appends, run one tick that
+    compacts (drift below threshold), then one tick with the threshold
+    at zero that rebuilds blue/green and GCs the retired version —
+    probe-all search through the root stays hash-equal to brute force
+    across the whole policy loop."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    scratch = tempfile.mkdtemp(prefix="ivf_tick_")
+    try:
+        root = scratch + "/idx"
+        cents = S.build_ivf_index_versioned(
+            emb.filter(F.col("vec_id") % 4 == 0), root,
+            n_centroids=8, kmeans_max_iter=1, kmeans_init="random",
+        )
+        if not len(cents):
+            return spark.createDataFrame([], empty_schema)
+        for m in (1, 2, 3):
+            S.append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == m), root)
+        rep = S.maintain_index(
+            spark, root, kind="ivf",
+            compact_target_bytes=1 << 30, gc_min_age_sec=0.0,
+        )
+        assert rep["rebuilt_to"] is None  # healthy: compaction only
+        rep2 = S.maintain_index(
+            spark, root, kind="ivf", coarse_threshold=0.0,
+            gc_min_age_sec=0.0,
+            n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+        )
+        assert rep2["rebuilt_to"] is not None  # forced: blue/green + GC
+        out = S.ivf_index_topk(
+            spark, root, emb.filter(F.col("vec_id") < 20), k=5, n_probe=16
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

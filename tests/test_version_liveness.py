@@ -450,3 +450,84 @@ def test_lease_heartbeat_keeps_long_ops_owned(spark, tmp_path, monkeypatch):
     other, stole = S.acquire_writer_lease(spark, layout)
     assert stole
     S.release_writer_lease(spark, layout, other)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — maintain_index: one scheduled tick composes the repair algebra
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_index_tick_compacts_and_is_idempotent(
+    spark, sf_small, tmp_path
+):
+    """A fragmented healthy index: the tick recovers nothing, measures
+    drift below threshold (no rebuild), compacts the append-fragmented
+    cells in one swap, GCs nothing — and a second immediate tick is
+    all no-ops. Search through the root stays exact throughout."""
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "idx")
+    S.build_ivf_index_versioned(
+        emb.filter(F.col("vec_id") % 4 == 0), root, n_centroids=4,
+        kmeans_max_iter=1, kmeans_init="random",
+    )
+    for m in (1, 2, 3):  # fragment: one file per touched cell per append
+        S.append_to_ivf_index(emb.filter(F.col("vec_id") % 4 == m), root)
+    rep = S.maintain_index(
+        spark, root, kind="ivf", compact_target_bytes=1 << 30,
+        gc_min_age_sec=0.0,
+    )
+    assert rep["recovered"] is False and rep["rebuilt_to"] is None
+    assert rep["coarse_err"] > 0 and rep["coarse_baseline"] > 0
+    assert rep["compacted_cids"]  # the fragmentation was real
+    assert rep["gc_deleted"] == []
+    q = _q(emb)
+    assert _rows(S.ivf_index_topk(spark, root, q, k=5, n_probe=4)) == _rows(
+        S.brute_force_topk(emb, q, k=5)
+    )
+    rep2 = S.maintain_index(
+        spark, root, kind="ivf", compact_target_bytes=1 << 30,
+        gc_min_age_sec=0.0,
+    )
+    assert rep2["rebuilt_to"] is None and rep2["compacted_cids"] == []
+    assert rep2["recovered"] is False and rep2["gc_deleted"] == []
+
+
+def test_maintain_index_tick_rebuilds_past_threshold(
+    spark, sf_small, tmp_path
+):
+    """Past the coarse-drift threshold the tick runs the blue/green
+    rebuild and the same tick's GC removes the retired version (with a
+    zero age guard); serving flips atomically and stays exact."""
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "idx")
+    S.build_ivf_index_versioned(emb, root, n_centroids=4,
+                                kmeans_max_iter=1, kmeans_init="random")
+    v1 = S.resolve_index_path(spark, root)
+    rep = S.maintain_index(
+        spark, root, kind="ivf", coarse_threshold=0.0,
+        gc_min_age_sec=0.0,
+        n_centroids=8, kmeans_max_iter=1, kmeans_init="random",
+    )
+    assert rep["rebuilt_to"] is not None
+    assert S.resolve_index_path(spark, root) == rep["rebuilt_to"] != v1
+    assert rep["gc_deleted"] == [os.path.dirname(v1)]
+    q = _q(emb)
+    assert _rows(S.ivf_index_topk(spark, root, q, k=5, n_probe=8)) == _rows(
+        S.brute_force_topk(emb, q, k=5)
+    )
+
+
+def test_maintain_index_tick_on_ivfpq_root(spark, sf_small, tmp_path):
+    """The compressed tier's tick: coarse measure against the _meta
+    baseline, residual retrain decision (no-op below threshold), same
+    compaction + GC path; ADC serving through the root stays live."""
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "idx")
+    S.build_ivfpq_index_versioned(emb, root, n_centroids=4)
+    rep = S.maintain_index(spark, root, kind="ivfpq", gc_min_age_sec=0.0)
+    assert rep["rebuilt_to"] is None and rep["retrained"] is False
+    assert rep["coarse_baseline"] > 0
+    out = S.ivfpq_index_topk(spark, root, _q(emb), k=5, n_probe=4)
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="kind"):
+        S.maintain_index(spark, root, kind="flat")
