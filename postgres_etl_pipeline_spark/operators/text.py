@@ -612,12 +612,29 @@ def bigram_logprob_scores(
     )
 
 
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+"""The BPE-ish pre-tokenizer regex the token_counts_bpe catalog entry
+canonized (letter runs / single digits / punctuation runs — the
+pre-merge token stream a byte-pair tokenizer starts from); shared here
+so packing can measure MODEL tokens with the same rule (verdict r12
+item 6)."""
+
+
+def bpe_token_count(col: str | "Column") -> "Column":
+    """Per-row BPE-ish token count (one regexp_extract_all + size,
+    JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0))
+
+
 def pack_sequences(
     df: "DataFrame",
     seq_len: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_parts: int | None = None,
+    shuffle_seed: int | None = None,
+    count_mode: str = "ws",
+    n_tok_col: str | None = None,
 ) -> "DataFrame":
     """GPT-style concat-and-chunk SEQUENCE PACKING — the step between a
     cleaned corpus and a training run: documents are laid end-to-end in
@@ -652,23 +669,67 @@ def pack_sequences(
     catalog entry hash-pin it against a single-window SQL oracle.
     Boundary arithmetic stays in exact integer ``div`` — no floating
     floor at 10^14-token offsets. ``id_col`` must be unique (ties would
-    make the within-partition order, hence the packing, ambiguous)."""
+    make the within-partition order, hence the packing, ambiguous).
+
+    ``shuffle_seed`` (verdict r12 item 5): fixed corpus order is a
+    known training-bias footgun — real GPT pipelines shuffle document
+    order per epoch. A non-None seed lays documents out in the order of
+    a DETERMINISTIC keyed hash, ``md5(seed || ':' || doc_id)`` (doc_id
+    tiebreak for the negligible digest-collision case), instead of
+    ascending id. The scale shape is IDENTICAL — the range partition
+    and the per-partition cumsum just key on the hash — so the packing
+    stays a two-phase prefix sum with no single-partition window, and a
+    different seed per epoch is a different deterministic permutation.
+
+    Token accounting (verdict r12 item 6): ``count_mode='ws'`` (default)
+    measures whitespace tokens — the cross-engine canon the original
+    oracle states; ``count_mode='bpe'`` measures MODEL tokens with the
+    BPE-ish pre-tokenizer the token_counts_bpe entry canonized (one
+    extra regexp pass over ``text_col``, still linear — the tokenize
+    cost the docstring of token_counts_bpe prices). ``n_tok_col`` wins
+    over both: pass a PRECOMPUTED per-doc token-count column (e.g. a
+    real tokenizer's counts landed by an upstream Arrow pass) and
+    packing never touches ``text_col`` at all."""
     from pyspark.sql import Window
 
     L = int(seq_len)
     if L <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if count_mode not in ("ws", "bpe"):
+        raise ValueError(
+            f"count_mode must be 'ws' or 'bpe', got {count_mode!r}"
+        )
+    if n_tok_col is not None:
+        n_tok = F.col(n_tok_col)
+    elif count_mode == "bpe":
+        n_tok = bpe_token_count(text_col)
+    else:
+        n_tok = token_count(text_col)
     n = int(n_parts) if n_parts else df.sparkSession.sparkContext.defaultParallelism
     docs = df.select(
         F.col(id_col).alias("doc_id"),
-        token_count(text_col).cast("long").alias("n_tok"),
+        n_tok.cast("long").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
+    if shuffle_seed is None:
+        order = ["doc_id"]
+    else:
+        docs = docs.withColumn(
+            "okey",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(int(shuffle_seed))),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        order = ["okey", "doc_id"]
     parted = (
-        docs.repartitionByRange(n, "doc_id")
+        docs.repartitionByRange(n, *order)
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("pid").orderBy("doc_id")
+    w = Window.partitionBy("pid").orderBy(*order)
     local = parted.withColumn("local_end", F.sum("n_tok").over(w))
     totals = {
         int(r["pid"]): int(r["t"])

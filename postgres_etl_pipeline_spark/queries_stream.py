@@ -852,3 +852,76 @@ def stream_ivf_delete_maintenance(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_maintenance_tick",
+    # append order and tick cadence are both exactness-invisible at
+    # probe-all: appends commute (same rows land in the same cells),
+    # compaction is a file-layout change, the forced blue/green rebuild
+    # re-clusters the same rows, GC touches only retired subtrees — so
+    # the drained-and-ticked root serves exactly brute force, whatever
+    # micro-batch split the file source chose
+    _stream_topk_oracle(),
+    survey="§2.8 extension (verdict r12 item 3): the maintenance tick "
+    "WIRED INTO the streaming drain — run_ivf_maintenance_sink("
+    "maintenance_every_n_batches=N) calls maintain_index from the "
+    "drain's own foreachBatch slot (the composition the maintain_index "
+    "docstring prescribed as convention, now code): recover -> drift "
+    "measure -> rebuild -> compact -> GC interleave with the appends "
+    "under the same writer-lease discipline, with the lease-conflict "
+    "retry for external writers; a final forced-rebuild tick runs "
+    "post-drain, and probe-all search through the pointer hash-pins "
+    "the whole composition against brute force",
+    tags=("streaming", "similarity"),
+)
+def stream_maintenance_tick(spark, sf_dir):
+    """Build v1 from a quarter of the corpus under a VERSIONED root,
+    stream the rest in three single-file micro-batches with a
+    compacting maintenance tick every 2 batches, then a post-drain
+    forced blue/green rebuild tick (threshold 0) — probe-all search
+    through the pointer stays hash-equal to brute force across drain +
+    ticks."""
+    import shutil
+    import tempfile
+
+    from .operators import similarity as S
+
+    emb = spark.read.schema(_EMB_SCHEMA).parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    empty_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    scratch = tempfile.mkdtemp(prefix="stream_tick_")
+    try:
+        root = scratch + "/idx"
+        cents = S.build_ivf_index_versioned(
+            emb.filter(F.col("vec_id") % 4 == 0), root,
+            n_centroids=8, kmeans_max_iter=1, kmeans_init="random",
+        )
+        if not len(cents):
+            return spark.createDataFrame([], empty_schema)
+        # three files -> three micro-batches at maxFilesPerTrigger=1, so
+        # the every-2-batches tick fires MID-DRAIN (after batch 2), with
+        # batch 3's append following it through the flipped pointer
+        feed = scratch + "/feed"
+        emb.filter(F.col("vec_id") % 4 != 0).repartition(3).write.parquet(feed)
+        st = sources.stream_parquet(
+            spark, feed, _EMB_SCHEMA, max_files_per_trigger=1
+        )
+        runner.run_ivf_maintenance_sink(
+            st, root, checkpoint=scratch + "/ckpt",
+            maintenance_every_n_batches=2,
+            maintenance_kw=dict(
+                compact_target_bytes=1 << 30, gc_min_age_sec=0.0,
+                n_centroids=8, kmeans_max_iter=1, kmeans_init="random",
+            ),
+            final_maintenance_kw=dict(
+                coarse_threshold=0.0, gc_min_age_sec=0.0,
+                n_centroids=16, kmeans_max_iter=1, kmeans_init="random",
+            ),
+        )
+        out = S.ivf_index_topk(spark, root, queries, k=5, n_probe=1_000_000)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

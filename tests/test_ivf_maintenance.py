@@ -521,3 +521,138 @@ def test_ivfpq_resplit_invariants(spark, sf_small, tmp_path):
     assert all(len(v) == 5 for v in got.values())
     recall = sum(len(got[x] & exact[x]) / 5 for x in exact) / len(exact)
     assert recall >= 0.4, recall
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (verdict r12 item 3): maintain_index wired into the drain
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_tick_requires_versioned_root(spark, sf_small, tmp_path):
+    """A tick resolves through the pointer — requesting ticks against a
+    plain layout path is an argument error at CALL time, not an opaque
+    failure mid-drain."""
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        run_ivf_maintenance_sink,
+    )
+    from postgres_etl_pipeline_spark.streaming.sources import stream_parquet
+
+    emb = _emb(spark, sf_small)
+    path = str(tmp_path / "index")
+    S.write_ivf_index(
+        emb, path, n_centroids=4, kmeans_max_iter=1, kmeans_init="random"
+    )
+    feed = str(tmp_path / "feed")
+    emb.limit(5).write.parquet(feed)
+    st = stream_parquet(spark, feed, "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="VERSIONED ROOT"):
+        run_ivf_maintenance_sink(
+            st, path, checkpoint=str(tmp_path / "ckpt"),
+            maintenance_every_n_batches=1,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        run_ivf_maintenance_sink(
+            st, path, checkpoint=str(tmp_path / "ckpt2"),
+            maintenance_every_n_batches=0,
+        )
+
+
+def test_in_drain_tick_composes_with_appends(spark, sf_small, tmp_path):
+    """Mid-drain compacting tick + post-drain forced-rebuild tick: the
+    pointer advances to a new version, retired versions are GC'd, and
+    probe-all search through the root equals brute force over the full
+    corpus — the tick cadence is exactness-invisible."""
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        run_ivf_maintenance_sink,
+    )
+    from postgres_etl_pipeline_spark.streaming.sources import stream_parquet
+
+    emb = _emb(spark, sf_small)
+    if emb.limit(1).count() == 0:
+        pytest.skip("empty embeddings at this sf")
+    q = emb.filter(F.col("vec_id") < 20)
+    root = str(tmp_path / "root")
+    S.build_ivf_index_versioned(
+        emb.filter(F.col("vec_id") % 4 == 0), root,
+        n_centroids=4, kmeans_max_iter=1, kmeans_init="random",
+    )
+    v1 = S.resolve_index_path(spark, root)
+    feed = str(tmp_path / "feed")
+    emb.filter(F.col("vec_id") % 4 != 0).repartition(3).write.parquet(feed)
+    st = stream_parquet(
+        spark, feed, "vec_id long, embedding array<float>, label int",
+        max_files_per_trigger=1,
+    )
+    run_ivf_maintenance_sink(
+        st, root, checkpoint=str(tmp_path / "ckpt"),
+        maintenance_every_n_batches=2,
+        maintenance_kw=dict(
+            compact_target_bytes=1 << 30, gc_min_age_sec=0.0,
+            n_centroids=4, kmeans_max_iter=1, kmeans_init="random",
+        ),
+        final_maintenance_kw=dict(
+            coarse_threshold=0.0, gc_min_age_sec=0.0,
+            n_centroids=8, kmeans_max_iter=1, kmeans_init="random",
+        ),
+    )
+    v_live = S.resolve_index_path(spark, root)
+    assert v_live != v1  # the forced rebuild flipped the pointer
+    import os as _os
+
+    assert not _os.path.exists(_os.path.dirname(v1))  # retired v1 GC'd
+    drained = sorted(map(tuple, S.ivf_index_topk(
+        spark, root, q, k=5, n_probe=1_000_000
+    ).collect()))
+    exact = sorted(map(tuple, S.brute_force_topk(emb, q, k=5)
+                   .select("query_id", "neighbor_id", "cos_sim", "rank")
+                   .collect()))
+    assert drained == exact
+
+
+def test_tick_lease_conflict_retries_then_raises(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """An EXTERNAL writer holding the lease makes the tick retry with
+    backoff (two failures then success = drain completes, three calls
+    recorded); a lease that never frees re-raises WriterLeaseHeld."""
+    from postgres_etl_pipeline_spark.streaming import runner
+    from postgres_etl_pipeline_spark.streaming.sources import stream_parquet
+
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "root")
+    S.build_ivf_index_versioned(
+        emb, root, n_centroids=4, kmeans_max_iter=1, kmeans_init="random"
+    )
+    feed = str(tmp_path / "feed")
+    emb.limit(5).write.parquet(feed)
+    monkeypatch.setattr(runner, "_TICK_BACKOFF_S", 0.01)
+    calls = []
+
+    def flaky_tick(spark_, root_, kind="ivf", **kw):
+        calls.append(kind)
+        if len(calls) < 3:
+            raise S.WriterLeaseHeld("external writer (simulated)")
+        return {"root": root_, "kind": kind}
+
+    monkeypatch.setattr(S, "maintain_index", flaky_tick)
+    st = stream_parquet(
+        spark, feed, "vec_id long, embedding array<float>, label int"
+    )
+    runner.run_ivf_maintenance_sink(
+        st, root, checkpoint=str(tmp_path / "ckpt"),
+        final_maintenance_kw={},
+    )
+    assert calls == ["ivf", "ivf", "ivf"]  # 2 conflicts + 1 success
+
+    def held_tick(spark_, root_, kind="ivf", **kw):
+        raise S.WriterLeaseHeld("external writer never releases")
+
+    monkeypatch.setattr(S, "maintain_index", held_tick)
+    st2 = stream_parquet(
+        spark, feed, "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(S.WriterLeaseHeld):
+        runner.run_ivf_maintenance_sink(
+            st2, root, checkpoint=str(tmp_path / "ckpt2"),
+            final_maintenance_kw={},
+        )

@@ -684,3 +684,18 @@ def test_sequence_packing_has_no_single_partition_window(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Window" in plan  # the per-partition cumsum is real
+
+
+def test_shuffled_and_bpe_packing_stay_single_partition_free(spark, sf_small):
+    """The round-13 packing variants keep the two-phase prefix-sum plan
+    shape: the seeded permutation range-partitions ON THE HASH (verdict
+    r12 item 5) and the BPE count swaps only the token-count expression
+    (item 6) — neither may reintroduce an Exchange SinglePartition."""
+    for name in (
+        "pack_training_sequences_shuffled",
+        "pack_training_sequences_bpe",
+    ):
+        df = q(name, spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, name
+        assert "Window" in plan, name

@@ -1053,3 +1053,179 @@ def test_pack_sequences_edge_shapes(spark):
     assert _pack_rows(empty, 8) == []
     with pytest.raises(ValueError, match="seq_len"):
         X.pack_sequences(df, seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: packing variants — seeded shuffle (verdict r12 item 5) and
+# model-token counts (item 6)
+# ---------------------------------------------------------------------------
+
+
+def _span_invariants(spans, doc_tok):
+    """Spans partition the token stream AND every document, gap- and
+    overlap-free — must hold under ANY document order."""
+    total = sum(doc_tok.values())
+    L = 16
+    by_seq, by_doc = {}, {}
+    for seq_id, doc_id, doc_start, seq_off, n in spans:
+        by_seq.setdefault(seq_id, []).append((seq_off, n))
+        by_doc.setdefault(doc_id, []).append((doc_start, n))
+    n_seqs = -(-total // L)
+    assert set(by_seq) == set(range(n_seqs))
+    for seq_id, items in by_seq.items():
+        items.sort()
+        pos = 0
+        for seq_off, n in items:
+            assert seq_off == pos and n > 0
+            pos += n
+        assert pos == (L if seq_id < n_seqs - 1 else total - L * (n_seqs - 1))
+    for doc_id, items in by_doc.items():
+        items.sort()
+        pos = 0
+        for doc_start, n in items:
+            assert doc_start == pos
+            pos += n
+        assert pos == doc_tok[doc_id]
+
+
+def test_pack_sequences_shuffled_order_and_invariants(spark):
+    """shuffle_seed lays documents out in md5(seed:doc_id) order — the
+    reconstructed global doc order equals the hashlib-computed one, the
+    span invariants hold, the result is partitioning-independent, and a
+    different seed gives a different (still valid) permutation."""
+    import hashlib
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    doc_tok = {i: len(t.split()) for i, t in rows}
+    L = 16
+
+    def spans_for(seed, n_parts):
+        out = X.pack_sequences(
+            df, seq_len=L, n_parts=n_parts, shuffle_seed=seed
+        )
+        return sorted(map(tuple, out.collect()))
+
+    spans = spans_for(42, 5)
+    assert spans == spans_for(42, 1) == spans_for(42, 13)
+    _span_invariants(spans, doc_tok)
+    # global doc order from the span map: ascending first-token offset
+    start = {
+        d: s * L + so for s, d, ds, so, _n in spans if ds == 0
+    }
+    got_order = [d for d in sorted(start, key=start.get)]
+    want_order = sorted(
+        doc_tok,
+        key=lambda d: (hashlib.md5(f"42:{d}".encode()).hexdigest(), d),
+    )
+    assert got_order == want_order
+    other = spans_for(7, 5)
+    _span_invariants(other, doc_tok)
+    assert other != spans  # a different seed is a different permutation
+
+
+def test_pack_sequences_bpe_and_precomputed_counts(spark):
+    """count_mode='bpe' measures spans with the BPE pre-tokenizer (so
+    punctuation-heavy docs occupy more of a sequence than their
+    whitespace count says); n_tok_col wins over both modes; bad
+    count_mode raises."""
+    rows = [
+        (0, "hello, world!"),          # ws 2, bpe 4: hello , world !
+        (1, "a b2c"),                  # ws 2, bpe 4: a b 2 c
+        (2, "plain words here"),       # ws 3 == bpe 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ws = sorted(map(tuple, X.pack_sequences(df, seq_len=4).collect()))
+    assert sum(s[4] for s in ws) == 7
+    bpe = sorted(
+        map(tuple, X.pack_sequences(df, seq_len=4, count_mode="bpe").collect())
+    )
+    assert sum(s[4] for s in bpe) == 11
+    _span = {d: [] for d in (0, 1, 2)}
+    for _s, d, _ds, _so, n in bpe:
+        _span[d].append(n)
+    assert sum(_span[0]) == 4 and sum(_span[1]) == 4 and sum(_span[2]) == 3
+    pre = df.withColumn("my_counts", F.lit(5))
+    fixed = sorted(map(tuple, X.pack_sequences(
+        pre, seq_len=5, n_tok_col="my_counts", count_mode="bpe"
+    ).collect()))
+    # 3 docs x 5 tokens at L=5: each doc IS one sequence, n_tok_col wins
+    assert fixed == [(k, k, 0, 0, 5) for k in range(3)]
+    with pytest.raises(ValueError, match="count_mode"):
+        X.pack_sequences(df, seq_len=4, count_mode="chars")
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (verdict r12 item 7): shingle size is a parameter
+# ---------------------------------------------------------------------------
+
+
+def test_shingles_any_n_match_python_ngrams(spark):
+    """shingles(n) for n in {1,2,3,5} equals the straightforward python
+    n-gram derivation on the same whitespace canon."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "  spaced   out\ttokens "),
+        (2, "short"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3, 5):
+        got = {
+            r.doc_id: list(r.sh)
+            for r in df.select(
+                "doc_id", D.shingles("text", n=n).alias("sh")
+            ).collect()
+        }
+        for doc_id, text in rows:
+            # the engine's whitespace canon: split('') is [''] — empty
+            # text carries ONE empty token (visible only at n=1; every
+            # n>=2 slice is empty either way)
+            toks = text.split() or [""]
+            want = [
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            ]
+            assert got[doc_id] == want, (n, doc_id)
+    with pytest.raises(ValueError, match="n must be >= 1"):
+        D.shingles("text", n=0)
+
+
+def test_jaccard_pairs_any_n_match_python_oracle(spark):
+    """jaccard_pairs at n in {2, 5} equals the python set-Jaccard oracle
+    over distinct n-gram shingles — the same capped posting-list
+    machinery serves every n (verdict r12 item 7 'done' condition)."""
+    rows = [
+        (0, "a b c d e f g"),
+        (1, "a b c d e f h"),
+        (2, "a b c d e f g"),   # exact dup of 0
+        (3, "z y x w v u t s"),
+        (4, "a b"),             # shorter than a 5-gram: no 5-shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 5):
+        sets = {
+            i: {
+                " ".join(t.split()[k:k + n])
+                for k in range(len(t.split()) - n + 1)
+            }
+            for i, t in rows
+        }
+        want = {}
+        for i in sets:
+            for j in sets:
+                if i < j and sets[i] and sets[j]:
+                    inter = len(sets[i] & sets[j])
+                    if inter:
+                        jac = inter / len(sets[i] | sets[j])
+                        if jac >= 0.1:
+                            want[(i, j)] = round(jac, 4)
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.jaccard_pairs(df, threshold=0.1, n=n).collect()
+        }
+        assert got == want, n
