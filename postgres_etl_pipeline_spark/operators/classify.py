@@ -1,0 +1,234 @@
+"""In-engine TRAINED quality/language classifier — the supervised stage
+of a corpus-filtering pipeline (GPT-3 / LLaMA / RefinedWeb all gate web
+text with a lightweight linear classifier; CCNet pairs it with the LM
+perplexity signal this repo already ships as ``doc_unigram_logprob``).
+
+Reference parity note: the reference pipeline (validate_docs.py-style
+quality gates) stops at heuristic filters; this module is the §7 Phase 5
+extension that completes the standard filtering stack with a LEARNED
+gate, expressed Spark-first.
+
+The model is multinomial Naive Bayes over FEATURE-HASHED tokens, chosen
+deliberately over gradient-trained alternatives because every step is a
+relational aggregate — training is ONE map-side-combinable groupBy over
+(bucket, class) and scoring is ONE broadcast join + ONE per-doc sum — so
+the whole train-then-score composition is a pure deterministic function
+of the corpus that a SQL oracle can restate exactly:
+
+- tokens hash into ``n_buckets`` buckets via the md5 idiom every
+  deterministic-sampling entry in this repo uses
+  (``conv(substr(md5(tok),1,8),16,10) % n_buckets``) — cross-engine
+  reproducible, unlike murmur3-based ``HashingTF``;
+- per-bucket log-likelihood ratios are rounded to DECIMAL(18,6) BEFORE
+  the per-document summation (the ``tfidf_cosine_topk`` canon), so every
+  document score is an EXACT decimal sum — partition-order-invariant and
+  bit-identical across engines; the only floats are the ``ln`` calls on
+  (count+alpha)/(total+alpha*B) ratios, each rounded immediately;
+- the train/score split is the deterministic md5 bucket split of
+  ``train_val_test_split`` — a pure function of ``doc_id``.
+
+Scale shape (the 100 TB story): the corpus is exploded to tokens once per
+pass; training aggregates to at most ``2 * n_buckets`` rows (map-side
+combined — the shuffle moves bucket partials, never token rows), the
+model broadcasts (n_buckets rows, ~100 KB), and scoring shuffles the
+corpus exactly once, on ``doc_id``, for the span sum. No all-pairs, no
+driver-side state beyond the broadcast model, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+#: hashed feature space; 4096 keeps the broadcast model ~100 KB while
+#: leaving bucket collisions rare at testdata vocabulary sizes (the
+#: classic feature-hashing trade-off — collisions only blur the model,
+#: never break determinism)
+DEFAULT_N_BUCKETS = 4096
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """``conv(substr(md5(x),1,8),16,10) % n_buckets`` — the repo-wide
+    deterministic hash idiom (stable across engines, partitionings, and
+    runs; 8 hex chars = 32 bits, fits BIGINT exactly)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Per-document hashed bag-of-words: ``(id_col, bucket, tf)``.
+
+    One explode + one (id, bucket) groupBy; the groupBy keys on the doc
+    id first so the aggregate re-uses the scoring sum's partitioning.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .select(id_col, md5_bucket(F.col("tok"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB on ``docs`` with boolean ``label`` (positive
+    class when true). Returns ``(model, prior)``:
+
+    - ``model``: ``(bucket, llr DECIMAL(18,6))`` — per-bucket
+      log-likelihood ratio ``ln(P(b|pos)) - ln(P(b|neg))`` with Laplace
+      smoothing ``alpha`` (every bucket 0..n_buckets-1 that occurs in
+      training; absent buckets contribute exactly 0 by the smoothing
+      symmetry ONLY when their smoothed ratio is 1 — scoring therefore
+      left-joins and coalesces to the rounded ``llr0`` baseline below);
+    - ``prior``: 1 row ``(prior DECIMAL(18,6), llr0 DECIMAL(18,6))`` —
+      the class-prior log odds ``ln(n_pos_docs/n_neg_docs)`` and the
+      unseen-bucket baseline ``ln(alpha/(tot_pos+alpha*B)) -
+      ln(alpha/(tot_neg+alpha*B))`` (nonzero whenever the class token
+      masses differ — dropping it would bias short out-of-vocabulary
+      docs toward the larger class).
+
+    Both aggregates are map-side combinable; the shuffle carries at most
+    ``2 * n_buckets`` partial rows per task. Token-occurrence counts
+    (multinomial), not document frequencies.
+    """
+    lab = docs.select(F.col(id_col), label.alias("y"), F.col(text_col))
+    tok = (
+        lab.select("y", F.explode(tokens(text_col)).alias("tok"))
+        .select("y", md5_bucket(F.col("tok"), n_buckets).alias("bucket"))
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n_neg"),
+    )
+    totals = counts.agg(
+        F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
+    model = (
+        counts.crossJoin(F.broadcast(totals))  # 1-row totals
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("n_pos") + a) / (F.col("tot_pos") + b))
+                - F.log((F.col("n_neg") + a) / (F.col("tot_neg") + b)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("llr"),
+        )
+    )
+    ndocs = lab.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("d_neg"),
+    )
+    prior = ndocs.crossJoin(F.broadcast(totals)).select(
+        F.round(F.log(F.col("d_pos") / F.col("d_neg")), 6)
+        .cast("decimal(18,6)")
+        .alias("prior"),
+        F.round(
+            F.log(a / (F.col("tot_pos") + b)) - F.log(a / (F.col("tot_neg") + b)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("llr0"),
+    )
+    return model, prior
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Score every document: ``(id_col, log_odds DECIMAL(25,6))`` where
+    ``log_odds = prior + Σ_tokens llr(bucket(token))`` (unseen buckets
+    contribute the smoothed ``llr0`` baseline). The model join is an
+    explicit broadcast; the only corpus shuffle is the per-doc sum, and
+    the per-doc term is ``tf * llr`` over the pre-combined bag-of-words,
+    so the join probes |doc × distinct-bucket| rows, not token
+    occurrences. Exact decimal arithmetic end-to-end — the score is a
+    pure function of (corpus, model), whatever the partitioning.
+    """
+    bow = hashed_token_counts(docs, text_col, id_col, n_buckets)
+    scored = (
+        bow.join(F.broadcast(model), "bucket", "left")
+        .crossJoin(F.broadcast(prior.select("llr0")))
+        .select(
+            id_col,
+            (F.col("tf") * F.coalesce(F.col("llr"), F.col("llr0"))).alias("w"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(prior.select("prior")))
+        .select(
+            id_col,
+            (F.coalesce(F.col("s"), F.lit(0)) + F.col("prior"))
+            .cast("decimal(25,6)")
+            .alias("log_odds"),
+        )
+    )
+
+
+def train_split(id_col: str = "doc_id", pct: int = 50) -> Column:
+    """Deterministic md5 split predicate (the ``train_val_test_split``
+    idiom): true for the ``pct``% training slice — a pure function of
+    the id, stable across runs, partitionings, and engines."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(100),
+        )
+        < pct
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    train_pct: int = 50,
+) -> DataFrame:
+    """End-to-end train-then-score: fit NB on the deterministic
+    ``train_pct``% split against ``label``, score EVERY document
+    (training docs included — the gate filters the whole corpus), and
+    return ``(id_col, is_train, log_odds)``. Two passes over the corpus
+    (one to train, one to score), both linear."""
+    is_train = train_split(id_col, train_pct)
+    model, prior = nb_train(
+        docs.where(is_train), label, text_col, id_col, n_buckets
+    )
+    # pin the bounded model (≤ n_buckets + 1 rows) eagerly: prior feeds
+    # two scoring branches and model one — without the pin the whole
+    # training aggregation pass over the corpus re-runs per branch
+    model = model.localCheckpoint(eager=True)
+    prior = prior.localCheckpoint(eager=True)
+    scores = nb_score(docs, model, prior, text_col, id_col, n_buckets)
+    return (
+        docs.select(id_col, is_train.alias("is_train"))
+        .join(scores, id_col)
+    )

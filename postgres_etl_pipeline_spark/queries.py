@@ -806,6 +806,7 @@ def _load_extensions() -> None:
     from . import queries_ext9  # noqa: F401
     from . import queries_ext10  # noqa: F401
     from . import queries_ext11  # noqa: F401
+    from . import queries_ext12  # noqa: F401
     from . import queries_stream  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_tpch2  # noqa: F401

@@ -925,3 +925,75 @@ def stream_maintenance_tick(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Model-serving drain — the trained quality gate applied to a stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_nb_oracle() -> str:
+    # training + inference CTE chain SHARED with the batch classifier
+    # entries (queries_ext12) so the stream and batch twins can never
+    # silently test different models
+    from .queries_ext12 import _NB_CORE
+
+    return f"""
+    WITH {_NB_CORE}
+    SELECT doc_id, lang, CAST(log_odds AS DOUBLE) AS log_odds
+    FROM scored
+    WHERE log_odds > 0
+    """
+
+
+@register(
+    "stream_nb_model_serving",
+    _stream_nb_oracle(),
+    survey="§2.8 extension (round 13): MODEL-SERVING drain — the "
+    "in-engine-trained NB quality gate (queries_ext12) applied to a "
+    "document STREAM: the model is trained once before the drain "
+    "(model-registry pattern), each micro-batch is scored by a pure "
+    "broadcast probe + per-doc exact-decimal sum (stateless — no "
+    "watermark, no state store), and scores land via idempotent keyed "
+    "upsert; the drained admitted set (log_odds > 0) hash-equals the "
+    "one-shot batch train-then-score composition",
+    tags=("streaming", "classify"),
+)
+def stream_nb_model_serving(spark, sf_dir):
+    """Train the gate batch-side on the deterministic 50% split, drain
+    the documents stream through ``run_nb_scoring_sink``, and return the
+    admitted (predicted-positive) docs from the upserted score table."""
+    import shutil
+    import tempfile
+
+    from .operators import classify as Cls
+
+    scratch = tempfile.mkdtemp(prefix="nb_serve_")
+    try:
+        docs = spark.read.schema(_DOCS_SCHEMA).parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        model, prior = Cls.nb_train(
+            docs.where(Cls.train_split()), F.col("lang") == "en"
+        )
+        st = sources.stream_parquet(
+            spark, f"{sf_dir}/documents.parquet", _DOCS_SCHEMA
+        )
+        runner.run_nb_scoring_sink(
+            st, model, prior, scratch + "/scores",
+            checkpoint=scratch + "/ckpt",
+        )
+        out = (
+            spark.read.parquet(scratch + "/scores")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .where(F.col("log_odds") > 0)
+            .select(
+                "doc_id", "lang",
+                F.col("log_odds").cast("double").alias("log_odds"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

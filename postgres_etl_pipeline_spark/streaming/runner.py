@@ -726,3 +726,70 @@ def run_ivf_maintenance_sink(
         # the post-drain tick (e.g. a forced blue/green rebuild + GC
         # once the backlog is in) — same retry discipline
         _tick(final_maintenance_kw)
+
+
+def run_nb_scoring_sink(
+    stream_docs: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    out_path: str,
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> None:
+    """Drain a bounded document stream through TRAINED-MODEL scoring —
+    the model-serving drain (round 13): each micro-batch is scored by
+    :func:`operators.classify.nb_score` against a model trained BEFORE
+    the drain (the model-registry pattern ``static_enrich`` documents for
+    dimension lookups, applied to a learned classifier), and the scores
+    land in a keyed-upsert parquet target.
+
+    Scoring is stateless per document — per-batch batch semantics equal
+    global batch semantics with NO streaming state at all (no watermark,
+    no state store; the only cross-batch structure is the idempotent
+    keyed upsert, so redelivered batches re-apply as no-ops — the
+    ``run_upsert_sink`` replay contract). That is exactly why the
+    drained score table hash-equals the one-shot batch scoring, which is
+    what the catalog entry pins.
+
+    The model/prior frames are pinned eagerly (localCheckpoint) before
+    the drain: they are bounded (≤ n_buckets + 1 rows), and pinning
+    keeps the per-batch work a pure broadcast probe instead of
+    re-running the training aggregation every micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    from ..connectors.sinks import upsert_parquet
+    from ..operators import classify as C
+
+    nb = n_buckets or C.DEFAULT_N_BUCKETS
+    model = model.localCheckpoint(eager=True)
+    prior = prior.localCheckpoint(eager=True)
+    ckpt = checkpoint or _scratch_checkpoint("ckpt_nb_score_")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = C.nb_score(
+            batch_df, model, prior, text_col=text_col, id_col=id_col,
+            n_buckets=nb,
+        ).localCheckpoint(eager=True)  # pin before the state swap below
+        upsert_parquet(spark, scored, out_path, [id_col], [F.col(id_col)])
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"nb scoring drain to '{out_path}' did not finish "
+                f"within {timeout_s}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

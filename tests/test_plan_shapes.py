@@ -699,3 +699,18 @@ def test_shuffled_and_bpe_packing_stay_single_partition_free(spark, sf_small):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, name
         assert "Window" in plan, name
+
+
+def test_nb_classifier_model_broadcasts_and_stays_jvm_side(spark, sf_small):
+    """The learned quality gate's scale contract (round 13): the trained
+    model reaches scoring as an explicit BroadcastHashJoin probe (4096
+    rows — never a shuffle of the corpus by bucket), the only wide
+    corpus exchanges key on doc_id, and the whole train+score
+    composition stays inside JVM codegen — no Python eval anywhere, no
+    real cartesian (the 1-row totals/prior factors ride broadcast
+    nested-loop by construction)."""
+    df = q("nb_quality_classifier_topk", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
