@@ -232,3 +232,85 @@ def quality_classifier_scores(
         docs.select(id_col, is_train.alias("is_train"))
         .join(scores, id_col)
     )
+
+
+def admit_top_fraction(
+    scores: DataFrame,
+    frac: float,
+    id_col: str = "doc_id",
+    score_col: str = "log_odds",
+) -> DataFrame:
+    """Keep the top ``frac`` of documents by classifier score — the
+    keep-RATE form of the gate (a corpus owner budgets "keep the best
+    30%", not a raw log-odds threshold). Selection is by exact global
+    rank under the total order ``(-score as double, id)``: rank k is a
+    pure function of the corpus, so the admitted SET is deterministic
+    and an oracle can restate it as one naive global window while the
+    engine computes it with :func:`operators.ranking.global_rank` — the
+    bucketed two-pass ranker with NO single-partition exchange (the same
+    oracle-states-naive / engine-runs-distributed pattern as sequence
+    packing). Cutoff count = ``ceil(frac * N)`` computed in IEEE double
+    on both sides, so engine and oracle agree bit-for-bit even when
+    ``frac * N`` lands on a representation boundary.
+    """
+    import math
+
+    from .ranking import global_rank
+
+    neg = scores.withColumn(
+        "_neg", (-F.col(score_col)).cast("double")
+    )
+    rf = global_rank(neg, "_neg", [id_col])
+    keep = math.ceil(frac * rf.n_total)
+    return (
+        rf.df.where(F.col("_rank") <= keep)
+        .drop("_neg", "_bkt", "_rank")
+    )
+
+
+def pareto_lottery_admit(
+    scores: DataFrame,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    score_col: str = "log_odds",
+    salt: str = "pareto",
+) -> DataFrame:
+    """The GPT-3 admission lottery (Brown et al. 2020, Appendix A),
+    deterministic: a document is kept when a Pareto(alpha) draw exceeds
+    ``1 - p`` where ``p = sigmoid(score)`` — high-quality docs are
+    almost always kept, low-quality docs survive with small probability
+    (preserving tail diversity instead of a hard cutoff). The "random"
+    draw derives from the stable id via the repo's md5-uniform idiom
+    (``u = (hash32 + 1) / 2^32`` — exact dyadic division, identical
+    across engines) with inverse-CDF ``u^(-1/alpha) - 1``, so admission
+    is a pure function of the row: reproducible across runs,
+    partitionings, and engines, and restatable in SQL. Adds a ``p``
+    column (admission probability, rounded to 4 for display); the
+    decision itself uses unrounded doubles.
+    """
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-F.col(score_col).cast("double"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return (
+        scores.withColumn("_p", p)
+        .where(draw > F.lit(1.0) - F.col("_p"))
+        .withColumn("p", F.round(F.col("_p"), 4))
+        .drop("_p")
+    )

@@ -185,3 +185,71 @@ def nb_classifier_holdout_eval(spark, sf_dir):
             ).alias("mean_log_odds"),
         )
     )
+
+
+@register(
+    "classifier_gate_keep_rate",
+    f"""
+    WITH {_NB_CORE},
+    ranked AS (
+      SELECT doc_id, lang, CAST(log_odds AS DOUBLE) AS lo,
+             row_number() OVER (
+               ORDER BY CAST(-log_odds AS DOUBLE), doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, lang, lo AS log_odds
+    FROM ranked
+    WHERE rk <= CAST(ceil(0.3 * n) AS BIGINT)
+    """,
+    survey="§7 Phase 5 extension (round 13): keep-RATE admission — keep "
+    "the best 30% of the corpus by classifier score, selected by EXACT "
+    "global rank under the total order (-score, doc_id). The oracle "
+    "states the naive single global window; the engine runs "
+    "operators.ranking.global_rank — bucketed two-pass ranking with NO "
+    "single-partition exchange (the packing pattern applied to "
+    "selection); ceil(0.3*N) computed in IEEE double on both sides",
+    tags=("ext", "text", "classify"),
+)
+def classifier_gate_keep_rate(spark, sf_dir):
+    """Admit the top 30% by trained-gate score via the distributed
+    global ranker; returns the admitted rows themselves (the set is the
+    contract — hash-order-insensitive)."""
+    frame = _classifier_frame(spark, sf_dir)
+    kept = C.admit_top_fraction(frame, 0.3)
+    return kept.select(
+        "doc_id", "lang", F.col("log_odds").cast("double").alias("log_odds")
+    )
+
+
+@register(
+    "pareto_lottery_gate",
+    f"""
+    WITH {_NB_CORE},
+    gate AS (
+      SELECT doc_id, lang,
+             1.0 / (1.0 + exp(-CAST(log_odds AS DOUBLE))) AS p,
+             pow((('0x' || substr(md5('pareto:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT + 1) / 4294967296.0,
+                 -1.0 / 9.0) - 1.0 AS draw
+      FROM scored
+    )
+    SELECT doc_id, lang, round(p, 4) AS p
+    FROM gate
+    WHERE draw > 1.0 - p
+    """,
+    survey="§7 Phase 5 extension (round 13): the GPT-3 admission "
+    "LOTTERY (Brown et al. 2020 App. A) made deterministic — keep a doc "
+    "when a Pareto(9) draw exceeds 1 - sigmoid(score), so high-scoring "
+    "docs are near-surely kept while low-scoring ones survive with "
+    "small probability (tail diversity instead of a hard cutoff); the "
+    "draw derives from md5(doc_id) via exact dyadic uniform + inverse "
+    "CDF, so admission is a pure function of the row on both engines — "
+    "pure scan-side expressions, no shuffle beyond the scoring itself",
+    tags=("ext", "text", "classify"),
+)
+def pareto_lottery_gate(spark, sf_dir):
+    """Admission-lottery over the trained gate's scores; returns the
+    admitted docs with their (display-rounded) keep probability."""
+    frame = _classifier_frame(spark, sf_dir)
+    return C.pareto_lottery_admit(frame).select("doc_id", "lang", "p")

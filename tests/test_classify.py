@@ -38,14 +38,10 @@ def test_scores_are_partitioning_invariant(spark, docs):
     assert a == b and len(a) == docs.count()
 
 
-def test_planted_signal_generalizes(spark):
-    """The learning contract, proven where learning is possible: the
-    driver's synthetic documents draw every language/source from ONE
-    shared word distribution (verified — per-class token-frequency
-    spreads are sampling noise), so no natural label there is learnable
-    and the catalog's holdout-eval entry honestly reports near-prior
-    scores. Here we PLANT class-conditional vocabulary and require the
-    gate to generalize: >95% held-out accuracy, both classes."""
+def _planted_docs(spark):
+    """400 docs with PLANTED class-conditional vocabulary (6 class
+    tokens + 4 shared tokens each) — the corpus where learning is
+    possible, unlike the driver testdata's single shared distribution."""
     pos_pool = ["alpha", "beta", "gamma"]
     neg_pool = ["delta", "epsilon", "zeta"]
     shared = ["noise", "filler", "common"]
@@ -57,7 +53,20 @@ def test_planted_signal_generalizes(spark):
             shared[(i + j) % 3] for j in range(4)
         ]
         rows.append((i, " ".join(words), y))
-    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, y boolean"
+    )
+
+
+def test_planted_signal_generalizes(spark):
+    """The learning contract, proven where learning is possible: the
+    driver's synthetic documents draw every language/source from ONE
+    shared word distribution (verified — per-class token-frequency
+    spreads are sampling noise), so no natural label there is learnable
+    and the catalog's holdout-eval entry honestly reports near-prior
+    scores. Here we PLANT class-conditional vocabulary and require the
+    gate to generalize: >95% held-out accuracy, both classes."""
+    docs = _planted_docs(spark)
     res = (
         C.quality_classifier_scores(docs, F.col("y"))
         .join(docs.select("doc_id", "y"), "doc_id")
@@ -147,3 +156,55 @@ def test_nb_scoring_sink_is_idempotent_on_redelivery(spark, sf_small, tmp_path):
         for r in C.nb_score(docs, model, prior).collect()
     }
     assert first == batch
+
+
+def test_admit_top_fraction_matches_naive_window(spark, docs):
+    """The distributed ranker's admitted SET must equal the naive
+    one-global-window selection (the formulation the oracle states), and
+    its size must be exactly ceil(frac * N) under the same IEEE double
+    arithmetic both engines use."""
+    import math
+
+    from pyspark.sql import Window
+
+    frame = _scores(docs)
+    kept = C.admit_top_fraction(frame, 0.3)
+    n = frame.count()
+    assert kept.count() == math.ceil(0.3 * n)
+    w = Window.orderBy(F.col("log_odds").cast("double").desc(), "doc_id")
+    naive = (
+        frame.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= math.ceil(0.3 * n))
+    )
+    got = {r["doc_id"] for r in kept.collect()}
+    want = {r["doc_id"] for r in naive.collect()}
+    assert got == want
+
+
+def test_pareto_lottery_is_deterministic_and_monotone(spark, docs):
+    """Admission is a pure function of the row (same set under any
+    partitioning — checked on the driver corpus), and the lottery is
+    monotone in quality where quality exists: on the planted-signal
+    corpus (scores strongly bimodal) the positive class must be admitted
+    near-surely and the negative class near the Pareto floor
+    P(draw > 1) = 2^-9 ≈ 0.2%."""
+    frame = _scores(docs)
+    a = {r["doc_id"] for r in C.pareto_lottery_admit(frame).collect()}
+    b = {
+        r["doc_id"]
+        for r in C.pareto_lottery_admit(frame.repartition(11)).collect()
+    }
+    assert a == b
+    planted = _planted_docs(spark)
+    adm = (
+        C.pareto_lottery_admit(
+            C.quality_classifier_scores(planted, F.col("y"))
+        )
+        .join(planted.select("doc_id", "y"), "doc_id")
+        .groupBy("y")
+        .count()
+        .collect()
+    )
+    rates = {r["y"]: r["count"] / 200 for r in adm}
+    assert rates.get(True, 0.0) > 0.9
+    assert rates.get(False, 0.0) < 0.1

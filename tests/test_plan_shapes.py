@@ -714,3 +714,14 @@ def test_nb_classifier_model_broadcasts_and_stays_jvm_side(spark, sf_small):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
+
+
+def test_keep_rate_gate_has_no_single_partition_exchange(spark, sf_small):
+    """The keep-rate admission selects by global rank; the engine-side
+    ranker must stay the bucketed two-pass global_rank — the naive
+    single global window the oracle states (one Exchange
+    SinglePartition) must never appear in the executed plan."""
+    df = q("classifier_gate_keep_rate", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "EvalPython" not in plan
