@@ -635,6 +635,7 @@ def pack_sequences(
     shuffle_seed: int | None = None,
     count_mode: str = "ws",
     n_tok_col: str | None = None,
+    order_col: str | None = None,
 ) -> "DataFrame":
     """GPT-style concat-and-chunk SEQUENCE PACKING — the step between a
     cleaned corpus and a training run: documents are laid end-to-end in
@@ -689,7 +690,13 @@ def pack_sequences(
     cost the docstring of token_counts_bpe prices). ``n_tok_col`` wins
     over both: pass a PRECOMPUTED per-doc token-count column (e.g. a
     real tokenizer's counts landed by an upstream Arrow pass) and
-    packing never touches ``text_col`` at all."""
+    packing never touches ``text_col`` at all.
+
+    ``order_col`` (round 13): CURRICULUM ordering — lay documents out
+    ascending by a caller-supplied key column (with doc_id tiebreak)
+    instead of id order; e.g. a negated quality-classifier score packs
+    highest-quality documents first. Mutually exclusive with
+    ``shuffle_seed``; same two-phase prefix-sum shape either way."""
     from pyspark.sql import Window
 
     L = int(seq_len)
@@ -705,12 +712,25 @@ def pack_sequences(
         n_tok = bpe_token_count(text_col)
     else:
         n_tok = token_count(text_col)
+    if order_col is not None and shuffle_seed is not None:
+        raise ValueError(
+            "order_col and shuffle_seed are mutually exclusive orderings"
+        )
     n = int(n_parts) if n_parts else df.sparkSession.sparkContext.defaultParallelism
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        n_tok.cast("long").alias("n_tok"),
-    ).filter(F.col("n_tok") > 0)
-    if shuffle_seed is None:
+    sel = [F.col(id_col).alias("doc_id"), n_tok.cast("long").alias("n_tok")]
+    if order_col is not None:
+        # CURRICULUM ordering: documents laid out ascending by a
+        # caller-supplied key (quality/difficulty score, a date, ...)
+        # with doc_id tiebreak. The scale shape is unchanged — the range
+        # partition and per-partition cumsum just key on (order_col,
+        # doc_id), so the two-phase prefix sum still has no
+        # single-partition window. The key must be a pure function of
+        # the row for the packing to stay deterministic.
+        sel.append(F.col(order_col).alias("okey"))
+    docs = df.select(*sel).filter(F.col("n_tok") > 0)
+    if order_col is not None:
+        order = ["okey", "doc_id"]
+    elif shuffle_seed is None:
         order = ["doc_id"]
     else:
         docs = docs.withColumn(

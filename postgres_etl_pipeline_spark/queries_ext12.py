@@ -253,3 +253,73 @@ def pareto_lottery_gate(spark, sf_dir):
     admitted docs with their (display-rounded) keep probability."""
     frame = _classifier_frame(spark, sf_dir)
     return C.pareto_lottery_admit(frame).select("doc_id", "lang", "p")
+
+
+@register(
+    "pack_curriculum_gated_corpus",
+    f"""
+    WITH {_NB_CORE},
+    ranked AS (
+      SELECT doc_id, CAST(log_odds AS DOUBLE) AS lo,
+             row_number() OVER (
+               ORDER BY CAST(-log_odds AS DOUBLE), doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    admitted AS (
+      SELECT doc_id, lo FROM ranked
+      WHERE rk <= CAST(ceil(0.3 * n) AS BIGINT)
+    ),
+    d AS (
+      SELECT a.doc_id, -a.lo AS neg,
+             len(string_split(trim(regexp_replace(d2.text, '\\s+', ' ', 'g')),
+                              ' ')) AS n_tok
+      FROM admitted a JOIN documents d2 USING (doc_id)
+    ),
+    o AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY neg, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+      FROM d WHERE n_tok > 0
+    ),
+    s AS (
+      SELECT o.*, k.seq_id
+      FROM o, LATERAL (
+        SELECT unnest(generate_series(start_off // 512,
+                                      (start_off + n_tok - 1) // 512))
+               AS seq_id
+      ) k
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(start_off, seq_id * 512) - start_off AS BIGINT)
+             AS doc_start_tok,
+           CAST(GREATEST(start_off, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS seq_off,
+           CAST(LEAST(start_off + n_tok, (seq_id + 1) * 512)
+                - GREATEST(start_off, seq_id * 512) AS BIGINT) AS n_tok
+    FROM s
+    """,
+    survey="§7 Phase 5 capstone (round 13): the gated-corpus CURRICULUM "
+    "pipeline in one query — train the NB gate, admit the best 30% by "
+    "exact global rank, then pack the admitted corpus into 512-token "
+    "sequences in DESCENDING classifier-score order (curriculum: "
+    "highest-quality text trains first). Engine-side every stage is the "
+    "distributed form (bucketed global_rank, two-phase prefix-sum "
+    "packing keyed on (-score, doc_id) — SinglePartition absent, "
+    "pinned); the oracle states the whole composition naively as one "
+    "global window chain and the hash pins them equal",
+    tags=("ext", "text", "classify"),
+)
+def pack_curriculum_gated_corpus(spark, sf_dir):
+    """Learned gate -> keep-rate admission -> curriculum packing, one
+    span map out; the training-data endgame composed from this round's
+    operators."""
+    from .operators.text import pack_sequences
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    frame = _classifier_frame(spark, sf_dir)
+    admitted = C.admit_top_fraction(frame, 0.3).select(
+        "doc_id", (-F.col("log_odds").cast("double")).alias("neg")
+    )
+    gated = docs.join(admitted, "doc_id")
+    return pack_sequences(gated, seq_len=512, order_col="neg")

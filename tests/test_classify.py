@@ -208,3 +208,28 @@ def test_pareto_lottery_is_deterministic_and_monotone(spark, docs):
     rates = {r["y"]: r["count"] / 200 for r in adm}
     assert rates.get(True, 0.0) > 0.9
     assert rates.get(False, 0.0) < 0.1
+
+
+def test_curriculum_packing_orders_by_score_and_validates_args(spark, docs):
+    """order_col packs ascending by the key: the doc holding the global
+    offset-0 span must be the single best-scoring admitted doc (neg key
+    minimal). order_col and shuffle_seed are mutually exclusive."""
+    from postgres_etl_pipeline_spark.operators.text import pack_sequences
+
+    frame = _scores(docs)
+    admitted = C.admit_top_fraction(frame, 0.3).select(
+        "doc_id", (-F.col("log_odds").cast("double")).alias("neg")
+    )
+    gated = docs.join(admitted, "doc_id")
+    spans = pack_sequences(gated, seq_len=512, order_col="neg")
+    first = (
+        spans.where((F.col("seq_id") == 0) & (F.col("seq_off") == 0))
+        .collect()
+    )
+    assert len(first) == 1
+    best = (
+        admitted.orderBy("neg", "doc_id").limit(1).collect()[0]["doc_id"]
+    )
+    assert first[0]["doc_id"] == best
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pack_sequences(gated, order_col="neg", shuffle_seed=7)

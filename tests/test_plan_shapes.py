@@ -725,3 +725,14 @@ def test_keep_rate_gate_has_no_single_partition_exchange(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_curriculum_gated_packing_stays_single_partition_free(spark, sf_small):
+    """The capstone composition (gate -> global-rank admission ->
+    curriculum packing) chains TWO stages whose naive forms are global
+    windows; the executed plan must contain no Exchange SinglePartition
+    anywhere — both stages run their distributed formulations."""
+    df = q("pack_curriculum_gated_corpus", spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "EvalPython" not in plan
