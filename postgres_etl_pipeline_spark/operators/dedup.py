@@ -290,11 +290,15 @@ def jaccard_pairs(
     double division — engine-portable.
 
     Set sizes ride along with the exploded rows (computed row-wise inside
-    the shingle lambda chain, pre-explode), so the query is the shingle-
-    keyed self-join exchange (reused for both sides), the pair-keyed
-    aggregation, and — only when the cap is on — one map-side-combined
-    document-frequency aggregation feeding a broadcast anti join (the hot
-    set is provably tiny, see :func:`stop_shingle_hashes`).
+    the shingle lambda chain, pre-explode), so the query is ONE tokenize +
+    shingle-hash pass materialized via ``localCheckpoint`` (round 13: the
+    aliased self-join subtrees are NOT deduplicated by ReuseExchange/AQE,
+    so the unpinned form ran the pass four times — twice for the join
+    sides, twice for the stop list), the shingle-keyed self-join exchange
+    over the pinned rows, the pair-keyed aggregation, and — only when the
+    cap is on — one map-side-combined document-frequency aggregation over
+    the SAME pinned rows feeding a broadcast anti join (the hot set is
+    provably tiny, see :func:`stop_shingle_hashes`).
     """
     # join key = xxhash64 of the token triple, never the shingle string:
     # the inverted-index shuffle is the biggest exchange in the pipeline
@@ -306,7 +310,18 @@ def jaccard_pairs(
     # the SAME doc pair — P ≈ (distinct shingles)²/2^65, ~1e-7 at 2M
     # shingles; at 10^12-shingle scale switch to a 128-bit variant (two
     # seeded hashes) or the raw string key.
-    sh = hashed_shingle_rows(df, text_col, n)
+    #
+    # localCheckpoint: the exploded shingle relation feeds BOTH self-join
+    # sides AND the stop-shingle document-frequency pass, and neither
+    # Catalyst's ReuseExchange nor AQE stage reuse deduplicates the
+    # aliased subtrees (verified on the executed plan: four Generate
+    # nodes, zero ReusedExchange) — so without the pin the regexp
+    # tokenize + shingle hash runs FOUR times per query. Materializing
+    # the fingerprint relation once and fanning consumers out from it is
+    # the optimization-guide §8.4 decision/placement split ("run the
+    # fingerprint pass once and write it out or cache it"); the pin is
+    # recomputed on every invocation — nothing persists across runs.
+    sh = hashed_shingle_rows(df, text_col, n).localCheckpoint(eager=True)
     if stop_max_df_frac is not None or stop_max_df is not None:
         n_docs_df = df.agg(F.count(F.lit(1)).alias("n_docs"))
         hot = stop_shingle_hashes(
@@ -497,7 +512,14 @@ def minhash_signatures(
     AND get inlined per signature column by CollapseProject (16x the hash
     work -- measured 2x slower end-to-end).
     """
-    sh = doc_shingles(df, text_col).withColumn("h", _shingle_hash32("shingle"))
+    return _signatures_from_shingle_rows(doc_shingles(df, text_col), num_hashes)
+
+
+def _signatures_from_shingle_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures from an already-exploded ``(doc_id, shingle)`` relation
+    (one row per DISTINCT shingle per doc) — the shared kernel, so callers
+    holding a materialized shingle relation need not re-tokenize."""
+    sh = sh.withColumn("h", _shingle_hash32("shingle"))
     aggs = [
         F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -519,8 +541,17 @@ def minhash_band_rows(
     number, so keys never collide across bands."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    return _band_rows_from_signatures(
+        minhash_signatures(df, num_hashes, text_col), num_hashes, bands
+    )
+
+
+def _band_rows_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band rows from an already-computed signature relation (the shared
+    kernel behind :func:`minhash_band_rows`)."""
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col)
     band_cols = [
         F.concat_ws(
             "_",
@@ -553,10 +584,18 @@ def minhash_lsh_candidates(
     Scale: band buckets are the join key — shuffle is linear in docs, never
     quadratic. Dedup of pair duplicates across bands happens via distinct.
     """
-    stacked = minhash_band_rows(df, num_hashes, bands, text_col)
+    return _candidates_from_band_rows(
+        minhash_band_rows(df, num_hashes, bands, text_col)
+    )
+
+
+def _candidates_from_band_rows(stacked: DataFrame) -> DataFrame:
+    """Candidate pairs from an already-computed band-row relation (the
+    shared kernel behind :func:`minhash_lsh_candidates`)."""
     a, b = stacked.alias("a"), stacked.alias("b")
     # SHUFFLE_HASH for the same reason as jaccard_pairs: both sides are the
-    # full banded relation — shuffle once, reuse the exchange
+    # full banded relation — broadcast would double-compute the explode and
+    # under-counts post-Generate sizes
     return (
         a.hint("SHUFFLE_HASH")
         .join(
@@ -587,9 +626,31 @@ def minhash_near_dups(
     cheap and avoids a second inverted-index shuffle. (If candidate volume
     ever dwarfs doc count — pathological banding — switch the verify to the
     exploded-join form of :func:`jaccard_pairs`.)
+
+    Round 13 plan shape: the per-doc shingle ARRAY relation is computed
+    ONCE and pinned with ``localCheckpoint`` — it feeds the signature
+    pipeline (via a cheap explode of the materialized arrays) and both
+    verify sides, and without the pin the regexp tokenize + shingle pass
+    ran FOUR times (ReuseExchange/AQE never deduplicates the aliased
+    subtrees; verified on the executed plan). The tiny band-row relation
+    (``bands`` rows per doc) is pinned too so the signature aggregation
+    runs once rather than once per self-join side. Both pins are
+    recomputed on every invocation — nothing persists across runs.
     """
-    cands = minhash_lsh_candidates(df, num_hashes, bands, text_col)
-    arr = shingle_arrays(df, text_col).filter(F.size("shs") > 0)
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    arr = (
+        shingle_arrays(df, text_col)
+        .filter(F.size("shs") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sig = _signatures_from_shingle_rows(
+        arr.select("doc_id", F.explode("shs").alias("shingle")), num_hashes
+    )
+    stacked = _band_rows_from_signatures(sig, num_hashes, bands).localCheckpoint(
+        eager=True
+    )
+    cands = _candidates_from_band_rows(stacked)
     a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")

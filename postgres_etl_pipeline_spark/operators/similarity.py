@@ -137,7 +137,22 @@ def brute_force_topk(
     bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def score(batches):
+        # Per-batch PARTIAL top-k (round 13): shipping the full n×q score
+        # matrix back through Arrow made the Python→JVM return path the
+        # dominant cost (guide §4.1 — control how many rows cross the
+        # boundary). Keep only rows that can still reach the global
+        # top-k: per query, everything within 1e-4 (one rounding quantum)
+        # of the (k+1)-th largest raw score in the batch. Proof the
+        # result is unchanged: round() moves a value by ≤ 5e-5, so a
+        # dropped row x (raw < thresh − 1e-4) has round(x) < round(thresh)
+        # strictly, i.e. ≥ k+1 rows rank strictly above it under the
+        # final (rounded DESC, id ASC) order; at most one of those is the
+        # self-match the JVM filter removes — ≥ k non-self rows remain
+        # above, so x was never in the top-k. Non-finite scores (0-norm
+        # vectors) are always kept: Spark orders NaN above all doubles,
+        # and the old code shipped them through.
         b_qids, b_q, b_qn = bc.value
+        kk = k + 1
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -145,12 +160,23 @@ def brute_force_topk(
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             sims = (cmat @ b_q.T) / np.outer(cnorm, b_qn)  # (n, q)
-            n, q = sims.shape
+            n = sims.shape[0]
+            if n > kk:
+                thresh = np.partition(sims, n - kk, axis=0)[n - kk]
+                mask = sims >= (thresh - 1e-4)
+                mask |= ~np.isfinite(sims)
+                rows, cols = np.nonzero(mask)
+                out_q, out_n, out_s = b_qids[cols], cids[rows], sims[rows, cols]
+            else:
+                q = sims.shape[1]
+                out_q = np.tile(b_qids, n)
+                out_n = np.repeat(cids, q)
+                out_s = sims.ravel()
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(b_qids, n),
-                    "neighbor_id": np.repeat(cids, q),
-                    "raw_sim": sims.ravel(),
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "raw_sim": out_s,
                 }
             )
 
@@ -1653,12 +1679,27 @@ def write_ivf_index(
         as_double_vec(vec_col).alias("cv"),
         *[F.col(x) for x in extra_cols],
     )
+    # ONE hash-first sample job drives everything bounded below (round
+    # 13): the k-clamp, the flat-tier quantizer fit, AND the coarse-drift
+    # baseline. The previous shape ran three separate corpus-touching
+    # jobs for those — a limit(k).count(), the fit's own sample, and a
+    # FULL RE-READ of the just-written index for the baseline — all
+    # selecting the same deterministic top-``fit_sample`` rows by
+    # (xxhash64(id), id), so collapsing them is bitwise-identical: the
+    # sample rows and their order are unchanged, hence the same centroids
+    # and the same float-sum baseline.
+    sample_pdf = (
+        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(int(fit_sample))
+        .select("cv")
+        .toPandas()
+    )
+    X = np.array(list(sample_pdf["cv"]), dtype=np.float64)
     # degenerate corpora: clamp k to the rows available; an EMPTY corpus
     # writes an empty index (centroid sidecar only — searches return
     # empty before ever touching the data directory, and the schema-
     # explicit sidecar read needs no parquet footer to infer from)
-    n_avail = c.limit(int(n_centroids)).count()
-    if n_avail == 0:
+    if len(X) == 0:
         spark.createDataFrame([], "cid int, centroid array<double>").write.parquet(
             path + "_centroids"
         )
@@ -1666,20 +1707,30 @@ def write_ivf_index(
             [(0.0,)], "train_coarse_err double"
         ).coalesce(1).write.parquet(path + "_meta")
         return np.zeros((0, 0))
+    if int(fit_sample) >= int(n_centroids):
+        # a truncated sample (len < fit_sample) saw EVERY corpus row, so
+        # the clamp needs no extra count job
+        n_avail = min(len(X), int(n_centroids))
+    else:
+        n_avail = c.limit(int(n_centroids)).count()
     k = min(int(n_centroids), n_avail)
     if k <= max(2, int(fit_sample) // 8):
-        cents = fit_coarse_quantizer(
-            c, k, seed=seed, kmeans_max_iter=kmeans_max_iter,
-            kmeans_init=kmeans_init, fit_sample=fit_sample,
-        )
+        cents = _lloyd(X, k, seed, kmeans_max_iter, kmeans_init)
     else:
         cents = fit_two_level_quantizer(
             c, k, seed=seed, kmeans_max_iter=kmeans_max_iter,
             kmeans_init=kmeans_init, fit_sample=fit_sample,
         )
-    assign_to_centroids(c, cents, extra_cols).write.partitionBy("cid").parquet(
-        path
-    )
+    # REBALANCE before the partitioned write (guide §6): without it every
+    # scan task writes one file per cid it touches (T×k files — 225 at
+    # sf0.1 for k=8), and every later lifecycle step pays the listing +
+    # open cost. The AQE rebalance coalesces to advisory-sized output
+    # tasks AND can split a skewed hot cell, so file sizes stay right at
+    # any scale; the cost is one corpus shuffle keyed by cid — the same
+    # trade Iceberg's write.distribution-mode=hash makes.
+    assign_to_centroids(c, cents, extra_cols).hint(
+        "rebalance", "cid"
+    ).write.partitionBy("cid").parquet(path)
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cid int, centroid array<double>",
@@ -1694,17 +1745,10 @@ def write_ivf_index(
         )
     # coarse-quantization baseline (the global re-cluster trigger's
     # reference point — see measure_ivf_coarse_drift): mean squared
-    # nearest-centroid distance over a bounded hash-first sample of the
-    # just-built layout
-    pdf = (
-        spark.read.parquet(path)
-        .select("neighbor_id", "cv")
-        .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
-        .limit(int(fit_sample))
-        .select("cv")
-        .toPandas()
-    )
-    X = np.array(list(pdf["cv"]), dtype=np.float64)
+    # nearest-centroid distance over the SAME bounded hash-first sample
+    # the fit used (identical rows in identical order as the previous
+    # read-back of the written layout — the index holds exactly the
+    # input rows, so the float sum is bitwise unchanged).
     # matmul form — O(sample·k) memory, not O(sample·k·D); this is a
     # drift METRIC, so float-rounding tie order is irrelevant here
     d2 = (
@@ -2827,7 +2871,14 @@ def append_to_ivf_index(
             # stolen lease aborts loudly like the swap path (advice
             # r12 #1), instead of interleaving with the thief's swap
             _refresh_writer_lease(spark, path, token)
-            assigned.write.mode("append").partitionBy("cid").parquet(path)
+            # REBALANCE (guide §6): without it every batch task appends
+            # one file per cid it touches (T×k files per append); the
+            # rebalance costs one batch-sized shuffle and lands ~1
+            # advisory-sized file per touched cid, which every later
+            # probe/compaction/list pays for
+            assigned.hint("rebalance", "cid").write.mode("append").partitionBy(
+                "cid"
+            ).parquet(path)
             if extra_cols:
                 _merge_ivf_list_stats(spark, assigned, path)
     finally:
@@ -3369,7 +3420,12 @@ def _stage_and_swap_partitions(
         # the staging write is the long phase — heartbeat the lease so a
         # write longer than the TTL never looks like a crashed writer
         with _LeaseHeartbeat(spark, [(base, token)]):
-            new_rows.write.partitionBy("cid").parquet(stage)
+            # REBALANCE as in the build path (guide §6): staged cells land
+            # as ~1 advisory-sized file per cid instead of one per
+            # upstream task per cid
+            new_rows.hint("rebalance", "cid").write.partitionBy(
+                "cid"
+            ).parquet(stage)
             for suffix, df in sorted((sidecars or {}).items()):
                 df.coalesce(1).write.parquet(
                     stage + f"/__new_sidecar{suffix}"
@@ -4510,6 +4566,7 @@ def anchor_residual_codebook(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    book=None,
 ):
     """The SQL-expressible residual codebook: residuals of the
     ``codebook_size`` hash-first corpus vectors against ``coarse_cents``
@@ -4518,11 +4575,14 @@ def anchor_residual_codebook(
     to, exposed so callers can hold sidecars FIXED across a split
     build + append (the stream entry's one-shot-equality contract).
     Returns a scale-stamped (C, m, d) :class:`LatticeCodebook`, or None
-    on an empty corpus."""
+    on an empty corpus. ``book`` short-circuits the anchor sample with an
+    already-collected :func:`pq_anchor_codebook` list (round 13: the
+    build derives coarse anchors and the codebook from ONE sample job)."""
     import numpy as np
 
     Cc = np.asarray(coarse_cents, dtype=np.int64)
-    book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
+    if book is None:
+        book = pq_anchor_codebook(corpus, codebook_size, id_col, vec_col, scale)
     if not book:
         return None
     A = np.array(book, dtype=np.int64)
@@ -4589,12 +4649,28 @@ def write_ivfpq_index(
         fixed_point_codes(as_double_vec(vec_col), scale).alias("cd"),
         *[F.col(x) for x in extra_cols],
     )
+    _book = None
     if coarse_cents is not None:
         Cc = np.asarray(coarse_cents, dtype=np.int64)
     elif coarse == "anchor":
-        Cc = lattice_anchor_centroids(
-            corpus, n_centroids, id_col, vec_col, scale
-        )
+        if codebook is None and int(codebook_size) >= int(n_centroids):
+            # ONE hash-first sample job serves BOTH anchor derivations
+            # (round 13): the top-n selection is by the same total order
+            # (md5(vec_id), vec_id), so the coarse anchors are exactly
+            # the first n_centroids rows of the codebook sample —
+            # bitwise identical to two separate TakeOrdered jobs
+            _book = pq_anchor_codebook(
+                corpus, codebook_size, id_col, vec_col, scale
+            )
+            Cc = (
+                np.array(_book[: int(n_centroids)], dtype=np.int64)
+                if _book
+                else np.zeros((0, 0), dtype=np.int64)
+            )
+        else:
+            Cc = lattice_anchor_centroids(
+                corpus, n_centroids, id_col, vec_col, scale
+            )
     elif coarse == "lloyd":
         cf = corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -4630,16 +4706,18 @@ def write_ivfpq_index(
             )
     else:
         As = anchor_residual_codebook(
-            corpus, Cc, m, codebook_size, scale, id_col, vec_col
+            corpus, Cc, m, codebook_size, scale, id_col, vec_col, book=_book
         )
         if As is None:
             raise ValueError(
                 "cannot build an IVFADC index over an empty corpus"
             )
         As = np.asarray(As, dtype=np.int64)
-    _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols).write.partitionBy(
-        "cid"
-    ).parquet(path)
+    # REBALANCE before the partitioned write (guide §6) — same file-count
+    # rationale as write_ivf_index
+    _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols).hint(
+        "rebalance", "cid"
+    ).write.partitionBy("cid").parquet(path)
     spark.createDataFrame(
         [(int(i), [int(x) for x in row]) for i, row in enumerate(Cc)],
         "cid int, centroid array<long>",
@@ -4823,7 +4901,10 @@ def append_to_ivfpq_index(
                 encoded = encoded.localCheckpoint(eager=True)  # append+stats
             # pre-write ownership re-check, as the raw tier
             _refresh_writer_lease(spark, path, token)
-            encoded.write.mode("append").partitionBy("cid").parquet(path)
+            # REBALANCE as in the raw-tier append (guide §6)
+            encoded.hint("rebalance", "cid").write.mode("append").partitionBy(
+                "cid"
+            ).parquet(path)
             if extra_cols:
                 _merge_ivf_list_stats(spark, encoded, path)
     finally:

@@ -129,13 +129,27 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_sales_mart(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.date_format(day_bucket("l_shipdate"), "yyyy-MM-dd").alias("day"),
-        "l_returnflag",
-    ).agg(
-        F.count(F.lit(1)).alias("txns"),
-        dsum("l_quantity", "units"),
-        dsum("l_extendedprice", "gross"),
+    # Group on the truncated TIMESTAMP and render the day string only on
+    # the ≤|days × flags| aggregated rows (round 13): date_format is a
+    # per-row tz-aware formatter that dominated the pre-shuffle stage when
+    # keyed on it, and the 10-char string key shuffled wider than the
+    # 8-byte timestamp (guide §2.3 narrower keys). date_trunc('day') →
+    # 'yyyy-MM-dd' is injective under the fixed UTC session, so the
+    # groups — and the output — are unchanged.
+    return (
+        li.groupBy(day_bucket("l_shipdate").alias("_day"), "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("txns"),
+            dsum("l_quantity", "units"),
+            dsum("l_extendedprice", "gross"),
+        )
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            "l_returnflag",
+            "txns",
+            "units",
+            "gross",
+        )
     )
 
 
@@ -168,28 +182,46 @@ def star_join_revenue(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
     region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    # Dimension flattening: snowflake chain customer→nation→region pre-joins
-    # into ONE flat dim (same row count as customer — n:1 joins), broadcast
-    # once. The fact side then pays a single BroadcastHashJoin instead of
-    # three chained ones; measured 2.2x faster at sf0.1 (0.68s vs 1.5s) and
-    # at 100 TB it broadcasts the same bytes while halving fact-side
-    # codegen stages.
-    dim = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
-        .select("c_custkey", "n_name", "r_name")
-    )
-    joined = (
-        li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
-    )
+    # Dimension flattening, extended through ORDERS (round 13): the whole
+    # snowflake above the fact — orders→customer→nation — collapses into
+    # one map o_orderkey → c_nationkey (orders-sized, two bigint columns),
+    # so the 600k-row fact side pays EXACTLY ONE BroadcastHashJoin probe
+    # instead of the round-12 two (orders, then the flat customer dim;
+    # that version was itself 2.2x over the naive three chained
+    # broadcasts). NO explicit broadcast hint on the orders-sized side:
+    # the planner auto-broadcasts it at bench SF (verified — same plan as
+    # the hinted form) and degrades to a sort-merge join at scales where
+    # a forced broadcast of a SF-scaling relation would OOM. The fact
+    # then aggregates on the 8-byte nationkey — 25 groups, fully
+    # map-side-combined — and only the 25 aggregated rows join the
+    # nation/region NAME strings and re-aggregate by (region, nation),
+    # which is exact: decimal partial sums re-sum losslessly and the
+    # double cast stays at the very end.
+    okey_nation = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey")
     rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
-    return joined.groupBy(
-        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
-    ).agg(
-        F.count(F.lit(1)).alias("line_count"),
-        F.sum(rev).cast("double").alias("revenue"),
+    per_nation = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(okey_nation, li.l_orderkey == okey_nation.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("_lc"),
+            F.sum(rev).alias("_rev"),
+        )
+    )
+    names = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    return (
+        per_nation.join(
+            F.broadcast(names), per_nation.c_nationkey == names.n_nationkey
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("_lc").alias("line_count"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
     )
 
 
@@ -244,11 +276,17 @@ def q_typed_projection(spark, sf_dir):
 )
 def month_bucket_orders(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
-            "month"
+    # format-after-aggregate (round 13, the daily_sales_mart pattern):
+    # group on the truncated timestamp, render the string on ≤|months| rows
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("_month"))
+        .agg(F.count(F.lit(1)).alias("orders"), dsum("o_totalprice", "total"))
+        .select(
+            F.date_format("_month", "yyyy-MM-dd").alias("month"),
+            "orders",
+            "total",
         )
-    ).agg(F.count(F.lit(1)).alias("orders"), dsum("o_totalprice", "total"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -705,14 +743,15 @@ def distinct_suppliers_per_flag(spark, sf_dir):
 )
 def running_monthly_revenue(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
+    # format-after-aggregate (round 13): group and order on the truncated
+    # timestamp ('yyyy-MM-dd' ordering == timestamp ordering), render the
+    # string on the ≤|months| aggregated rows only
     monthly = o.groupBy(
-        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
-            "month"
-        )
+        F.date_trunc("month", "o_orderdate").alias("_month")
     ).agg(F.sum(money("o_totalprice")).alias("monthly"))
-    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("_month").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(
-        "month",
+        F.date_format("_month", "yyyy-MM-dd").alias("month"),
         F.col("monthly").cast("double").alias("monthly"),
         F.sum("monthly").over(w).cast("double").alias("cumulative"),
     )
@@ -737,12 +776,22 @@ def running_monthly_revenue(spark, sf_dir):
 )
 def events_hourly(spark, sf_dir):
     ev = read_events(spark, sf_dir)
-    return ev.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-            "hour"
-        ),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+    # Group on the truncated TIMESTAMP, render the hour string on the
+    # aggregated rows only (round 13 — the daily_sales_mart pattern):
+    # per-row date_format dominated the pre-shuffle stage, and the
+    # 19-char string key shuffled wider than the 8-byte timestamp.
+    # date_trunc('hour') → formatted string is injective under the fixed
+    # UTC session, so groups and output are unchanged.
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("_hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+        .select(
+            F.date_format("_hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

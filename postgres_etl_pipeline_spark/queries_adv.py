@@ -649,15 +649,28 @@ def q3_shipping_priority(spark, sf_dir):
     rev = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     ).cast("double")
+    # format-after-aggregate (round 13, the daily_sales_mart pattern):
+    # group on the day-TRUNCATED timestamp — the per-row date_format ran
+    # on every surviving fact row and widened the partial-agg shuffle key
+    # from 8 bytes to a 10-char string (guide §2.3); the string is
+    # rendered on the aggregated rows only. date_trunc('day') →
+    # 'yyyy-MM-dd' is injective under the fixed UTC session, so the
+    # groups — and the output — are unchanged.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.date_trunc("day", "o_orderdate").alias("_od"),
             "o_orderpriority",
         )
         .agg(rev.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("_od", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
