@@ -156,6 +156,7 @@ def nb_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Score every document: ``(id_col, log_odds DECIMAL(25,6))`` where
     ``log_odds = prior + Σ_tokens llr(bucket(token))`` (unseen buckets
@@ -165,7 +166,13 @@ def nb_score(
     so the join probes |doc × distinct-bucket| rows, not token
     occurrences. Exact decimal arithmetic end-to-end — the score is a
     pure function of (corpus, model), whatever the partitioning.
+
+    ``carry_cols`` (round 13) rides extra ``docs`` columns through the
+    doc spine the left join already shuffles, so callers who need, e.g.,
+    a label column next to the score don't pay a second corpus-keyed
+    join to re-attach it.
     """
+    carry = list(carry_cols or [])
     bow = hashed_token_counts(docs, text_col, id_col, n_buckets)
     scored = (
         bow.join(F.broadcast(model), "bucket", "left")
@@ -178,11 +185,12 @@ def nb_score(
         .agg(F.sum("w").alias("s"))
     )
     return (
-        docs.select(id_col)
+        docs.select(id_col, *carry)
         .join(scored, id_col, "left")
         .crossJoin(F.broadcast(prior.select("prior")))
         .select(
             id_col,
+            *carry,
             (F.coalesce(F.col("s"), F.lit(0)) + F.col("prior"))
             .cast("decimal(25,6)")
             .alias("log_odds"),
@@ -212,6 +220,7 @@ def quality_classifier_scores(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
     train_pct: int = 50,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """End-to-end train-then-score: fit NB on the deterministic
     ``train_pct``% split against ``label``, score EVERY document
@@ -227,10 +236,20 @@ def quality_classifier_scores(
     # training aggregation pass over the corpus re-runs per branch
     model = model.localCheckpoint(eager=True)
     prior = prior.localCheckpoint(eager=True)
-    scores = nb_score(docs, model, prior, text_col, id_col, n_buckets)
-    return (
-        docs.select(id_col, is_train.alias("is_train"))
-        .join(scores, id_col)
+    scores = nb_score(
+        docs, model, prior, text_col, id_col, n_buckets, carry_cols
+    )
+    # is_train is a pure function of id_col (md5 split), so it is
+    # RE-DERIVED on the scored rows instead of joined back from ``docs``
+    # (round 13): the previous ``docs.join(scores, id_col)`` re-shuffled
+    # the whole corpus a third time just to attach a recomputable bit.
+    # ``scores`` carries exactly one row per doc (nb_score left-joins the
+    # doc spine), so the projection is row-for-row identical to the join.
+    return scores.select(
+        id_col,
+        *(carry_cols or []),
+        is_train.alias("is_train"),
+        "log_odds",
     )
 
 

@@ -100,9 +100,13 @@ def _label_en():
 
 
 def _classifier_frame(spark, sf_dir):
+    # lang rides through the scoring shuffle via carry_cols (round 13):
+    # the previous ``docs.join(scores, "doc_id")`` re-shuffled the corpus
+    # a second time just to re-attach the language column.
     docs = spread(t(spark, sf_dir, "documents"))
-    scores = C.quality_classifier_scores(docs, _label_en())
-    return docs.select("doc_id", "lang").join(scores, "doc_id")
+    return C.quality_classifier_scores(
+        docs, _label_en(), carry_cols=["lang"]
+    )
 
 
 @register(
