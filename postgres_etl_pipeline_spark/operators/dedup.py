@@ -290,15 +290,22 @@ def jaccard_pairs(
     double division — engine-portable.
 
     Set sizes ride along with the exploded rows (computed row-wise inside
-    the shingle lambda chain, pre-explode), so the query is ONE tokenize +
-    shingle-hash pass materialized via ``localCheckpoint`` (round 13: the
-    aliased self-join subtrees are NOT deduplicated by ReuseExchange/AQE,
-    so the unpinned form ran the pass four times — twice for the join
-    sides, twice for the stop list), the shingle-keyed self-join exchange
-    over the pinned rows, the pair-keyed aggregation, and — only when the
-    cap is on — one map-side-combined document-frequency aggregation over
-    the SAME pinned rows feeding a broadcast anti join (the hot set is
-    provably tiny, see :func:`stop_shingle_hashes`).
+    the shingle lambda chain, pre-explode), so the query is the shingle-
+    keyed self-join exchange (reused for both sides), the pair-keyed
+    aggregation, and — only when the cap is on — one map-side-combined
+    document-frequency aggregation feeding a broadcast anti join (the hot
+    set is provably tiny, see :func:`stop_shingle_hashes`).
+
+    Round-13 A/B, deliberately NOT materialized: the shingle relation
+    feeds both self-join sides and the stop-list pass, and ReuseExchange/
+    AQE never deduplicate the aliased subtrees — but pinning it with an
+    eager ``localCheckpoint`` measured SLOWER end-to-end (1.427 s vs
+    1.327 s warm best-of-3 at sf0.1/local[32]; minhash's pin was 1.929 s
+    vs 1.291 s recomputed). The repeated subtrees are pure scan→explode
+    lineage whose independent stages overlap across cores, while the
+    checkpoint is a serializing barrier that writes the full exploded
+    relation — the same measured asymmetry bm25_doc_topk documents
+    (recompute map-lineage, materialize only shuffle-join lineage).
     """
     # join key = xxhash64 of the token triple, never the shingle string:
     # the inverted-index shuffle is the biggest exchange in the pipeline
@@ -310,18 +317,7 @@ def jaccard_pairs(
     # the SAME doc pair — P ≈ (distinct shingles)²/2^65, ~1e-7 at 2M
     # shingles; at 10^12-shingle scale switch to a 128-bit variant (two
     # seeded hashes) or the raw string key.
-    #
-    # localCheckpoint: the exploded shingle relation feeds BOTH self-join
-    # sides AND the stop-shingle document-frequency pass, and neither
-    # Catalyst's ReuseExchange nor AQE stage reuse deduplicates the
-    # aliased subtrees (verified on the executed plan: four Generate
-    # nodes, zero ReusedExchange) — so without the pin the regexp
-    # tokenize + shingle hash runs FOUR times per query. Materializing
-    # the fingerprint relation once and fanning consumers out from it is
-    # the optimization-guide §8.4 decision/placement split ("run the
-    # fingerprint pass once and write it out or cache it"); the pin is
-    # recomputed on every invocation — nothing persists across runs.
-    sh = hashed_shingle_rows(df, text_col, n).localCheckpoint(eager=True)
+    sh = hashed_shingle_rows(df, text_col, n)
     if stop_max_df_frac is not None or stop_max_df is not None:
         n_docs_df = df.agg(F.count(F.lit(1)).alias("n_docs"))
         hot = stop_shingle_hashes(
@@ -627,30 +623,24 @@ def minhash_near_dups(
     ever dwarfs doc count — pathological banding — switch the verify to the
     exploded-join form of :func:`jaccard_pairs`.)
 
-    Round 13 plan shape: the per-doc shingle ARRAY relation is computed
-    ONCE and pinned with ``localCheckpoint`` — it feeds the signature
-    pipeline (via a cheap explode of the materialized arrays) and both
-    verify sides, and without the pin the regexp tokenize + shingle pass
-    ran FOUR times (ReuseExchange/AQE never deduplicates the aliased
-    subtrees; verified on the executed plan). The tiny band-row relation
-    (``bands`` rows per doc) is pinned too so the signature aggregation
-    runs once rather than once per self-join side. Both pins are
-    recomputed on every invocation — nothing persists across runs.
+    Round-13 A/B, deliberately left as recompute: the tokenize + shingle
+    pass appears four times in the executed plan (both band self-join
+    sides, both verify sides — ReuseExchange/AQE never deduplicate the
+    aliased subtrees), and pinning it once with an eager
+    ``localCheckpoint`` was tried and measured SLOWER end-to-end:
+    1.929 s pinned (1.791 s pinning only the tiny band-row relation,
+    1.474 s pinned + broadcast-candidates verify) vs **1.291 s plain
+    recompute**, warm best-of-3 at sf0.1/local[32]. The duplicated
+    subtrees are pure scan→explode→aggregate lineage whose independent
+    stages overlap across cores; the eager pin serializes a barrier and
+    writes the full shingle-array relation through the block manager —
+    the same measured recompute-vs-materialize asymmetry bm25_doc_topk
+    documents. (At a scale where the four passes saturate the cluster,
+    persist the BAND-ROW relation as the index instead — that is what
+    :func:`incremental_minhash_dedup` does across increments.)
     """
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    arr = (
-        shingle_arrays(df, text_col)
-        .filter(F.size("shs") > 0)
-        .localCheckpoint(eager=True)
-    )
-    sig = _signatures_from_shingle_rows(
-        arr.select("doc_id", F.explode("shs").alias("shingle")), num_hashes
-    )
-    stacked = _band_rows_from_signatures(sig, num_hashes, bands).localCheckpoint(
-        eager=True
-    )
-    cands = _candidates_from_band_rows(stacked)
+    cands = minhash_lsh_candidates(df, num_hashes, bands, text_col)
+    arr = shingle_arrays(df, text_col).filter(F.size("shs") > 0)
     a = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
