@@ -73,6 +73,22 @@ def _check_codebook_scale(codebook, scale: int, caller: str) -> None:
         )
 
 
+def _tiny_df(spark, data, schema) -> DataFrame:
+    """A driver-local DataFrame backed by a SINGLE-slice RDD.
+
+    ``spark.createDataFrame(data, schema)`` slices local data into
+    ``defaultParallelism`` Python partitions (32 on local[32]); a
+    ``.coalesce(1)`` before a sidecar write then evaluates all 32 in ONE
+    task, each paying a serial Python-worker round-trip — measured 6.5 s
+    for a 1-row write vs 0.4 s with one slice (guide §4: the boundary
+    cost is per-partition, not per-row). Sidecars are a handful of rows,
+    so one slice is also the right output layout (one file, no coalesce
+    needed)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, numSlices=1), schema
+    )
+
+
 def as_double_vec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -1700,12 +1716,12 @@ def write_ivf_index(
     # empty before ever touching the data directory, and the schema-
     # explicit sidecar read needs no parquet footer to infer from)
     if len(X) == 0:
-        spark.createDataFrame([], "cid int, centroid array<double>").write.parquet(
+        _tiny_df(spark, [], "cid int, centroid array<double>").write.parquet(
             path + "_centroids"
         )
-        spark.createDataFrame(
-            [(0.0,)], "train_coarse_err double"
-        ).coalesce(1).write.parquet(path + "_meta")
+        _tiny_df(
+            spark, [(0.0,)], "train_coarse_err double"
+        ).write.parquet(path + "_meta")
         return np.zeros((0, 0))
     if int(fit_sample) >= int(n_centroids):
         # a truncated sample (len < fit_sample) saw EVERY corpus row, so
@@ -1731,10 +1747,11 @@ def write_ivf_index(
     assign_to_centroids(c, cents, extra_cols).hint(
         "rebalance", "cid"
     ).write.partitionBy("cid").parquet(path)
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.parquet(path + "_centroids")
+    ).write.parquet(path + "_centroids")
     if extra_cols:
         # selectivity sidecars (verdict r09 item 6): per-(cid, value)
         # match counts for every metadata column, read back from the
@@ -1756,9 +1773,9 @@ def write_ivf_index(
         - 2 * (X @ cents.T)
         + (cents * cents).sum(axis=1)[None, :]
     )
-    spark.createDataFrame(
-        [(float(d2.min(axis=1).mean()),)], "train_coarse_err double"
-    ).coalesce(1).write.parquet(path + "_meta")
+    _tiny_df(
+        spark, [(float(d2.min(axis=1).mean()),)], "train_coarse_err double"
+    ).write.parquet(path + "_meta")
     return cents
 
 
@@ -3895,7 +3912,8 @@ def resplit_ivf_cell(
     # append the rest at the tail ids (cid order preserved for readers)
     new_cents = np.vstack([cents, sub[1:]])
     new_cents[cid] = sub[0]
-    updated = spark.createDataFrame(
+    updated = _tiny_df(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(new_cents)],
         "cid int, centroid array<double>",
     )
@@ -4718,18 +4736,20 @@ def write_ivfpq_index(
     _ivfpq_encode_pass(c, Cc, As, m, d, extra_cols).hint(
         "rebalance", "cid"
     ).write.partitionBy("cid").parquet(path)
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(int(i), [int(x) for x in row]) for i, row in enumerate(Cc)],
         "cid int, centroid array<long>",
-    ).coalesce(1).write.parquet(path + "_centroids")
-    spark.createDataFrame(
+    ).write.parquet(path + "_centroids")
+    _tiny_df(
+        spark,
         [
             (int(code), int(s), [int(x) for x in As[code, s]])
             for code in range(len(As))
             for s in range(m)
         ],
         "code int, s int, sub array<long>",
-    ).coalesce(1).write.parquet(path + "_codebook")
+    ).write.parquet(path + "_codebook")
     # the lattice-scale stamp, PERSISTED (advice r09 #1): the in-memory
     # LatticeCodebook stamp was lost at this boundary, so an index built
     # with a non-default scale and later maintained/served with the
@@ -4747,11 +4767,12 @@ def write_ivfpq_index(
     )
     train_err = _lattice_quantization_error(sample_X, Cc, As)
     train_coarse_err = _lattice_coarse_error(sample_X, Cc)
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(int(scale), int(m), int(d), float(train_err),
           float(train_coarse_err))],
         "scale int, m int, d int, train_err double, train_coarse_err double",
-    ).coalesce(1).write.parquet(path + "_meta")
+    ).write.parquet(path + "_meta")
     if extra_cols:
         # selectivity sidecars for the filtered ADC tier (verdict r09
         # item 6) — same shape and maintenance story as the raw tier's
@@ -5544,7 +5565,8 @@ def resplit_ivfpq_cell(
     )
     new_cents = np.vstack([Cc, sub[1:]])
     new_cents[cid] = sub[0]
-    updated = spark.createDataFrame(
+    updated = _tiny_df(
+        spark,
         [(int(i), [int(x) for x in row]) for i, row in enumerate(new_cents)],
         "cid int, centroid array<long>",
     )
@@ -5889,7 +5911,8 @@ def retrain_ivfpq_codebook(
     live_cids = sorted(
         int(r["cid"]) for r in layout.select("cid").distinct().collect()
     )
-    book_df = spark.createDataFrame(
+    book_df = _tiny_df(
+        spark,
         [
             (int(code), int(s), [int(x) for x in As_new[code, s]])
             for code in range(len(As_new))
@@ -5914,7 +5937,8 @@ def retrain_ivfpq_codebook(
     # exactly the wholesale drift measure_ivfpq_coarse_drift exists to
     # detect (verdict r10 item 2)
     old_coarse = _read_ivfpq_meta(spark, path).get("train_coarse_err")
-    meta_df = spark.createDataFrame(
+    meta_df = _tiny_df(
+        spark,
         [(int(scale), int(m), int(d), float(new_train_err),
           None if old_coarse is None else float(old_coarse))],
         "scale int, m int, d int, train_err double, train_coarse_err double",
