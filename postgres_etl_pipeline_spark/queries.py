@@ -85,6 +85,23 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def frozen(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Driver-collected result rows as a SINGLE-slice local DataFrame.
+
+    The scratch-lifecycle entries collect their search output before the
+    scratch dir is removed and return ``createDataFrame(rows, schema)``;
+    the default form slices local data into ``defaultParallelism``
+    Python partitions, so every downstream action pays one Python-worker
+    round-trip PER SLICE (32 on local[32]) just to re-emit a few hundred
+    rows (same pathology as ``similarity._tiny_df``, guide §4: the
+    boundary cost is per-partition). One slice keeps row order and
+    values identical and evaluates in one round-trip.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the ``events`` table, whose ``ts`` is TIMESTAMP(NANOS) parquet.
 

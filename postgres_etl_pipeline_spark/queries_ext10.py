@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import register, spread, t
+from .queries import frozen, register, spread, t
 from .queries_ext9 import _cosine_topk_oracle
 
 # survivors: the whole embeddings table minus the tombstoned tenth;
@@ -117,7 +117,7 @@ def ivf_root_drain_lifecycle(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # tokenization canon shared with queries_ext._TOKS (collapse whitespace →
@@ -243,4 +243,4 @@ def ivf_maintenance_tick_topk(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)

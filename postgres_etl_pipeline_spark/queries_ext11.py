@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import register, spread, t
+from .queries import frozen, register, spread, t
 from .queries_ext9 import _cosine_topk_oracle
 
 _BPE_PATT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
@@ -196,4 +196,4 @@ def ivfpq_maintenance_tick_search(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import register, spread, t
+from .queries import frozen, register, spread, t
 from .queries_ext5 import _containment_oracle, _PQ_ORACLE
 
 # ---------------------------------------------------------------------------
@@ -213,7 +213,7 @@ def ivf_partitioned_topk(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------

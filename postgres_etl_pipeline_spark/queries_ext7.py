@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import register, spread, t
+from .queries import frozen, register, spread, t
 
 # ---------------------------------------------------------------------------
 # Residual-encoded IVF-PQ (IVFADC) — verdict r08 item 1
@@ -268,7 +268,7 @@ def ivf_append_topk(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +335,7 @@ def filtered_ivf_topk(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +432,7 @@ def ivfpq_index_search(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 @register(
@@ -486,4 +486,4 @@ def filtered_ivfpq_search(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import register, spread, t
+from .queries import frozen, register, spread, t
 from .queries_ext7 import _IVFPQ_RESIDUAL_ORACLE, _ivfpq_residual_oracle_sql
 
 _EMPTY_TOPK = "query_id long, neighbor_id long, cos_sim double, rank int"
@@ -91,7 +91,7 @@ def ivf_delete_topk(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 @register(
@@ -137,7 +137,7 @@ def ivfpq_delete_search(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +206,7 @@ def ivfpq_drift_retrain(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +440,7 @@ def ivfpq_append_resplit_search(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -506,4 +506,4 @@ def ivf_compacted_topk(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)

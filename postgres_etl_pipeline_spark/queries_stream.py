@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .queries import register
+from .queries import frozen, register
 from .streaming import jobs, runner, sources
 
 _FMT = "%Y-%m-%d %H:%M:%S"
@@ -432,7 +432,7 @@ def stream_cdc_apply(spark, sf_dir):
         schema = audit.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -568,7 +568,7 @@ def stream_minhash_dedup(spark, sf_dir):
         schema = admitted.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -641,7 +641,7 @@ def stream_topk_maintenance(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -701,7 +701,7 @@ def stream_ivf_maintenance(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 def _ivfpq_residual_oracle() -> str:
@@ -771,7 +771,7 @@ def stream_ivfpq_maintenance(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 def _stream_delete_oracle() -> str:
@@ -851,7 +851,7 @@ def stream_ivf_delete_maintenance(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 @register(
@@ -924,7 +924,7 @@ def stream_maintenance_tick(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -996,4 +996,4 @@ def stream_nb_model_serving(spark, sf_dir):
         schema = out.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.scd import scd2_compress
-from .queries import read_events, register, t
+from .queries import frozen, read_events, register, t
 
 _FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -389,7 +389,7 @@ def csv_roundtrip_orders(spark, sf_dir):
         rows, schema = audit.collect(), audit.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
 
 
 @register(
@@ -452,4 +452,4 @@ def orc_roundtrip_orders(spark, sf_dir):
         rows, schema = audit.collect(), audit.schema
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen(spark, rows, schema)
