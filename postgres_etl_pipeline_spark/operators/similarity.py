@@ -628,8 +628,8 @@ def ivf_topk(
         for cid in np.argsort(d)[:n_probe]:
             probes.append((int(r[0]), int(cid), [float(x) for x in qv]))
     spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, cid int, qv array<double>"
+    probe_df = _tiny_df(
+        spark, probes, "query_id long, cid int, qv array<double>"
     )
     scored = (
         assigned.join(F.broadcast(probe_df), "cid")
@@ -917,8 +917,8 @@ def semdedup_scaled_invariants(
     )
     n_corpus = v.count()
     if n_corpus == 0:
-        return spark.createDataFrame(
-            [(name, True, 0) for name in SEMDEDUP_INVARIANTS], schema
+        return _tiny_df(
+            spark, [(name, True, 0) for name in SEMDEDUP_INVARIANTS], schema
         )
     k = min(
         max(2, math.ceil(n_corpus / max(1, target_cluster_size))), n_corpus
@@ -985,7 +985,8 @@ def semdedup_scaled_invariants(
         "every_cluster_keeps_min_id": min_ok,
         "no_kept_pair_reaches_threshold": pair_ok,
     }
-    return spark.createDataFrame(
+    return _tiny_df(
+        spark,
         [(name, bool(holds[name]), int(n_corpus)) for name in SEMDEDUP_INVARIANTS],
         schema,
     )
@@ -1109,7 +1110,8 @@ def sq8_topk(
         .filter(F.col("crank") <= k * rerank)
         .select("query_id", "neighbor_id")
     )
-    qdf = spark.createDataFrame(
+    qdf = _tiny_df(
+        spark,
         [(int(r["query_id"]), list(r["qv"])) for r in q_rows],
         "query_id long, qv array<double>",
     )
@@ -1343,7 +1345,8 @@ def pq_topk(
         .filter(F.col("crank") <= k * rerank)
         .select("query_id", "neighbor_id")
     )
-    qdf = spark.createDataFrame(
+    qdf = _tiny_df(
+        spark,
         [(int(r["query_id"]), list(r["qv"])) for r in q_rows],
         "query_id long, qv array<double>",
     )
@@ -1599,8 +1602,8 @@ def ivfpq_topk(
                 }
             )
 
-    probed = spark.createDataFrame(
-        [(int(x),) for x in probed_cids], "cid int"
+    probed = _tiny_df(
+        spark, [(int(x),) for x in probed_cids], "cid int"
     )
     coded = (
         assign_to_centroids(c, cents)
@@ -1623,7 +1626,8 @@ def ivfpq_topk(
         .filter(F.col("crank") <= k * rerank)
         .select("query_id", "neighbor_id")
     )
-    qdf = spark.createDataFrame(
+    qdf = _tiny_df(
+        spark,
         [(int(r["query_id"]), list(r["qv"])) for r in q_rows],
         "query_id long, qv array<double>",
     )
@@ -2261,8 +2265,8 @@ def ivf_index_topk(
         d = ((cents - qv) ** 2).sum(axis=1)
         for cid in np.argsort(d)[: int(n_probe)]:
             probes.append((int(r[0]), int(cid), [float(x) for x in qv]))
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, cid int, qv array<double>"
+    probe_df = _tiny_df(
+        spark, probes, "query_id long, cid int, qv array<double>"
     )
     probed_cids = sorted({p[1] for p in probes})
     scan = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
@@ -2530,7 +2534,8 @@ def _rerank_exact_cosine(cands, corpus, q_rows, k, id_col, vec_col):
     JVM-side against the broadcast query matrix, and rank on the 4-dp +
     neighbor-id total order."""
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = _tiny_df(
+        spark,
         [(int(r["query_id"]), [float(x) for x in r["qv"]]) for r in q_rows],
         "query_id long, qv array<double>",
     )
@@ -4159,8 +4164,8 @@ def _filtered_ivf_topk_driver(
         else None
     )
     starts = _probe_jump_starts(stats_rows, order, qmeta, k, n_probe, n_cents)
-    acc = spark.createDataFrame(
-        [], "query_id long, neighbor_id long, cos_sim double"
+    acc = _tiny_df(
+        spark, [], "query_id long, neighbor_id long, cos_sim double"
     )
     filled = {qid: 0 for qid in qmeta}
     probed_upto = {qid: 0 for qid in qmeta}
@@ -4184,7 +4189,8 @@ def _filtered_ivf_topk_driver(
             break
         rounds += 1
         _filtered_ivf_topk_driver.last_rounds = rounds  # test observable
-        probe_df = spark.createDataFrame(
+        probe_df = _tiny_df(
+            spark,
             probes,
             f"query_id long, cid int, qv array<double>, "
             f"qval {queries.schema[filter_col].dataType.simpleString()}",
@@ -4296,8 +4302,8 @@ def _filtered_ivf_topk_distributed(
     state = _attach_probe_jump(
         spark, path, state, porder, qdf, filter_col, k, n_probe, n_cents
     ).localCheckpoint(eager=True)
-    acc = spark.createDataFrame(
-        [], "query_id long, neighbor_id long, cos_sim double"
+    acc = _tiny_df(
+        spark, [], "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -5166,7 +5172,7 @@ def _filtered_ivfpq_topk_driver(
             starts[qi] = max(start, n_probe)
     filled = np.zeros(nq, dtype=np.int64)
     probed_upto = np.zeros(nq, dtype=np.int64)
-    acc = spark.createDataFrame([], "query_id long, neighbor_id long, adc long")
+    acc = _tiny_df(spark, [], "query_id long, neighbor_id long, adc long")
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
@@ -5344,7 +5350,7 @@ def _filtered_ivfpq_topk_distributed(
     state = _attach_probe_jump(
         spark, path, state, porder, qdf, filter_col, pool, n_probe, n_cents
     ).localCheckpoint(eager=True)
-    acc = spark.createDataFrame([], "query_id long, neighbor_id long, adc long")
+    acc = _tiny_df(spark, [], "query_id long, neighbor_id long, adc long")
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
