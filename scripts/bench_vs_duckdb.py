@@ -110,13 +110,19 @@ a versioned build, two lease-resolved appends THROUGH the root, a
 forced blue/green rebuild between them, a tombstone delete, GC, and
 the probe-all search, all against one brute-force oracle scan; its
 ratio prices the whole production maintenance lifecycle, and the
-marginal cost of each constituent op is what SCALE.md measures. These
-lifecycle rows are also why the headline TOTAL has drifted toward
-1.0×: each round adds rows where Spark executes an entire multi-build
-deployment story and DuckDB executes one query — on the per-row
-serving and analytics workloads the comparison is unchanged (see the
-per-row ratios above; the adversarial-corpus row
-`edit_distance_near_dups` alone is a ~35× Spark win).
+marginal cost of each constituent op is what SCALE.md measures.
+
+Round 13 (optimization round): the Python-boundary fixed costs that
+dominated every lifecycle row — 32-slice driver-local DataFrames behind
+each sidecar write, probe frame, and result frame — were removed
+(single-slice `_tiny_df`/`frozen`), on top of the one-sample builds and
+REBALANCE'd partitioned writes of the round's first sweep. The
+lifecycle rows dropped 3–10× with bit-identical results, which is what
+flipped the headline TOTAL from ~1.0× (r12) to ~0.5×: Spark now
+executes each entire multi-build deployment story in less time than
+DuckDB's one oracle query over the same parquet, and the adversarial
+rows stay lopsided Spark wins (`edit_distance_near_dups` ~44×,
+`pagerank_near_dup_graph` ~11×, `dedup_cc_clusters` ~5×).
 """
 
 
