@@ -254,8 +254,10 @@ def quality_classifier_scores(
     # RE-DERIVED on the scored rows instead of joined back from ``docs``
     # (round 13): the previous ``docs.join(scores, id_col)`` re-shuffled
     # the whole corpus a third time just to attach a recomputable bit.
-    # ``scores`` carries exactly one row per doc (nb_score left-joins the
-    # doc spine), so the projection is row-for-row identical to the join.
+    # ``scores`` carries exactly one row per doc (nb_score keeps every
+    # doc in the spine via explode_outer — a token-less doc yields one
+    # NULL-token row — and the one groupBy(doc) collapses back to one
+    # row each), so the projection is row-for-row identical to the join.
     return scores.select(
         id_col,
         *(carry_cols or []),

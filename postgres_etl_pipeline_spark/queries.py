@@ -93,13 +93,22 @@ def frozen(spark: SparkSession, rows: list, schema) -> DataFrame:
     the default form slices local data into ``defaultParallelism``
     Python partitions, so every downstream action pays one Python-worker
     round-trip PER SLICE (32 on local[32]) just to re-emit a few hundred
-    rows (same pathology as ``similarity._tiny_df``, guide §4: the
-    boundary cost is per-partition). One slice keeps row order and
-    values identical and evaluates in one round-trip.
+    rows (guide §4: the boundary cost is per-partition). One slice keeps
+    row order and values identical and evaluates in one round-trip.
+
+    Delegates to :func:`operators.similarity._tiny_df` — ONE shared
+    single-slice idiom (ADVICE r13 #3), so the rationale and any future
+    fix live in one place. Local-mode note (ADVICE r13 #4): rewrapping
+    collected rows converts naive datetimes in the *executor* Python
+    worker with that process's local timezone, which
+    ``spark.sql.session.timeZone`` does not govern; driver and executor
+    share a host (and a TZ) in local mode, and the scratch-lifecycle
+    results this wraps carry no timestamp columns today — normalize to
+    tz-aware UTC before rewrapping if one ever does.
     """
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, numSlices=1), schema
-    )
+    from .operators.similarity import _tiny_df
+
+    return _tiny_df(spark, rows, schema)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,42 +211,50 @@ def star_join_revenue(spark, sf_dir):
     # Dimension flattening, extended through ORDERS (round 13): the whole
     # snowflake above the fact — orders→customer→nation — collapses into
     # one map o_orderkey → c_nationkey (orders-sized, two bigint columns),
-    # so the 600k-row fact side pays EXACTLY ONE BroadcastHashJoin probe
+    # so the 600k-row fact side pays EXACTLY ONE orderkey join probe
     # instead of the round-12 two (orders, then the flat customer dim;
     # that version was itself 2.2x over the naive three chained
-    # broadcasts). NO explicit broadcast hint on the orders-sized side:
-    # the planner auto-broadcasts it at bench SF (verified — same plan as
-    # the hinted form) and degrades to a sort-merge join at scales where
-    # a forced broadcast of a SF-scaling relation would OOM. The fact
-    # then aggregates on the 8-byte nationkey — 25 groups, fully
-    # map-side-combined — and only the 25 aggregated rows join the
-    # nation/region NAME strings and re-aggregate by (region, nation),
-    # which is exact: decimal partial sums re-sum losslessly and the
-    # double cast stays at the very end.
-    okey_nation = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    ).select("o_orderkey", "c_nationkey")
-    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
-    per_nation = (
-        li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(okey_nation, li.l_orderkey == okey_nation.o_orderkey)
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("_lc"),
-            F.sum(rev).alias("_rev"),
-        )
+    # broadcasts). Join strategy picked DELIBERATELY (round 14, guide
+    # §3.1): the fact⋈okey_nation join carries a SHUFFLE_HASH hint on
+    # the okey_nation side. Without it the planner *broadcasts the
+    # 600k-row LINEITEM projection* (its pruned-scan estimate undercuts
+    # the join-output estimate of okey_nation) — backwards at every
+    # scale, and measured slower at sf0.1 (0.76–0.89 s) than either
+    # forced alternative. SHUFFLE_HASH (0.61–0.66 s) beats forcing a
+    # broadcast of okey_nation (0.68–0.82 s) locally AND stays
+    # scale-safe: both sides shuffle by orderkey exactly as the
+    # sort-merge degradation would, the per-partition build side is the
+    # 16-byte-row okey_nation slice (bounded by AQE's advisory
+    # partition size), and neither SF-scaling relation is ever
+    # broadcast. NO broadcast hint on customer either (ADVICE r13):
+    # the planner broadcasts it at bench SF and may degrade at scale.
+    # ONE aggregation (verdict r13 item 3): the round-13 two-level
+    # shape (pre-agg on nationkey, then a 25-row name join + re-agg)
+    # bought nothing at any scale — map-side partial aggregation
+    # already collapses each task to ≤25 groups whether the key is the
+    # 8-byte nationkey or the name strings, so the extra hash-aggregate
+    # Exchange was pure fixed cost (measured 1.085 s → 1.312 s at
+    # sf0.1). The fact rows instead probe the 25-row nation×region
+    # broadcast (fixed cardinality at ANY SF — 25 nations × 5 regions
+    # regardless of scale factor, so this broadcast never grows) and
+    # aggregate once by (region, nation).
+    okey_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+        .hint("shuffle_hash")
     )
     names = nation.join(
         F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
     ).select("n_nationkey", "n_name", "r_name")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     return (
-        per_nation.join(
-            F.broadcast(names), per_nation.c_nationkey == names.n_nationkey
-        )
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(okey_nation, li.l_orderkey == okey_nation.o_orderkey)
+        .join(F.broadcast(names), F.col("c_nationkey") == names.n_nationkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum("_lc").alias("line_count"),
-            F.sum("_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+            F.sum(rev).cast("double").alias("revenue"),
         )
     )
 

@@ -28,18 +28,25 @@ def q(name, spark, sf):
 def test_star_join_broadcasts_all_dims_no_fact_shuffle_before_agg(spark, sf_small):
     df = q("star_join_revenue", spark, sf_small)
     s = plan_summary(df)
-    # every dim joins via broadcast at this SF (the orders-sized flat dim
-    # carries no hint, so the planner may degrade it to SMJ at real scale)
-    assert s.sort_merge_joins == 0 and s.shuffled_hash_joins == 0
+    # round 14 (guide §3.1): the fact⋈okey_nation join is a FORCED
+    # ShuffledHashJoin — without the hint the planner broadcasts the
+    # pruned LINEITEM side (backwards at every scale); a forced
+    # broadcast of the orders-sized side would OOM at real scale; and
+    # the SMJ degradation pays a sort SHJ skips. Never a sort-merge,
+    # never a broadcast of an SF-scaling relation.
+    assert s.sort_merge_joins == 0
+    assert s.shuffled_hash_joins == 1
+    # customer and the fixed-cardinality nation×region dim still
+    # broadcast at this SF
     assert s.broadcast_joins >= 1
-    # round 13: the fact aggregates by nationkey BEFORE touching any name
-    # string, so there are two exchanges — the nationkey partial-agg one
-    # and the 25-row (region, nation) re-agg one. Neither carries a fact
-    # row; the pin is that the fact side itself never shuffles pre-agg.
-    assert s.shuffles == 2
+    # round 14 (verdict r13 item 3): ONE aggregation — the round-13
+    # nationkey pre-agg + 25-row re-agg shape cost an extra Exchange that
+    # bought nothing (map-side combine collapses each task to ≤25 groups
+    # either way). Shuffles: the SHJ's two orderkey exchanges plus the
+    # final (region, nation) agg exchange.
+    assert s.shuffles == 3
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the partial aggregate keyed on nationkey sits BELOW the first
-    # exchange (map-side combine of the fact rows)
+    # map-side combine: a partial HashAggregate sits BELOW the exchange
     assert plan.count("HashAggregate") >= 2
 
 
