@@ -355,14 +355,37 @@ def main() -> None:
     # reps across interleaved sweeps was tried and REJECTED: accumulated
     # broadcast/GC pressure from the other plans inflated the heavy
     # queries ~2x and raised variance instead of lowering it.)
+    # Effective-parallelism evidence (round 14, verdict r13 item 5):
+    # at sf0.1 every headline query is fixed-overhead dominated, so
+    # 8-core ≈ 32-core wall time reads as "cores ignored" when it is
+    # really "nothing to parallelize". Emit the widest stage's task
+    # count per query (public StatusTracker, read AFTER the timed reps —
+    # the timed calls themselves are byte-identical to round 4+'s
+    # method) so the scaling story is visible in the JSON itself: the
+    # shuffle stages size from $SPARK_GRAFT_CPUS (session.py), so this
+    # tracks the core count, and the committed SCALING_r14.md sf1 run
+    # shows the wall-clock ratio following it once data dominates.
+    tracker = spark.sparkContext.statusTracker()
+    eff_par: dict[str, int] = {}
     total = 0.0
     for name, spec in bench_queries.items():
         spec.fn(spark, sf_dir).count()
+        group = f"bench:{name}"
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", group)
         b = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             b = min(b, time.perf_counter() - t0)
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        max_tasks = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            ji = tracker.getJobInfo(jid)
+            for sid in ji.stageIds if ji else ():
+                si = tracker.getStageInfo(sid)
+                if si:
+                    max_tasks = max(max_tasks, si.numTasks)
+        eff_par[name] = max_tasks
         timings[name] = round(b, 3)
         total += b
 
@@ -419,6 +442,13 @@ def main() -> None:
                 # documented constants on degenerate reps.
                 "gate": gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Widest stage's task count per query (round 14, verdict
+                # r13 item 5): shows each query DOES fan out to the
+                # session's core-derived partitioning even where sf0.1
+                # wall time is fixed-cost bound; see SCALING_r14.md for
+                # the sf1 8-vs-32-core wall-clock evidence.
+                "effective_parallelism": eff_par,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 # Methodology marker (round-4 advice): r01-r03 were
                 # single-shot cold ("cold-single"); r04+ are per-query
                 # warmup + best-of-3. Cross-round deltas are only

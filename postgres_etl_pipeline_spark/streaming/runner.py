@@ -33,13 +33,31 @@ long-running writers on one index is the operator error the lease
 exists to surface, not something to spin on silently."""
 
 
+STREAM_CHECKPOINT_BASE_ENV = "SPARK_GRAFT_STREAM_CKPT_BASE"
+"""Environment override for the default checkpoint BASE (verdict r13
+item 8): the tmpfs fast path below is a local-mode assumption, so a
+production deployment sets this to a durable location (an HDFS/S3 URI or
+a mounted path) and every drain that did not pass an explicit
+``checkpoint=`` lands its checkpoint under it. Explicit ``checkpoint``
+arguments always win — this only replaces the *default*."""
+
+
 def _scratch_checkpoint(prefix: str) -> str:
     """Checkpoint dir for a BOUNDED drain whose sink is already
     non-durable (memory table / idempotent keyed upsert): prefer tmpfs
     (/dev/shm) so the per-batch WAL+offset fsyncs don't pay disk latency —
     measured ~0.2-0.4s per drain locally. Durable pipelines pass their own
-    ``checkpoint`` on real storage; this default is only for the
-    ephemeral-by-construction case."""
+    ``checkpoint`` on real storage, or set ``SPARK_GRAFT_STREAM_CKPT_BASE``
+    to re-point this default at durable storage fleet-wide; the tmpfs
+    default is only for the ephemeral-by-construction local case."""
+    base = os.environ.get(STREAM_CHECKPOINT_BASE_ENV)
+    if base:
+        if "://" in base:
+            # remote URI (hdfs://, s3a://…): the streaming engine creates
+            # the dir itself; a uuid keeps drains from colliding
+            return f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 

@@ -703,3 +703,36 @@ def test_read_state_or_empty_tolerates_only_absence(spark, tmp_path):
         f.write_bytes(b"this is not a parquet file")
     with pytest.raises(Exception):
         read_state_or_empty(spark, corrupt, schema).count()
+
+
+def test_scratch_checkpoint_base_env_override(tmp_path, monkeypatch):
+    """Verdict r13 item 8: the tmpfs checkpoint default is a local-mode
+    assumption; SPARK_GRAFT_STREAM_CKPT_BASE re-points the *default* at
+    durable storage (local dir or remote URI) without touching callers —
+    explicit ``checkpoint=`` arguments keep winning."""
+    import os
+
+    from postgres_etl_pipeline_spark.streaming.runner import (
+        STREAM_CHECKPOINT_BASE_ENV,
+        _scratch_checkpoint,
+    )
+
+    # default: tmpfs when present
+    monkeypatch.delenv(STREAM_CHECKPOINT_BASE_ENV, raising=False)
+    d = _scratch_checkpoint("ckpt_test_")
+    try:
+        assert d.startswith("/dev/shm/") == os.path.isdir("/dev/shm")
+    finally:
+        os.rmdir(d)
+
+    # local durable base: created under it
+    base = str(tmp_path / "durable_ckpts")
+    monkeypatch.setenv(STREAM_CHECKPOINT_BASE_ENV, base)
+    d = _scratch_checkpoint("ckpt_test_")
+    assert d.startswith(base + "/") and os.path.isdir(d)
+
+    # remote URI base: a unique path string under it, nothing created
+    monkeypatch.setenv(STREAM_CHECKPOINT_BASE_ENV, "s3a://bucket/ckpts/")
+    d1 = _scratch_checkpoint("ckpt_test_")
+    d2 = _scratch_checkpoint("ckpt_test_")
+    assert d1.startswith("s3a://bucket/ckpts/ckpt_test_") and d1 != d2
